@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.core.{Dominance, Point, SkylineBuffer}
+
+/** Skyline (Pareto frontier, minimization) as a typed Spark `Aggregator`.
+  *
+  * Spark's partial(reduce)/final(merge) aggregation contract IS the reference's
+  * two-phase MapReduce skyline (`java/org.main/FlinkSkyline.java`: local BNL
+  * `processBuffer` 417-444, global incremental-BNL merge 548-566): `reduce`
+  * maintains a per-input-partition local skyline (the map-side combiner — only
+  * non-dominated points ever cross the shuffle), and `merge` is exactly the
+  * global BNL merge. Correct because skyline is distributive:
+  * sky(A ∪ B) = sky(sky(A) ∪ sky(B)).
+  */
+class SkylineAgg extends Aggregator[Point, SkylineBuffer, Seq[Point]] {
+  override def zero: SkylineBuffer = SkylineBuffer.empty
+  override def reduce(b: SkylineBuffer, p: Point): SkylineBuffer = { b.insert(p); b }
+  override def merge(a: SkylineBuffer, b: SkylineBuffer): SkylineBuffer = a.merge(b)
+  override def finish(b: SkylineBuffer): Seq[Point] = b.result
+  override def bufferEncoder: Encoder[SkylineBuffer] = Encoders.kryo[SkylineBuffer]
+  override def outputEncoder: Encoder[Seq[Point]] = ExpressionEncoder[Seq[Point]]()
+}
+
+object SkylineOps {
+
+  /** Lift a relational frame into the typed point model: one id column plus the
+    * dimension columns (all cast to double). */
+  def pointsFrom(df: DataFrame, idCol: String, dimCols: Seq[String]): Dataset[Point] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+      col(idCol).cast("long").as("id"),
+      array(dimCols.map(c => col(c).cast("double")): _*).as("values"),
+      lit(-1).as("originPartition")
+    ).as[Point]
+  }
+
+  /** Global skyline via one aggregation — Catalyst plans partial per-partition
+    * BNL (combiner) + a single final merge, mirroring the reference's
+    * local-then-global topology with no hand-built shuffle. */
+  def skyline(ds: Dataset[Point]): Dataset[Point] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.select(new SkylineAgg().toColumn).flatMap(identity(_))
+  }
+
+  /** Two-phase skyline through an explicit spatial strategy, mirroring the
+    * reference topology (keyBy(strategy) → local BNL → keyBy(query) → global
+    * merge, `FlinkSkyline.java:138-174`) — but with map-side combine inside
+    * each phase, which the reference does not have. Results are identical for
+    * every strategy and partition count (partition-invariance of skyline). */
+  def skylineViaStrategy(ds: Dataset[Point], strategy: String, domain: Double,
+                         numPartitions: Int): Dataset[Point] = {
+    implicit val pe: Encoder[Point] = ExpressionEncoder[Point]()
+    skyline(localSkylines(ds, strategy, domain, numPartitions).flatMap(_._2))
+  }
+
+  /** Per-strategy local skylines: (partitionId, points tagged with
+    * originPartition) — the reference's local-phase output
+    * (`FlinkSkyline.java:396-403`). */
+  def localSkylines(ds: Dataset[Point], strategy: String, domain: Double,
+                    numPartitions: Int): Dataset[(Int, Seq[Point])] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val agg = new SkylineAgg().toColumn
+    val pidOf = pidFunction(strategy, domain, numPartitions)
+    ds.groupByKey(p => pidOf(p.values))
+      .agg(agg)
+      .map { case (pid, pts) => (pid, pts.map(_.copy(originPartition = pid))) }
+  }
+
+  /** Driver-side partition-id function with exactly the reference arithmetic. */
+  def pidFunction(strategy: String, domain: Double, n: Int): Array[Double] => Int =
+    strategy match {
+      case "mr-dim" =>
+        vs => {
+          val p = (vs(0) / (domain / n)).toInt
+          math.max(0, math.min(p, n - 1))
+        }
+      case "mr-grid" =>
+        vs => {
+          var mask = 0; var i = 0
+          while (i < vs.length) { if (vs(i) >= domain / 2.0) mask |= (1 << i); i += 1 }
+          mask
+        }
+      case "mr-angle" =>
+        vs => Partitioners.mrAngleScala(vs.toSeq, n)
+      case other => throw new IllegalArgumentException(s"unknown strategy: $other")
+    }
+
+  /** Full reference-parity query: skyline + the metrics object the reference
+    * emits per query (`FlinkSkyline.java:610-648` JSON schema; optimality
+    * `:590-608` = avg over ALL partitions of local-survivor ratio). Timing
+    * fields are wall-clock (non-deterministic), matching field names only.
+    */
+  def skylineWithMetrics(ds: Dataset[Point], strategy: String, domain: Double,
+                         numPartitions: Int, queryId: String,
+                         recordCount: Long): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val t0 = System.currentTimeMillis()
+    val local = localSkylines(ds, strategy, domain, numPartitions).cache()
+    val localSizes: Map[Int, Int] =
+      local.map { case (pid, pts) => (pid, pts.size) }.collect().toMap
+    val tLocal = System.currentTimeMillis()
+    val globalSky = skyline(local.flatMap(_._2)).cache()
+    val survivors: Map[Int, Long] =
+      globalSky.groupByKey(_.originPartition).count().collect().toMap
+    val skySize = globalSky.count()
+    val tEnd = System.currentTimeMillis()
+    val sumRatios = localSizes.collect {
+      case (pid, sz) if sz > 0 => survivors.getOrElse(pid, 0L).toDouble / sz
+    }.sum
+    val optimality = sumRatios / numPartitions
+    local.unpersist(); globalSky.unpersist()
+    Seq((queryId, recordCount, skySize,
+         math.round(optimality * 10000.0) / 10000.0,
+         0L, tLocal - t0, tEnd - tLocal, tEnd - t0))
+      .toDF("query_id", "record_count", "skyline_size", "optimality",
+            "ingestion_time_ms", "local_processing_time_ms",
+            "global_processing_time_ms", "total_processing_time_ms")
+  }
+
+  /** Relational skyline over explicit dimension columns: returns the input rows
+    * that are Pareto-optimal (duplicates preserved). Implemented as the typed
+    * two-phase aggregate, then re-expanded to the original column layout. */
+  def skylineDF(df: DataFrame, idCol: String, dimCols: Seq[String]): DataFrame = {
+    val res = skyline(pointsFrom(df, idCol, dimCols)).toDF("id", "values", "op")
+    res.select(col("id").as(idCol) +:
+      dimCols.zipWithIndex.map { case (c, i) =>
+        element_at(col("values"), i + 1).as(c) }: _*)
+  }
+
+  /** skylineDF through an explicit strategy (partition-invariant: same result
+    * as skylineDF for every strategy and n). */
+  def skylineDFViaStrategy(df: DataFrame, idCol: String, dimCols: Seq[String],
+                           strategy: String, domain: Double, n: Int): DataFrame = {
+    val res = skylineViaStrategy(pointsFrom(df, idCol, dimCols), strategy, domain, n)
+      .toDF("id", "values", "op")
+    res.select(col("id").as(idCol) +:
+      dimCols.zipWithIndex.map { case (c, i) =>
+        element_at(col("values"), i + 1).as(c) }: _*)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Kernel invariants, mirroring the reference semantics
+  * (`java/org.main/ServiceTuple.java:67-77`, `FlinkSkyline.java:417-444`).
+  * Property-style tests use a fixed seed for determinism.
+  */
+class SkylineKernelSpec extends AnyFunSuite {
+
+  private def bruteForce(pts: Seq[Point]): Set[(Long, Seq[Double])] =
+    pts.filter(t => !pts.exists(u => Dominance.dominates(u.values, t.values)))
+      .map(p => (p.id, p.values.toSeq)).toSet
+
+  private def asSet(pts: Seq[Point]): Set[(Long, Seq[Double])] =
+    pts.map(p => (p.id, p.values.toSeq)).toSet
+
+  private def randPoints(rng: Random, n: Int, dims: Int, card: Int): List[Point] =
+    List.tabulate(n)(i => Point(i.toLong,
+      Array.fill(dims)(rng.nextInt(card).toDouble)))
+
+  test("dominance truth table (minimization, strict-in-one)") {
+    assert(Dominance.dominates(Array(1.0, 2.0), Array(2.0, 2.0)))
+    assert(Dominance.dominates(Array(1.0, 1.0), Array(2.0, 2.0)))
+    assert(!Dominance.dominates(Array(2.0, 2.0), Array(1.0, 2.0)))
+    assert(!Dominance.dominates(Array(1.0, 3.0), Array(3.0, 1.0))) // incomparable
+    // exact duplicates never dominate each other
+    assert(!Dominance.dominates(Array(5.0, 5.0), Array(5.0, 5.0)))
+  }
+
+  test("duplicates of a skyline point are all skyline members") {
+    val pts = Seq(Point(1, Array(0.0, 0.0)), Point(2, Array(0.0, 0.0)),
+      Point(3, Array(1.0, 1.0)), Point(4, Array(0.0, 0.0)))
+    val sky = SkylineBuffer.ofIncremental(pts.iterator).result
+    assert(asSet(sky) == Set((1L, Seq(0.0, 0.0)), (2L, Seq(0.0, 0.0)), (4L, Seq(0.0, 0.0))))
+  }
+
+  test("BNL matches brute force and is insertion-order insensitive") {
+    val rng = new Random(42)
+    for (_ <- 1 to 60) {
+      val dims = 2 + rng.nextInt(3)
+      val pts = randPoints(rng, rng.nextInt(80), dims, 10)
+      val expect = bruteForce(pts)
+      assert(asSet(SkylineBuffer.ofIncremental(pts.iterator).result) == expect)
+      val shuffled = rng.shuffle(pts)
+      assert(asSet(SkylineBuffer.ofIncremental(shuffled.iterator).result) == expect)
+    }
+  }
+
+  test("presorted bulk build equals incremental build") {
+    val rng = new Random(7)
+    for (_ <- 1 to 60) {
+      val pts = randPoints(rng, rng.nextInt(100), 3, 8)
+      assert(asSet(SkylineBuffer.of(pts.iterator).result) ==
+        asSet(SkylineBuffer.ofIncremental(pts.iterator).result))
+    }
+  }
+
+  test("skyline is an antichain") {
+    val rng = new Random(11)
+    for (_ <- 1 to 30) {
+      val sky = SkylineBuffer.of(randPoints(rng, 120, 3, 6).iterator).result
+      for (a <- sky; b <- sky)
+        assert(!Dominance.dominates(a.values, b.values))
+    }
+  }
+
+  test("distributivity: sky(A ∪ B) == sky(sky(A) ∪ sky(B))") {
+    val rng = new Random(13)
+    for (_ <- 1 to 40) {
+      val a = randPoints(rng, rng.nextInt(60), 2, 12)
+      val b = randPoints(rng, rng.nextInt(60), 2, 12)
+      val whole = SkylineBuffer.of((a ++ b).iterator).result
+      val merged = SkylineBuffer.of(
+        (SkylineBuffer.of(a.iterator).result ++
+          SkylineBuffer.of(b.iterator).result).iterator).result
+      assert(asSet(whole) == asSet(merged))
+    }
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+import graft.core.{Dominance, Point}
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+/** Distributed skyline operator: agrees with brute force, is invariant to
+  * partitioning strategy and partition count (the cross-algorithm agreement
+  * check the reference does visually — SURVEY §5.1), keeps duplicates. */
+class SkylineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def bruteForce(pts: Seq[Point]): Set[(Long, Seq[Double])] =
+    pts.filter(t => !pts.exists(u => Dominance.dominates(u.values, t.values)))
+      .map(p => (p.id, p.values.toSeq)).toSet
+
+  private def asSet(pts: Seq[Point]): Set[(Long, Seq[Double])] =
+    pts.map(p => (p.id, p.values.toSeq)).toSet
+
+  private def mkPts(n: Int, dims: Int, seed: Int, card: Int = 1000): Seq[Point] = {
+    val rng = new Random(seed)
+    Seq.tabulate(n)(i => Point(i.toLong, Array.fill(dims)(rng.nextInt(card).toDouble)))
+  }
+
+  test("aggregator skyline equals brute force") {
+    import spark.implicits._
+    val pts = mkPts(2000, 2, seed = 1)
+    val got = SkylineOps.skyline(pts.toDS()).collect().toSeq
+    assert(asSet(got) == bruteForce(pts))
+  }
+
+  test("strategy and partition-count invariance") {
+    import spark.implicits._
+    val pts = mkPts(1500, 3, seed = 2, card = 100)
+    val expect = bruteForce(pts)
+    for (strategy <- Seq("mr-dim", "mr-grid", "mr-angle"); n <- Seq(1, 4, 8)) {
+      val got = SkylineOps.skylineViaStrategy(pts.toDS(), strategy, 100.0, n)
+        .collect().toSeq
+      assert(asSet(got) == expect, s"strategy=$strategy n=$n")
+    }
+  }
+
+  test("duplicates all survive through the distributed path") {
+    import spark.implicits._
+    val dups = Seq.tabulate(5)(i => Point(100L + i, Array(0.0, 0.0)))
+    val pts = mkPts(500, 2, seed = 3, card = 900).map(p =>
+      p.copy(values = p.values.map(_ + 1.0))) ++ dups
+    val got = SkylineOps.skyline(pts.toDS()).collect().toSeq
+    assert(got.count(_.values.toSeq == Seq(0.0, 0.0)) == 5)
+  }
+
+  test("partitioner ids stay in range and match driver-side function") {
+    import spark.implicits._
+    val pts = mkPts(800, 2, seed = 4)
+    val df = pts.map(p => (p.id, p.values(0), p.values(1))).toDF("id", "v1", "v2")
+    import org.apache.spark.sql.functions._
+    for (strategy <- Seq("mr-dim", "mr-grid", "mr-angle")) {
+      val pidCol = Partitioners.byName(strategy, array(col("v1"), col("v2")), 1000.0, 8)
+      val got = df.select(col("id"), pidCol.as("pid")).as[(Long, Int)].collect().toMap
+      val f = SkylineOps.pidFunction(strategy, 1000.0, 8)
+      pts.foreach { p =>
+        val expected = f(p.values)
+        assert(got(p.id) == expected, s"$strategy id=${p.id}")
+        assert(got(p.id) >= 0 && got(p.id) < 8)
+      }
+    }
+  }
+
+  test("metrics query emits reference JSON schema fields") {
+    import spark.implicits._
+    val pts = mkPts(1000, 2, seed = 5)
+    val df = SkylineOps.skylineWithMetrics(pts.toDS(), "mr-angle", 1000.0, 8, "q1", 1000)
+    val row = df.collect().head
+    assert(df.columns.toSeq == Seq("query_id", "record_count", "skyline_size",
+      "optimality", "ingestion_time_ms", "local_processing_time_ms",
+      "global_processing_time_ms", "total_processing_time_ms"))
+    val opt = row.getAs[Double]("optimality")
+    assert(opt >= 0.0 && opt <= 1.0)
+    assert(row.getAs[Long]("skyline_size") > 0)
+  }
+}

@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General analytics queries: aggregation, joins, window functions, the CSV
+  * parse path (reference P1/F1) and the query-broadcast fan-out (B1).
+  *
+  * Float discipline for oracle parity: every SUM over doubles goes through
+  * DECIMAL (exact, order-independent) and is cast back to DOUBLE at the end;
+  * integer and string outputs are naturally exact.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's reader rejects;
+    * read it as raw nanosecond longs (ordering-equivalent). The oracle side
+    * uses epoch_ns(ts) for the same integer view. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+  }
+
+  /** The reference's CSV wire-format parser (`ServiceTuple.fromString`,
+    * `java/org.main/ServiceTuple.java:89-104`): "id,v1,v2,..." → (id, dims);
+    * malformed rows → dropped (P1 + F1). Implemented relationally with
+    * try_cast semantics (PERMISSIVE-drop). */
+  def parseCsvTuples(csv: DataFrame, col0: String, dims: Int): DataFrame = {
+    val parts = split(col(col0), ",")
+    val idC = get(parts, lit(0)).try_cast("long")
+    val vs = (1 to dims).map(i => get(parts, lit(i)).try_cast("double"))
+    csv.select(idC.as("id") +: vs.zipWithIndex.map { case (c, i) => c.as(s"v${i + 1}") }: _*)
+      .where(col("id").isNotNull &&
+        (1 to dims).map(i => col(s"v$i").isNotNull).reduce(_ && _))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1 + F1: CSV parse with malformed-row drop, round-tripped from lineitem
+    "csv_roundtrip" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") % 10 === 0)
+      val csv = li.select(concat_ws(",",
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("string"),
+        col("l_quantity").cast("string"),
+        col("l_extendedprice").cast("string")).as("line"))
+      val malformed = s.createDataset(
+        Seq("garbage", "1,notanumber,3", "42"))(
+        org.apache.spark.sql.Encoders.STRING).toDF("line")
+      parseCsvTuples(csv.unionAll(malformed), "line", dims = 2).orderBy("id")
+    }),
+    // B1: query trigger broadcast — one trigger becomes N copies, one per
+    // target partition, like the reference flatMap (`FlinkSkyline.java:145-157`)
+    "query_broadcast" -> ((s, dir) => {
+      val triggers = t(s, dir, "orders").where(col("o_orderkey") <= 40)
+        .select(col("o_orderkey").as("query_id"),
+          (col("o_orderkey") * 1000).as("required_count"))
+      triggers
+        .select(col("query_id"), col("required_count"),
+          explode(sequence(lit(0), lit(7))).as("target_partition"))
+        .select(col("query_id"), col("required_count"),
+          col("target_partition").cast("long").as("target_partition"))
+        .orderBy("query_id", "target_partition")
+    }),
+    // TPC-H-style pricing summary (hash agg, decimal-exact sums)
+    "q1_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    // join + agg + top-k (customer ⋈ orders ⋈ lineitem), broadcast dims
+    "q3_top_orders" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+    // multi-join through the region→nation→customer→orders→lineitem chain
+    "q5_nation_revenue" -> ((s, dir) => {
+      val region = t(s, dir, "region").where(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+    // window functions over the events stream table
+    "events_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir).select(col("event_id"), col("user_id"),
+          row_number().over(w).cast("long").as("rn"),
+          count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .as("running_events"),
+          lag(col("event_id"), 1, -1L).over(w).as("prev_event"))
+        .orderBy("event_id")
+    }),
+    // sessionization: 30-minute inactivity gap splits sessions (all-integer
+    // arithmetic: epoch seconds, cumulative sum over a window)
+    "events_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val secExpr = expr("ts div 1000000000")
+      val withGap = events(s, dir).select(col("event_id"), col("user_id"),
+        col("ts"), secExpr.as("sec"), lag(secExpr, 1).over(w).as("prev_sec"))
+      withGap
+        .withColumn("new_session",
+          when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq",
+          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("event_id"), col("user_id"), col("session_seq"))
+        .orderBy("event_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "csv_roundtrip" ->
+      """WITH raw AS (
+        |  SELECT concat_ws(',', CAST(l_orderkey * 10 + l_linenumber AS VARCHAR),
+        |    CAST(l_quantity AS VARCHAR), CAST(l_extendedprice AS VARCHAR)) AS line
+        |  FROM lineitem WHERE l_orderkey % 10 = 0
+        |  UNION ALL SELECT * FROM (VALUES ('garbage'), ('1,notanumber,3'), ('42')) v(line)),
+        |parsed AS (SELECT
+        |  TRY_CAST(string_split(line, ',')[1] AS BIGINT) AS id,
+        |  TRY_CAST(string_split(line, ',')[2] AS DOUBLE) AS v1,
+        |  TRY_CAST(string_split(line, ',')[3] AS DOUBLE) AS v2 FROM raw)
+        |SELECT id, v1, v2 FROM parsed
+        |WHERE id IS NOT NULL AND v1 IS NOT NULL AND v2 IS NOT NULL
+        |ORDER BY id""".stripMargin.replace("\n", " "),
+    "query_broadcast" ->
+      """SELECT o_orderkey AS query_id, o_orderkey * 1000 AS required_count,
+        |CAST(p AS BIGINT) AS target_partition
+        |FROM orders, generate_series(0, 7) t(p) WHERE o_orderkey <= 40
+        |ORDER BY query_id, target_partition""".stripMargin.replace("\n", " "),
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |  AS sum_disc_price,
+        |COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "),
+    "q3_top_orders" ->
+      """SELECT l_orderkey,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |  AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""
+        .stripMargin.replace("\n", " "),
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |  AS revenue,
+        |COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", " "),
+    "events_window" ->
+      """SELECT event_id, user_id,
+        |CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+        |CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS running_events,
+        |COALESCE(LAG(event_id, 1) OVER w, -1) AS prev_event
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "events_sessionize" ->
+      """WITH g AS (SELECT event_id, user_id,
+        |  epoch_ns(ts) // 1000000000 AS sec,
+        |  LAG(epoch_ns(ts) // 1000000000, 1)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+        |FROM events)
+        |SELECT event_id, user_id,
+        |CAST(SUM(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |FROM g ORDER BY event_id""".stripMargin.replace("\n", " ")
+  )
+}

@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data pipeline queries: text analysis, dedup, similarity search.
+  * Hashing is md5-based ([[graft.functions.hash60]]) specifically so every
+  * operator has an exact DuckDB oracle.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  // SQL fragments mirroring graft.functions exactly
+  private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private def occSql(hay: String, needle: String): String =
+    s"CAST((length($hay) - length(replace($hay, '$needle', ''))) / ${needle.length} AS BIGINT)"
+  private def hash60Sql(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+  // distinct 5-gram shingles of the normalized text, as (doc_id, shingle) rows
+  private val shinglesSql =
+    s"""SELECT doc_id, unnest(list_distinct(
+       |[substr(n, i, 5) for i in range(1, greatest(length(n) - 4, 1) + 1)]))
+       |AS shingle FROM (SELECT doc_id, $normSql AS n FROM documents)"""
+      .stripMargin.replace("\n", " ")
+
+  private val NUM_HASHES = 8
+  private val BANDS = 4
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting
+    "text_tokens" -> ((s, dir) =>
+      TextAnalysis.withTokenStats(docs(s, dir), "text")
+        .select("doc_id", "n_tokens", "n_chars_computed", "avg_token_len")
+        .orderBy("doc_id")),
+    // quality scoring
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.withQualityScore(docs(s, dir), "text")
+        .select("doc_id", "n_tokens", "stopword_ratio", "punct_ratio", "quality_ok")
+        .orderBy("doc_id")),
+    // language id (marker-stopword argmax)
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.withLanguageId(docs(s, dir), "text")
+        .select("doc_id", "lang_pred", "lang_score")
+        .orderBy("doc_id")),
+    // document fingerprint (md5 of normalized text)
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.withFingerprint(docs(s, dir), "text")
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")),
+    // exact dedup by fingerprint: one survivor + duplicate count per group
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.byFingerprint(docs(s, dir), "doc_id", "text")
+        .select("fingerprint", "doc_id", "n_dups")
+        .orderBy("doc_id")),
+    // minhash signatures (md5-derived, engine-portable)
+    "dedup_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(docs(s, dir), "doc_id", "text",
+          k = 5, numHashes = NUM_HASHES)
+        .orderBy("doc_id")),
+    // minhash LSH candidate pairs with estimated jaccard
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashCandidates(docs(s, dir), "doc_id", "text",
+          k = 5, numHashes = NUM_HASHES, bands = BANDS)
+        .orderBy("id_a", "id_b")),
+    // exact n-gram jaccard over candidate pairs (inverted-index join)
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 5,
+          threshold = 0.35)
+        .orderBy("id_a", "id_b")),
+    // simhash (relational bit-vote form)
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+    // embedding-cosine near-duplicate pairs
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDups(emb(s, dir), "vec_id", "embedding", 0.90)
+        .orderBy("id_a", "id_b")),
+    // brute-force cosine top-k ANN (query vectors = vec_id < 5)
+    "ann_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e, "vec_id", "embedding",
+          e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+    // LSH-bucketed ANN (deterministic hyperplanes) — no SQL oracle; the
+    // driver records a rows-only check. Recall vs brute force is asserted in
+    // SimilaritySpec instead.
+    "ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshTopK(e, "vec_id", "embedding",
+          e.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nPlanes = 6, dims = 64)
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    val toks = s"len(regexp_split_to_array(trim(text), '\\s+'))"
+    val m = scala.collection.mutable.Map[String, String]()
+
+    m += "text_tokens" ->
+      s"""SELECT doc_id,
+         |CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST($toks AS BIGINT) END AS n_tokens,
+         |CAST(length(text) AS BIGINT) AS n_chars_computed,
+         |CASE WHEN length(trim(text)) = 0 OR $toks = 0 THEN 0.0 ELSE
+         |CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / $toks END
+         |AS avg_token_len FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+    val padded = s"concat(' ', $normSql, ' ')"
+    val stopHits = TextAnalysis.Stopwords
+      .map(w => occSql(padded, s" $w ")).mkString(" + ")
+    val punct = Seq(".", ",", "!", "?").map(p => occSql("text", p)).mkString(" + ")
+    m += "text_quality" ->
+      s"""SELECT doc_id, n_tokens, stopword_ratio, punct_ratio,
+         |(n_tokens >= 5 AND stopword_ratio >= 0.01 AND punct_ratio <= 0.2) AS quality_ok
+         |FROM (SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST($toks AS BIGINT) END AS n_tokens,
+         |  CASE WHEN length(trim(text)) = 0 OR $toks = 0 THEN 0.0
+         |    ELSE CAST($stopHits AS DOUBLE) / $toks END AS stopword_ratio,
+         |  CASE WHEN length(text) > 0 THEN CAST($punct AS DOUBLE) / length(text)
+         |    ELSE 0.0 END AS punct_ratio
+         |FROM documents) ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+    // language-id argmax: the left-fold in TextAnalysis keeps the earliest
+    // language on score ties, which equals "first language reaching the max"
+    // — expressible compactly as GREATEST + a first-match CASE.
+    val langScores = TextAnalysis.LangMarkers.toSeq.sortBy(_._1).map {
+      case (lang, ws) =>
+        lang -> ws.map(w => occSql(padded, s" $w ")).mkString(" + ")
+    }
+    val mExpr = s"GREATEST(${langScores.map(l => s"s_${l._1}").mkString(", ")})"
+    val pick = langScores.map { case (l, _) => s"WHEN s_$l = $mExpr THEN '$l'" }
+      .mkString("CASE ", " ", " END")
+    m += "text_langid" ->
+      s"""SELECT doc_id, $pick AS lang_pred, $mExpr AS lang_score
+         |FROM (SELECT doc_id,
+         |${langScores.map { case (l, e) => s"CAST($e AS BIGINT) AS s_$l" }.mkString(", ")}
+         |FROM documents) ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+    m += "text_fingerprint" ->
+      s"""SELECT doc_id, md5($normSql) AS fingerprint FROM documents
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+    m += "dedup_exact" ->
+      s"""SELECT md5($normSql) AS fingerprint, MIN(doc_id) AS doc_id,
+         |COUNT(*) AS n_dups FROM documents GROUP BY 1 ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")
+
+    val sigSelect = (0 until NUM_HASHES).map(i =>
+      s"MIN(${hash60Sql(s"concat(shingle, '#$i')")}) AS h$i").mkString(", ")
+    m += "dedup_minhash_sig" ->
+      s"""WITH sh AS ($shinglesSql)
+         |SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")
+
+    val rowsPerBand = NUM_HASHES / BANDS
+    val bandKeys = (0 until BANDS).map { b =>
+      val cols = (0 until rowsPerBand).map(r => s"h${b * rowsPerBand + r}")
+      s"(SELECT doc_id, $b AS band, concat_ws('_', ${cols.mkString(", ")}) AS bkey FROM sig)"
+    }.mkString(" UNION ALL ")
+    val sigMatch = (0 until NUM_HASHES)
+      .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    m += "dedup_minhash_pairs" ->
+      s"""WITH sh AS ($shinglesSql),
+         |sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
+         |banded AS ($bandKeys),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT p.id_a, p.id_b, CAST($sigMatch AS DOUBLE) / $NUM_HASHES AS est_jaccard
+         |FROM pairs p JOIN sig a ON a.doc_id = p.id_a JOIN sig b ON b.doc_id = p.id_b
+         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
+    m += "dedup_ngram_jaccard" ->
+      s"""WITH sh AS ($shinglesSql),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
+         |FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
+    val bitSums = (0 until 60).map(b =>
+      s"SUM((h >> $b) & 1) AS c$b").mkString(", ")
+    val bitSet = (0 until 60).map(b =>
+      s"(CASE WHEN c$b * 2 > n THEN (1::BIGINT << $b) ELSE 0 END)").mkString(" | ")
+    m += "dedup_simhash" ->
+      s"""WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents)),
+         |hashed AS (SELECT doc_id, ${hash60Sql("tok")} AS h FROM toks),
+         |counted AS (SELECT doc_id, COUNT(*) AS n, $bitSums FROM hashed GROUP BY doc_id)
+         |SELECT doc_id, CAST($bitSet AS BIGINT) AS simhash FROM counted
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+    m += "dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |  CAST(b.embedding AS DOUBLE[])) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |  CAST(b.embedding AS DOUBLE[])) >= 0.90
+        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
+    m += "ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (SELECT q.query_id, e.vec_id AS nbr_id,
+        |  list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cosine
+        |FROM q CROSS JOIN embeddings e),
+        |ranked AS (SELECT query_id, nbr_id, cosine,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, nbr_id ASC) AS rank FROM scored)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, nbr_id, cosine
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+        .stripMargin.replace("\n", " ")
+
+    m.toMap
+  }
+}

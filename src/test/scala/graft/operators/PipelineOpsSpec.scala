@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Text analysis, dedup, and similarity operators over small in-memory data. */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def docsDF = {
+    import spark.implicits._
+    Seq(
+      (0L, "The quick brown fox jumps over the lazy dog."),
+      (1L, "The quick brown fox jumps over the lazy dog."),   // exact dup of 0
+      (2L, "The quick brown fox jumped over the lazy dog!"),  // near dup
+      (3L, "Completely different content about database engines and queries."),
+      (4L, "  the   QUICK brown fox jumps over the lazy dog. ") // dup after norm
+    ).toDF("doc_id", "text")
+  }
+
+  test("fingerprint is md5 of normalized text; normalization collapses case/ws") {
+    val fps = TextAnalysis.withFingerprint(docsDF, "text")
+      .select("doc_id", "fingerprint").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(0) == fps(1))
+    assert(fps(0) == fps(4))
+    assert(fps(0) != fps(2))
+    // reference value computed with java.security.MessageDigest
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest("the quick brown fox jumps over the lazy dog.".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(fps(0) == expect)
+  }
+
+  test("exact dedup keeps one survivor per normalized text") {
+    val out = Dedup.byFingerprint(docsDF, "doc_id", "text").collect()
+    assert(out.length == 3)
+    val grp = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dups")).toMap
+    assert(grp(0L) == 3) // docs 0, 1, 4
+  }
+
+  test("token stats on edge cases") {
+    import spark.implicits._
+    val df = Seq((0L, "one two  three"), (1L, "   "), (2L, "single")).toDF("doc_id", "text")
+    val got = TextAnalysis.withTokenStats(df, "text")
+      .select("doc_id", "n_tokens").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 0L, 2L -> 1L))
+  }
+
+  test("minhash estimate tracks exact jaccard for near-dups") {
+    val exact = Dedup.ngramJaccardPairs(docsDF, "doc_id", "text", k = 5, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // exact duplicates have jaccard 1.0
+    assert(exact((0L, 1L)) == 1.0)
+    assert(exact((0L, 4L)) == 1.0)
+    // near-dup pair has high but sub-1 jaccard
+    assert(exact((0L, 2L)) > 0.5 && exact((0L, 2L)) < 1.0)
+    val est = Dedup.minhashCandidates(docsDF, "doc_id", "text", k = 5,
+        numHashes = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // exact dups always collide in every band and estimate 1.0
+    assert(est((0L, 1L)) == 1.0)
+    assert(est((0L, 4L)) == 1.0)
+  }
+
+  test("simhash: identical normalized texts share signature; near-dups are close") {
+    val sh = Dedup.simhash(docsDF, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L) && sh(0L) == sh(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(2L)) < hamming(sh(0L), sh(3L)))
+  }
+
+  test("language id picks the language with most marker hits") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "the cat and the dog of the house"),
+      (1L, "der Hund und die Katze ist hier und das ist gut"),
+      (2L, "le chat et la maison et les arbres des champs")).toDF("doc_id", "text")
+    val got = TextAnalysis.withLanguageId(df, "text")
+      .select("doc_id", "lang_pred").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(0L -> "en", 1L -> "de", 2L -> "fr"))
+  }
+
+  test("brute-force ANN: self is rank 1 with cosine 1.0; LSH recall is sane") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val vecs = Seq.tabulate(200)(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 3)
+    val bf = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, "vec_id", "embedding", 5)
+      .collect()
+    val byQuery = bf.groupBy(_.getLong(0))
+    byQuery.foreach { case (qid, rows) =>
+      val r1 = rows.find(_.getLong(1) == 1L).get
+      assert(r1.getLong(2) == qid)        // self is nearest
+      assert(r1.getDouble(3) == 1.0)      // clamped exactly to 1.0
+    }
+    val lsh = Similarity.lshTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+      5, nPlanes = 4, dims = 16).collect()
+    // every LSH result must appear in the corpus and keep rank order per query
+    assert(lsh.nonEmpty)
+    lsh.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getLong(1)).sorted
+      assert(ranks.zipWithIndex.forall { case (r, i) => r == i + 1 })
+    }
+  }
+}

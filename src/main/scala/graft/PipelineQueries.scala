@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.sources.Generators
+import graft.streaming.SkylineStream
+
+/** Streaming-protocol, generator, and multimodal queries. */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full streaming protocol (S→P1/F1→B1→C1→A1/A2→A3 merge) over the same
+    // 2-D point set as sky2d_global; the oracle is the same skyline SQL, so
+    // the gate proves streaming == batch semantics.
+    "stream_sky2d" -> ((s, dir) => {
+      import s.implicits._
+      val lines = SkylineQueries.partPoints(s, dir).select(
+        concat_ws(",", col("id").cast("string"), col("v1").cast("string"),
+          col("v2").cast("string")).as("line")).as[String]
+      val pts = SkylineStream.runBatchPoints(s, lines, "mr-angle",
+        SkylineQueries.DOMAIN, SkylineQueries.N)
+      pts.map(p => (p.id, p.values(0), p.values(1)))
+        .toDF("id", "v1", "v2").orderBy("id")
+    }),
+    // G1-G3 generator sanity: skyline sizes per distribution (rows-only
+    // check; the structural assertion anti > correlated > uniform lives in
+    // GeneratorsSpec).
+    "gen_skyline_sizes" -> ((s, dir) => {
+      import s.implicits._
+      Seq("anti-correlated", "correlated", "uniform").map { d =>
+        val pts = Generators.generate(s, d, 20000, dims = 2)
+        (d, graft.operators.SkylineOps.skyline(pts).count())
+      }.toDF("distribution", "skyline_size").orderBy("distribution")
+    }),
+    // multimodal: binary payload → batched stub decode → typed metadata
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.decodeMeta(Multimodal.asBinary(docs(s, dir), "doc_id", "text"))
+        .toDF().orderBy("media_id")),
+    // multimodal: frame sampling explode
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.decodeMeta(Multimodal.asBinary(docs(s, dir), "doc_id", "text")))
+        .orderBy("media_id", "frame_idx"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "stream_sky2d" ->
+      s"""WITH pts AS (${SkylineQueries.partPointsSql})
+         |SELECT t.id, t.v1, t.v2 FROM pts t WHERE NOT EXISTS (
+         |  SELECT 1 FROM pts u
+         |  WHERE u.v1 <= t.v1 AND u.v2 <= t.v2 AND (u.v1 < t.v1 OR u.v2 < t.v2))
+         |ORDER BY t.id""".stripMargin.replace("\n", " "),
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |CASE ascii(substr(text, 1, 1)) % 3 WHEN 0 THEN 'image'
+        |  WHEN 1 THEN 'audio' ELSE 'video' END AS format,
+        |octet_length(CAST(text AS BLOB)) % 1024 AS width,
+        |(octet_length(CAST(text AS BLOB)) * 7) % 768 AS height,
+        |octet_length(CAST(text AS BLOB)) % 5 + 1 AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin.replace("\n", " "),
+    "multimodal_frames" ->
+      """WITH meta AS (SELECT doc_id AS media_id,
+        |  octet_length(CAST(text AS BLOB)) % 5 + 1 AS n_frames FROM documents)
+        |SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(f AS BIGINT) * 40 + media_id % 40 AS frame_offset_ms
+        |FROM meta, unnest([x for x in range(0, n_frames)]) t(f)
+        |ORDER BY media_id, frame_idx""".stripMargin.replace("\n", " ")
+  )
+}

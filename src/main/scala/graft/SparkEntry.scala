@@ -34,10 +34,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    SkylineQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries
+    SkylineQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    SkylineQueries.oracleSql ++ RelationalQueries.oracleSql ++ TextQueries.oracleSql
+    SkylineQueries.oracleSql ++ RelationalQueries.oracleSql ++ TextQueries.oracleSql ++
+      PipelineQueries.oracleSql
 }

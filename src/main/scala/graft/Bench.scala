@@ -1,23 +1,84 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.operators.SkylineOps
+import graft.sources.Generators
+
+/** Benchmark runner (driver contract): prints ONE JSON line with per-query
+  * seconds over SPARK_GRAFT_SF_DIR.
+  *
+  * Two groups:
+  *  - catalog queries over the sf directory (correctness-gate queries with
+  *    non-trivial work at sf0.1);
+  *  - reference-workload runs: global skyline of 1M generated anti-correlated
+  *    points (the exact BASELINE.md experiment: 2D and 3D, domain [0,10000],
+  *    MR-Angle with 8 partitions — reference totals 17.3s / 27.0s on Flink).
+  */
 object Bench {
+
+  private val headline = Seq(
+    "sky2d_global", "sky2d_dim", "sky2d_grid", "sky2d_angle", "sky3d_lineitem",
+    "sky_optimality", "q1_pricing", "q3_top_orders", "q5_nation_revenue",
+    "events_window", "events_sessionize", "csv_roundtrip",
+    "text_tokens", "text_quality", "text_langid", "text_fingerprint",
+    "dedup_exact", "dedup_minhash_sig", "dedup_minhash_pairs", "dedup_simhash",
+    "dedup_embedding", "ann_topk", "ann_lsh", "multimodal_meta",
+    "stream_sky2d")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // JVM/session warm-up so the first measured query doesn't pay codegen
+    // and classloading costs (the reference numbers exclude job startup too).
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    SkylineOps.skyline(Generators.generate(spark, "uniform", 10000, 2)).count()
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    headline.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        results(name) =
+          try time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+          catch { case _: Throwable => -1.0 }
+      }
+    }
+    // reference-workload skylines (1M anti-correlated, domain [0,10000])
+    results("sky_1m_2d_anti") = time {
+      SkylineOps.skylineViaStrategy(
+        Generators.generate(spark, "anti-correlated", 1000000L, 2),
+        "mr-angle", 10000.0, 8).count()
+    }
+    results("sky_1m_2d_sort") = time {
+      import org.apache.spark.sql.functions.col
+      val pts = Generators.generate(spark, "anti-correlated", 1000000L, 2)
+        .toDF("id", "values", "op")
+        .select(col("id"), col("values")(0).as("v1"), col("values")(1).as("v2"))
+      SkylineOps.skyline2DDF(pts, "id", "v1", "v2").count()
+    }
+    results("sky_1m_3d_anti") = time {
+      SkylineOps.skylineViaStrategy(
+        Generators.generate(spark, "anti-correlated", 1000000L, 3),
+        "mr-angle", 10000.0, 8).count()
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -151,8 +151,12 @@ object TextQueries {
          |COUNT(*) AS n_dups FROM documents GROUP BY 1 ORDER BY doc_id"""
         .stripMargin.replace("\n", " ")
 
+    // affine minhash family over one md5-derived base hash (matches
+    // graft.functions.minhashHash exactly)
+    val P = graft.functions.MinhashP
     val sigSelect = (0 until NUM_HASHES).map(i =>
-      s"MIN(${hash60Sql(s"concat(shingle, '#$i')")}) AS h$i").mkString(", ")
+      s"MIN((${graft.functions.minhashA(i)} * (${hash60Sql("shingle")} % $P) + " +
+        s"${graft.functions.minhashB(i)}) % $P) AS h$i").mkString(", ")
     m += "dedup_minhash_sig" ->
       s"""WITH sh AS ($shinglesSql)
          |SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id ORDER BY doc_id"""

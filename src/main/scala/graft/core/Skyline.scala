@@ -51,42 +51,77 @@ object Dominance {
   */
 final class SkylineBuffer extends Serializable {
   private[graft] var points = new ArrayBuffer[Point]()
+  /** Staged candidates not yet BNL-checked (the reference's 5000-record
+    * inputBuffer, `FlinkSkyline.java:232,285-289`): inserts are batched and
+    * compacted with an ascending-sum presort, which makes each compaction
+    * eviction-free and checks candidates against survivors only. */
+  private[graft] var staged = new ArrayBuffer[Point]()
+  private[graft] val StageLimit = 5000
 
-  def size: Int = points.length
-  def result: Seq[Point] = points.toSeq
+  def size: Int = { compact(); points.length }
+  def result: Seq[Point] = { compact(); points.toSeq }
 
-  /** BNL insert: returns true if the candidate survived. */
-  def insert(c: Point): Boolean = {
-    var i = 0
-    while (i < points.length) {
-      val e = points(i)
-      if (Dominance.dominates(e.values, c.values)) return false
-      if (Dominance.dominates(c.values, e.values)) {
-        // swap-remove: order of the buffer is irrelevant to the fixpoint
-        points(i) = points(points.length - 1)
-        points.remove(points.length - 1)
-        // do not advance i: the swapped-in element must be checked too
-      } else {
+  /** Batched insert: stage now, BNL on overflow. */
+  def add(c: Point): Unit = {
+    staged += c
+    if (staged.length >= StageLimit) compact()
+  }
+
+  /** Fold all staged candidates into the skyline. Both the current skyline
+    * (kept ascending-sum-sorted as an invariant) and the sorted staged batch
+    * are merge-walked in sum order; in that order nothing can evict an
+    * already-accepted survivor. Old skyline points are mutually
+    * non-dominated, so they are only checked against staged-origin survivors
+    * — the skyline never rescans itself. */
+  def compact(): Unit = {
+    if (staged.isEmpty) return
+    val st = staged.toArray
+    java.util.Arrays.sort(st, (a: Point, b: Point) =>
+      java.lang.Double.compare(a.values.sum, b.values.sum))
+    val old = points
+    val out = new ArrayBuffer[Point](old.length + 16)
+    val fromStaged = new ArrayBuffer[Boolean](old.length + 16)
+    var i = 0; var j = 0
+    def dominatedBy(c: Point, stagedOnly: Boolean): Boolean = {
+      var k = 0
+      while (k < out.length) {
+        if ((!stagedOnly || fromStaged(k)) &&
+            Dominance.dominates(out(k).values, c.values)) return true
+        k += 1
+      }
+      false
+    }
+    while (i < old.length || j < st.length) {
+      val takeOld = j >= st.length ||
+        (i < old.length && old(i).values.sum <= st(j).values.sum)
+      if (takeOld) {
+        if (!dominatedBy(old(i), stagedOnly = true)) {
+          out += old(i); fromStaged += false
+        }
         i += 1
+      } else {
+        if (!dominatedBy(st(j), stagedOnly = false)) {
+          out += st(j); fromStaged += true
+        }
+        j += 1
       }
     }
-    points += c
-    true
+    points = out
+    staged = new ArrayBuffer[Point]()
   }
 
-  /** Insert knowing `c` cannot dominate any current member (ascending-sum order). */
-  private def insertNoEvict(c: Point): Boolean = {
-    var i = 0
-    while (i < points.length) {
-      if (Dominance.dominates(points(i).values, c.values)) return false
-      i += 1
-    }
-    points += c
-    true
-  }
+  /** BNL insert (staged; the fixpoint is identical to the reference's
+    * immediate insert-with-eviction — BNL is order-insensitive). */
+  def insert(c: Point): Unit = add(c)
 
+  /** Lazy merge: concatenate; the sorted bulk build happens at the next
+    * compact()/result. Keeps the two-phase Aggregator's final merge a single
+    * presorted pass instead of s² incremental BNL inserts. */
   def merge(other: SkylineBuffer): SkylineBuffer = {
-    other.points.foreach(insert)
+    staged ++= other.points
+    staged ++= other.staged
+    // opportunistic compaction keeps memory bounded on wide merges
+    if (staged.length >= StageLimit * 4) compact()
     this
   }
 }
@@ -94,23 +129,20 @@ final class SkylineBuffer extends Serializable {
 object SkylineBuffer {
   def empty: SkylineBuffer = new SkylineBuffer
 
-  /** Skyline of an iterator, BNL with ascending-coordinate-sum presort.
-    * A dominator always has a strictly smaller sum (all dims <=, one <), so after
-    * sorting no insert can evict — each point is only checked against survivors.
-    */
+  /** Skyline of an iterator (ascending-sum bulk build: a dominator always has
+    * a strictly smaller coordinate sum, so in sorted order no insert can
+    * evict — each point is checked against final survivors only). */
   def of(it: Iterator[Point]): SkylineBuffer = {
-    val arr = it.toArray
-    java.util.Arrays.sort(arr, (a: Point, b: Point) =>
-      java.lang.Double.compare(a.values.sum, b.values.sum))
     val buf = new SkylineBuffer
-    arr.foreach(buf.insertNoEvict)
+    buf.staged ++= it
+    buf.compact()
     buf
   }
 
-  /** Streaming-friendly incremental build (no presort), reference-BNL order. */
+  /** Row-at-a-time build (same fixpoint; staging still batches internally). */
   def ofIncremental(it: Iterator[Point]): SkylineBuffer = {
     val buf = new SkylineBuffer
-    it.foreach(buf.insert)
+    it.foreach(buf.add)
     buf
   }
 }

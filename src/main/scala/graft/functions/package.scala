@@ -33,11 +33,8 @@ package object functions {
 
   /** Character k-gram shingles of the normalized text (ARRAY<STRING>).
     * Short texts (< k chars) yield the whole text as a single shingle. */
-  def charShingles(c: Column, k: Int): Column = {
-    val n = normText(c)
-    when(length(n) < k, array(n)).otherwise(
-      transform(sequence(lit(1), length(n) - (k - 1)), i => n.substr(i, lit(k))))
-  }
+  def charShingles(c: Column, k: Int): Column =
+    TextExpressions.charShinglesNative(normText(c), k)
 
   /** Dot product of two ARRAY<DOUBLE> columns (sequential left fold — the
     * deterministic order matters for float parity with the oracle). */
@@ -56,8 +53,32 @@ package object functions {
 
   /** Count of non-overlapping occurrences of literal `needle` in `c` —
     * `(len(c) - len(replace(c, needle, ''))) / len(needle)`, the same
-    * arithmetic DuckDB evaluates, so counts match exactly. */
+    * arithmetic DuckDB evaluates, so counts match exactly. Literal
+    * `replace`, not a regex — ~5× cheaper per call at scan time. */
   def occurrences(c: Column, needle: String): Column =
-    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(needle), ""))) /
+    ((length(c) - length(call_function("replace", c, lit(needle), lit("")))) /
       lit(needle.length)).cast("long")
+
+  /** Fast-path cosine via the codegen'd native expressions (identical float
+    * fold order to [[cosineSim]] — bit-equal results, ~10× less overhead). */
+  def cosineSimNative(a: Column, b: Column): Column =
+    least(greatest(
+      VectorExpressions.dotNative(a, b) /
+        (sqrt(VectorExpressions.sqNormNative(a)) * sqrt(VectorExpressions.sqNormNative(b))),
+      lit(-1.0)), lit(1.0))
+
+  /** Cosine from a precomputed dot and per-side norms (for joins where norms
+    * are computed once per vector instead of once per pair). */
+  def cosineFromNorms(dot: Column, normA: Column, normB: Column): Column =
+    least(greatest(dot / (normA * normB), lit(-1.0)), lit(1.0))
+
+  // --- portable minhash family -------------------------------------------
+  // One md5 per shingle; the k-th hash is an affine transform mod a Mersenne
+  // prime. Matches the SQL form ((A_k * (h % P) + B_k) % P) exactly.
+  val MinhashP = 2147483647L                    // 2^31 - 1
+  def minhashA(k: Int): Long = 1103515245L + 2L * k + 1L
+  def minhashB(k: Int): Long = 12345L + 1000003L * k
+
+  def minhashHash(shingle: Column, k: Int): Column =
+    (lit(minhashA(k)) * (hash60(shingle) % MinhashP) + lit(minhashB(k))) % MinhashP
 }

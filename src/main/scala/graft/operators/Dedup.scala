@@ -36,11 +36,14 @@ object Dedup {
     * explode + groupBy (shuffle on doc id; shingle fan-out is map-local). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, numHashes: Int = 16): DataFrame = {
+    // no per-array distinct: MIN is duplicate-insensitive, and array_distinct
+    // on ~1000-element arrays is O(n^2) string compares per row
     val sh = df.select(col(idCol),
-        explode(array_distinct(charShingles(col(textCol), k))).as("shingle"))
-    val hs = (0 until numHashes).map(s =>
-      min(hash60Seeded(col("shingle"), s)).as(s"h$s"))
-    sh.groupBy(col(idCol)).agg(hs.head, hs.tail: _*)
+        explode(charShingles(col(textCol), k)).as("shingle"))
+    val withBase = sh.withColumn("_h", hash60(col("shingle")) % MinhashP)
+    val hs = (0 until numHashes).map(k =>
+      min((lit(minhashA(k)) * col("_h") + lit(minhashB(k))) % MinhashP).as(s"h$k"))
+    withBase.groupBy(col(idCol)).agg(hs.head, hs.tail: _*)
   }
 
   /** MinHash LSH candidate pairs: signatures banded `bands` ways; docs sharing
@@ -80,8 +83,10 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, threshold: Double = 0.0): DataFrame = {
+    // distinct via shuffle (hash-based), not array_distinct (quadratic scan)
     val sh = df.select(col(idCol).as("id"),
-      explode(array_distinct(charShingles(col(textCol), k))).as("shingle"))
+      explode(charShingles(col(textCol), k)).as("shingle"))
+      .dropDuplicates("id", "shingle")
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -120,11 +125,15 @@ object Dedup {
     * otherwise (oracle path, small inputs). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
+    // norms once per vector (not per pair); codegen'd native dot product
     val v = df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("vec"))
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .withColumn("nrm", sqrt(VectorExpressions.sqNormNative(col("vec"))))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosineSim(col("a.vec"), col("b.vec")).as("cosine"))
+        cosineFromNorms(
+          VectorExpressions.dotNative(col("a.vec"), col("b.vec")),
+          col("a.nrm"), col("b.nrm")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

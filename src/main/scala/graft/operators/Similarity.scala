@@ -26,10 +26,13 @@ object Similarity {
                      queries: DataFrame, queryId: String, queryVec: String,
                      k: Int): DataFrame = {
     val c = corpus.select(col(corpusId).as("nbr_id"), asDouble(col(corpusVec)).as("cvec"))
+      .withColumn("cnrm", sqrt(VectorExpressions.sqNormNative(col("cvec"))))
     val q = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("qvec"))
+      .withColumn("qnrm", sqrt(VectorExpressions.sqNormNative(col("qvec"))))
     val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("nbr_id"),
-        cosineSim(col("qvec"), col("cvec")).as("cosine"))
+        cosineFromNorms(VectorExpressions.dotNative(col("qvec"), col("cvec")),
+          col("qnrm"), col("cnrm")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -70,7 +73,7 @@ object Similarity {
       .withColumn("bucket", lshBucket(col("qvec"), dims, nPlanes))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .select(col("query_id"), col("nbr_id"),
-        cosineSim(col("qvec"), col("cvec")).as("cosine"))
+        cosineSimNative(col("qvec"), col("cvec")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -19,7 +19,7 @@ import graft.core.{Dominance, Point, SkylineBuffer}
   */
 class SkylineAgg extends Aggregator[Point, SkylineBuffer, Seq[Point]] {
   override def zero: SkylineBuffer = SkylineBuffer.empty
-  override def reduce(b: SkylineBuffer, p: Point): SkylineBuffer = { b.insert(p); b }
+  override def reduce(b: SkylineBuffer, p: Point): SkylineBuffer = { b.add(p); b }
   override def merge(a: SkylineBuffer, b: SkylineBuffer): SkylineBuffer = a.merge(b)
   override def finish(b: SkylineBuffer): Seq[Point] = b.result
   override def bufferEncoder: Encoder[SkylineBuffer] = Encoders.kryo[SkylineBuffer]
@@ -124,6 +124,25 @@ object SkylineOps {
       .toDF("query_id", "record_count", "skyline_size", "optimality",
             "ingestion_time_ms", "local_processing_time_ms",
             "global_processing_time_ms", "total_processing_time_ms")
+  }
+
+  /** Sort-based 2-D skyline — the Catalyst-native fast path. A point (v1,v2)
+    * is Pareto-minimal iff v2 equals the min of its v1-group AND no strictly
+    * smaller v1-group has a min v2 <= v2. That is one groupBy + one prefix-min
+    * window over the DISTINCT v1 values + one join: all codegen, no BNL, and
+    * the only single-task step runs over distinct(v1) rows (bounded for
+    * discretized/low-cardinality dims; for unbounded continuous dims at scale
+    * prefer [[skyline]] or range-partition the prefix scan). Duplicates of a
+    * skyline point all survive, like the BNL path. */
+  def skyline2DDF(df: DataFrame, idCol: String, v1: String, v2: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gmin = df.groupBy(col(v1)).agg(min(col(v2)).as("_gmin"))
+    val w = Window.orderBy(col(v1)).rowsBetween(Window.unboundedPreceding, -1)
+    val pref = gmin.withColumn("_pmin", min(col("_gmin")).over(w))
+    df.join(pref, v1)
+      .where(col(v2) === col("_gmin") &&
+        (col("_pmin").isNull || col("_pmin") > col(v2)))
+      .select(col(idCol), col(v1), col(v2))
   }
 
   /** Relational skyline over explicit dimension columns: returns the input rows

@@ -28,17 +28,20 @@ object TextAnalysis {
   def withQualityScore(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
     val nTok = tokenCount(c)
-    val stopHits = Stopwords.map(w => occurrences(concat(lit(" "), normText(c), lit(" ")),
-      " " + w + " ")).reduce(_ + _)
+    // normalize once, then count markers on the materialized column
+    val padded = col("_padded")
+    val stopHits = Stopwords.map(w => occurrences(padded, " " + w + " ")).reduce(_ + _)
     val punct = occurrences(c, ".") + occurrences(c, ",") + occurrences(c, "!") +
       occurrences(c, "?")
-    df.withColumn("n_tokens", nTok)
+    df.withColumn("_padded", concat(lit(" "), normText(c), lit(" ")))
+      .withColumn("n_tokens", nTok)
       .withColumn("stopword_ratio",
         when(nTok > 0, stopHits.cast("double") / nTok).otherwise(lit(0.0)))
       .withColumn("punct_ratio",
         when(length(c) > 0, punct.cast("double") / length(c)).otherwise(lit(0.0)))
       .withColumn("quality_ok",
         (nTok >= 5) && (col("stopword_ratio") >= 0.01) && (col("punct_ratio") <= 0.2))
+      .drop("_padded")
   }
 
   /** Tiny deterministic language-ID: count marker-stopword hits per language
@@ -46,18 +49,26 @@ object TextAnalysis {
     * order). A real system would use character n-gram models; the heuristic
     * here is chosen to be exactly reproducible in SQL. */
   def withLanguageId(df: DataFrame, textCol: String): DataFrame = {
-    val padded = concat(lit(" "), normText(col(textCol)), lit(" "))
+    val padded = col("_padded")
     def score(words: Seq[String]): Column =
       words.map(w => occurrences(padded, " " + w + " ")).reduce(_ + _)
-    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
-      struct(score(ws).as("score"), lit(lang).as("lang"))
+    val langs = LangMarkers.toSeq.sortBy(_._1)
+    // materialize each language score once — a naive when()-fold would nest
+    // the score expressions exponentially (2^langs copies of every replace())
+    val withScores = langs.foldLeft(
+      df.withColumn("_padded", concat(lit(" "), normText(col(textCol)), lit(" ")))) {
+      case (acc, (lang, ws)) => acc.withColumn(s"_s_$lang", score(ws))
     }
-    // argmax by (score, reverse-alphabetical lang) => greatest struct; ties on
-    // score resolve to the alphabetically-first language via negated ordering.
-    val best = scored.reduce((a, b) =>
-      when(b.getField("score") > a.getField("score"), b).otherwise(a))
-    df.withColumn("lang_pred", best.getField("lang"))
-      .withColumn("lang_score", best.getField("score"))
+    // argmax = max score; ties resolve to the first language reaching it
+    val maxScore = langs.map(l => col(s"_s_${l._1}")).reduce((a, b) => greatest(a, b))
+    val pick = langs.foldRight(lit(null).cast("string"): Column) {
+      case ((lang, _), alt) =>
+        when(col(s"_s_$lang") === col("_m"), lit(lang)).otherwise(alt)
+    }
+    withScores.withColumn("_m", maxScore)
+      .withColumn("lang_pred", pick)
+      .withColumn("lang_score", col("_m"))
+      .drop((Seq("_padded", "_m") ++ langs.map(l => s"_s_${l._1}")): _*)
   }
 
   /** Exact-duplicate fingerprint: md5 of the lowercased whitespace-collapsed

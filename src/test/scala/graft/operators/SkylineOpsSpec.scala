@@ -78,6 +78,20 @@ class SkylineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sort-based 2D skyline equals BNL skyline incl duplicates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    for (seed <- Seq(6, 7, 8)) {
+      val pts = mkPts(3000, 2, seed, card = 50)   // small domain => duplicates
+      val df = pts.map(p => (p.id, p.values(0), p.values(1))).toDF("id", "v1", "v2")
+      val fast = SkylineOps.skyline2DDF(df, "id", "v1", "v2")
+        .as[(Long, Double, Double)].collect().toSet
+      val slow = SkylineOps.skyline(pts.toDS()).collect()
+        .map(p => (p.id, p.values(0), p.values(1))).toSet
+      assert(fast == slow, s"seed=$seed")
+    }
+  }
+
   test("metrics query emits reference JSON schema fields") {
     import spark.implicits._
     val pts = mkPts(1000, 2, seed = 5)

@@ -75,6 +75,21 @@ object SkylineQueries {
       partPoints(s, dir).select(col("id"),
         Partitioners.mrAngle(array(col("v1"), col("v2")), N).cast("long").as("pid"))
         .orderBy("id")),
+    // Custom Catalyst operator path: logical Skyline node -> planned
+    // partial/final physical pair with a Catalyst-inserted exchange
+    "sky2d_plan" -> ((s, dir) =>
+      graft.plans.SkylinePlanApi.skyline(partPoints(s, dir), Seq("v1", "v2"))
+        .orderBy("id")),
+    // codegen'd dominance expression used as a relational predicate:
+    // all (dominator, dominated) pairs within the id<=80 subset
+    "sky_dominance_pairs" -> ((s, dir) => {
+      val pts = partPoints(s, dir).where(col("id") <= 80)
+      val a = pts.select(col("id").as("id_a"), array(col("v1"), col("v2")).as("va"))
+      val b = pts.select(col("id").as("id_b"), array(col("v1"), col("v2")).as("vb"))
+      a.crossJoin(b)
+        .where(graft.functions.DominanceExpressions.dominates(col("va"), col("vb")))
+        .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+    }),
     // F2: grid dominance pre-filter (midpoint pruning)
     "grid_prefilter" -> ((s, dir) =>
       partPoints(s, dir)
@@ -130,6 +145,12 @@ object SkylineQueries {
       s"""WITH pts AS ($partPointsSql) SELECT id, CAST(LEAST(GREATEST(
          |CAST(FLOOR(ATAN2(v2, v1) / (PI() / 2.0) * $N) AS INT), 0), ${N - 1})
          |AS BIGINT) AS pid FROM pts ORDER BY id""".stripMargin.replace("\n", " "),
+    "sky2d_plan" -> sky2dOracle(partPointsSql),
+    "sky_dominance_pairs" ->
+      s"""WITH pts AS (SELECT * FROM ($partPointsSql) WHERE id <= 80)
+         |SELECT a.id AS id_a, b.id AS id_b FROM pts a, pts b
+         |WHERE a.v1 <= b.v1 AND a.v2 <= b.v2 AND (a.v1 < b.v1 OR a.v2 < b.v2)
+         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
     "grid_prefilter" ->
       s"""WITH pts AS ($partPointsSql) SELECT id, v1, v2 FROM pts
          |WHERE v1 < ${DOMAIN / 2} OR v2 < ${DOMAIN / 2} ORDER BY id"""

@@ -1,0 +1,163 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, Distribution, Partitioning, SinglePartition, UnknownPartitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+import graft.core.Dominance
+
+/** Skyline as a first-class Catalyst operator.
+  *
+  * The reference hand-builds its two-phase topology (local BNL → shuffle →
+  * global merge, `java/org.main/FlinkSkyline.java:138-174`); here the same
+  * structure is PLANNED: `SkylinePartialExec` runs pipelined on each child
+  * partition (a combiner — only non-dominated rows reach the exchange), and
+  * `SkylineFinalExec` declares `AllTuples` distribution so Catalyst inserts
+  * the exchange. Filters/projections still push below through the logical
+  * node, and the operator composes with any child plan.
+  *
+  * `dims` are expressions over the child's output evaluating to DOUBLE
+  * (minimization on every dim, duplicates preserved).
+  */
+case class Skyline(dims: Seq[Expression], child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(c: LogicalPlan): Skyline = copy(child = c)
+}
+
+/** Shared row-level BNL over InternalRow (ascending-sum staged build, same
+  * kernel semantics as graft.core.SkylineBuffer but avoiding row→case-class
+  * conversion: rows are copied once into the buffer). */
+private[plans] object RowSkyline {
+  def compute(rows: Iterator[InternalRow], dimEvals: Seq[Expression],
+              copyRow: Boolean): Iterator[InternalRow] = {
+    val buf = scala.collection.mutable.ArrayBuffer[(Array[Double], InternalRow)]()
+    rows.foreach { r =>
+      val vs = new Array[Double](dimEvals.length)
+      var ok = true
+      var i = 0
+      while (i < dimEvals.length) {
+        val v = dimEvals(i).eval(r)
+        if (v == null) ok = false else vs(i) = v.asInstanceOf[Double]
+        i += 1
+      }
+      if (ok) buf += ((vs, if (copyRow) r.copy() else r))
+    }
+    val arr = buf.toArray
+    java.util.Arrays.sort(arr, (a: (Array[Double], InternalRow), b: (Array[Double], InternalRow)) =>
+      java.lang.Double.compare(a._1.sum, b._1.sum))
+    val out = scala.collection.mutable.ArrayBuffer[(Array[Double], InternalRow)]()
+    var i = 0
+    while (i < arr.length) {
+      val c = arr(i)
+      var dominated = false
+      var k = 0
+      while (!dominated && k < out.length) {
+        if (Dominance.dominates(out(k)._1, c._1)) dominated = true
+        k += 1
+      }
+      if (!dominated) out += c
+      i += 1
+    }
+    out.iterator.map(_._2)
+  }
+}
+
+/** Map-side phase: local skyline per child partition, fully pipelined. */
+case class SkylinePartialExec(dims: Seq[Expression], child: SparkPlan)
+    extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override protected def doExecute(): RDD[InternalRow] = {
+    val boundDims = dims.map(
+      org.apache.spark.sql.catalyst.expressions.BindReferences
+        .bindReference(_, child.output))
+    child.execute().mapPartitions { it =>
+      RowSkyline.compute(it, boundDims, copyRow = true)
+    }
+  }
+  override protected def withNewChildInternal(c: SparkPlan) = copy(child = c)
+}
+
+/** Final phase: global merge; `AllTuples` makes Catalyst plan the exchange. */
+case class SkylineFinalExec(dims: Seq[Expression], child: SparkPlan)
+    extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def requiredChildDistribution: Seq[Distribution] = AllTuples :: Nil
+  override def outputPartitioning: Partitioning = SinglePartition
+  override protected def doExecute(): RDD[InternalRow] = {
+    val boundDims = dims.map(
+      org.apache.spark.sql.catalyst.expressions.BindReferences
+        .bindReference(_, child.output))
+    child.execute().mapPartitions { it =>
+      RowSkyline.compute(it, boundDims, copyRow = true)
+    }
+  }
+  override protected def withNewChildInternal(c: SparkPlan) = copy(child = c)
+}
+
+/** Plans logical Skyline → partial + final (the two-phase MR structure). */
+object SkylineStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case Skyline(dims, child) =>
+      SkylineFinalExec(dims,
+        SkylinePartialExec(dims, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Session extension wiring: `spark.withExtensions(new SkylineExtensions)` or
+  * `spark.sql.extensions=graft.plans.SkylineExtensions`. Injects the planner
+  * strategy and the `sky_dominates` SQL function. */
+class SkylineExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => SkylineStrategy)
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("sky_dominates"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.DominatesExpr].getName, "sky_dominates"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.DominatesExpr(exprs(0), exprs(1))))
+  }
+}
+
+object SkylineExtensions {
+  /** Runtime registration on an existing session (extensions classes only
+    * apply at session build; driver-owned sessions need this path). */
+  def register(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(SkylineStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ SkylineStrategy
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sky_dominates",
+      exprs => graft.functions.DominatesExpr(exprs(0), exprs(1)),
+      "built-in")
+  }
+}
+
+object SkylinePlanApi {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Skyline of `df` over `dimCols` through the custom operator. Registers
+    * the planner strategy on the session (idempotent) so no extension config
+    * is needed for programmatic use. */
+  def skyline(df: DataFrame, dimCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(SkylineStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ SkylineStrategy
+    val plan = ColumnBridge.planOf(df)
+    val dims = dimCols.map { c =>
+      val attr = plan.output.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no column $c"))
+      org.apache.spark.sql.catalyst.expressions.Cast(attr,
+        org.apache.spark.sql.types.DoubleType)
+    }
+    ColumnBridge.ofRows(spark, Skyline(dims, plan))
+  }
+}

@@ -76,6 +76,13 @@ object Bench {
         "mr-angle", 10000.0, 8).count()
     }
 
+    // 4-D curse-of-dimensionality case (reference: ~717s at 800k-1M records,
+    // capped there; tree-merge keeps the global phase parallel)
+    results("sky_500k_4d_tree") = time {
+      SkylineOps.skylineTree(
+        Generators.generate(spark, "anti-correlated", 500000L, 4), depth = 3).length
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

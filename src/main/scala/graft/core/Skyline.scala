@@ -72,42 +72,112 @@ final class SkylineBuffer extends Serializable {
     * are merge-walked in sum order; in that order nothing can evict an
     * already-accepted survivor. Old skyline points are mutually
     * non-dominated, so they are only checked against staged-origin survivors
-    * — the skyline never rescans itself. */
+    * — the skyline never rescans itself.
+    *
+    * The survivor set is mirrored into one flat primitive double[] (packed
+    * coords) so the hot dominance loop is a contiguous-memory scan with no
+    * per-point pointer chasing — this is what keeps the high-dimensional
+    * (curse-of-dimensionality) merges tractable. */
   def compact(): Unit = {
     if (staged.isEmpty) return
+    val d = staged(0).values.length
     val st = staged.toArray
-    java.util.Arrays.sort(st, (a: Point, b: Point) =>
-      java.lang.Double.compare(a.values.sum, b.values.sum))
+    val stSums = new Array[Double](st.length)
+    var x = 0
+    while (x < st.length) { stSums(x) = sumOf(st(x).values); x += 1 }
+    val stIdx = Array.range(0, st.length).sortBy(stSums(_))
     val old = points
+    val oldSums = new Array[Double](old.length)
+    x = 0
+    while (x < old.length) { oldSums(x) = sumOf(old(x).values); x += 1 }
+
     val out = new ArrayBuffer[Point](old.length + 16)
-    val fromStaged = new ArrayBuffer[Boolean](old.length + 16)
-    var i = 0; var j = 0
-    def dominatedBy(c: Point, stagedOnly: Boolean): Boolean = {
+    var flat = new Array[Double](math.max(16, (old.length + 16) * d))
+    var stagedBits = new Array[Long](((old.length + st.length) >> 6) + 1)
+    var n = 0
+
+    @inline def ensure(): Unit = {
+      if ((n + 1) * d > flat.length)
+        flat = java.util.Arrays.copyOf(flat, flat.length * 2)
+      if ((n >> 6) >= stagedBits.length)
+        stagedBits = java.util.Arrays.copyOf(stagedBits, stagedBits.length * 2)
+    }
+    // per-dim minimum over accepted survivors: a candidate strictly below any
+    // of them cannot be dominated (quick accept — most skyline members of
+    // anti-correlated data are extreme in some dim)
+    val minPerDim = Array.fill(d)(Double.PositiveInfinity)
+    var lastKiller = -1
+    // dominance over the packed survivor array; stagedOnly skips old-origin
+    // survivors (old points are mutually non-dominated by invariant)
+    def dominated(c: Array[Double], stagedOnly: Boolean): Boolean = {
+      var i = 0
+      while (i < d) {
+        if (c(i) < minPerDim(i)) return false
+        i += 1
+      }
+      @inline def beats(k: Int): Boolean = {
+        val base = k * d
+        var better = false; var bad = false
+        var t = 0
+        while (!bad && t < d) {
+          val av = flat(base + t); val bv = c(t)
+          if (av > bv) bad = true
+          else if (av < bv) better = true
+          t += 1
+        }
+        !bad && better
+      }
+      // the point that last dominated something tends to dominate again
+      if (lastKiller >= 0 && lastKiller < n &&
+          (!stagedOnly || ((stagedBits(lastKiller >> 6) >>> (lastKiller & 63)) & 1L) == 1L) &&
+          beats(lastKiller)) return true
       var k = 0
-      while (k < out.length) {
-        if ((!stagedOnly || fromStaged(k)) &&
-            Dominance.dominates(out(k).values, c.values)) return true
+      while (k < n) {
+        if (!stagedOnly || ((stagedBits(k >> 6) >>> (k & 63)) & 1L) == 1L) {
+          if (beats(k)) { lastKiller = k; return true }
+        }
         k += 1
       }
       false
     }
+    @inline def accept(p: Point, fromStaged: Boolean): Unit = {
+      ensure()
+      if (p.values.length == d) {
+        System.arraycopy(p.values, 0, flat, n * d, d)
+        var t = 0
+        while (t < d) {
+          if (p.values(t) < minPerDim(t)) minPerDim(t) = p.values(t)
+          t += 1
+        }
+      } else // off-contract arity: NaN slots never dominate and are never dominated
+        java.util.Arrays.fill(flat, n * d, (n + 1) * d, Double.NaN)
+      if (fromStaged) stagedBits(n >> 6) |= (1L << (n & 63))
+      out += p
+      n += 1
+    }
+    var i = 0; var j = 0
     while (i < old.length || j < st.length) {
       val takeOld = j >= st.length ||
-        (i < old.length && old(i).values.sum <= st(j).values.sum)
+        (i < old.length && oldSums(i) <= stSums(stIdx(j)))
       if (takeOld) {
-        if (!dominatedBy(old(i), stagedOnly = true)) {
-          out += old(i); fromStaged += false
-        }
+        if (old(i).values.length != d || !dominated(old(i).values, stagedOnly = true))
+          accept(old(i), fromStaged = false)
         i += 1
       } else {
-        if (!dominatedBy(st(j), stagedOnly = false)) {
-          out += st(j); fromStaged += true
-        }
+        val c = st(stIdx(j))
+        if (c.values.length != d || !dominated(c.values, stagedOnly = false))
+          accept(c, fromStaged = true)
         j += 1
       }
     }
     points = out
     staged = new ArrayBuffer[Point]()
+  }
+
+  @inline private def sumOf(vs: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < vs.length) { s += vs(i); i += 1 }
+    s
   }
 
   /** BNL insert (staged; the fixpoint is identical to the reference's

@@ -126,6 +126,30 @@ object SkylineOps {
             "global_processing_time_ms", "total_processing_time_ms")
   }
 
+  /** Large-scale skyline via log-depth tree aggregation: partial per-partition
+    * skylines combine pairwise across executors instead of funneling every
+    * local skyline into one single-threaded final merge. Same fixpoint as
+    * [[skyline]]; use when local skylines are large (high-dimensional /
+    * anti-correlated data — the reference's 4-D curse-of-dimensionality case,
+    * PDF §5.3). */
+  def skylineTree(ds: Dataset[Point], depth: Int = 3): Seq[Point] =
+    ds.rdd.treeAggregate(SkylineBuffer.empty)(
+      (b, p) => { b.add(p); b },
+      (a, b) => a.merge(b),
+      depth).result
+
+  /** skylineTree through a spatial strategy (local phase keyed by the
+    * partitioner, tagged for optimality, then tree-merged). */
+  def skylineTreeViaStrategy(ds: Dataset[Point], strategy: String, domain: Double,
+                             numPartitions: Int, depth: Int = 3): Seq[Point] = {
+    implicit val pe: Encoder[Point] = ExpressionEncoder[Point]()
+    val local = localSkylines(ds, strategy, domain, numPartitions).flatMap(_._2)
+    local.rdd.treeAggregate(SkylineBuffer.empty)(
+      (b, p) => { b.add(p); b },
+      (a, b) => a.merge(b),
+      depth).result
+  }
+
   /** Sort-based 2-D skyline — the Catalyst-native fast path. A point (v1,v2)
     * is Pareto-minimal iff v2 equals the min of its v1-group AND no strictly
     * smaller v1-group has a min v2 <= v2. That is one groupBy + one prefix-min

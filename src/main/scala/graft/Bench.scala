@@ -76,6 +76,14 @@ object Bench {
         "mr-angle", 10000.0, 8).count()
     }
 
+    // scalability envelope: reference is "linear to 10M records, < 400 s"
+    results("sky_10m_2d_sort") = time {
+      import org.apache.spark.sql.functions.col
+      val pts = Generators.generate(spark, "anti-correlated", 10000000L, 2)
+        .toDF("id", "values", "op")
+        .select(col("id"), col("values")(0).as("v1"), col("values")(1).as("v2"))
+      SkylineOps.skyline2DDF(pts, "id", "v1", "v2").count()
+    }
     // 4-D curse-of-dimensionality case (reference: ~717s at 800k-1M records,
     // capped there; tree-merge keeps the global phase parallel)
     results("sky_500k_4d_tree") = time {

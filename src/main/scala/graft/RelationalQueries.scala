@@ -108,6 +108,35 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
+    // as-of join: for each error event, the user's latest prior purchase
+    "asof_purchase" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+      graft.operators.AsOfJoin.backward(errors, purchases,
+          keyCols = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          payload = Seq("value", "event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("value_asof"), col("event_id_asof").as("prior_purchase_id"))
+        .orderBy("event_id")
+    }),
+    // grouping sets: rollup with decimal-exact sums
+    "q1_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    // set operations: INTERSECT / EXCEPT over key sets
+    "set_ops_building" -> ((s, dir) => {
+      val building = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+      val withOrders = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val highValue = t(s, dir, "orders")
+        .where(col("o_totalprice") > 200000.0).select(col("o_custkey").as("k"))
+      building.intersect(withOrders).except(highValue).orderBy("k")
+    }),
     // window functions over the events stream table
     "events_window" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -189,6 +218,25 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", " "),
+    "asof_purchase" ->
+      """SELECT l.event_id, l.user_id, r.value AS value_asof,
+        |r.event_id AS prior_purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'error') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin.replace("\n", " "),
+    "q1_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+        .stripMargin.replace("\n", " "),
+    "set_ops_building" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT SELECT o_custkey AS k FROM orders
+        |EXCEPT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000.0
+        |ORDER BY k""".stripMargin.replace("\n", " "),
     "events_window" ->
       """SELECT event_id, user_id,
         |CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,

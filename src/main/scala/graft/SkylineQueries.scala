@@ -61,6 +61,17 @@ object SkylineQueries {
           col("l_discount").cast("double").as("v3"))
       SkylineOps.skylineDF(pts, "id", Seq("v1", "v2", "v3")).orderBy("id")
     }),
+    // 4-D skyline (the reference's curse-of-dimensionality dimensionality)
+    "sky4d_lineitem" -> ((s, dir) => {
+      val pts = t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 40 === 0)
+        .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+          col("l_quantity").cast("double").as("v1"),
+          col("l_extendedprice").cast("double").as("v2"),
+          col("l_discount").cast("double").as("v3"),
+          col("l_tax").cast("double").as("v4"))
+      SkylineOps.skylineDF(pts, "id", Seq("v1", "v2", "v3", "v4")).orderBy("id")
+    }),
     // K1: MR-Dim partition-id assignment (pure Column arithmetic)
     "part_mrdim" -> ((s, dir) =>
       partPoints(s, dir).select(col("id"),
@@ -132,6 +143,16 @@ object SkylineQueries {
         |SELECT 1 FROM pts u WHERE u.v1 <= t.v1 AND u.v2 <= t.v2 AND u.v3 <= t.v3
         |AND (u.v1 < t.v1 OR u.v2 < t.v2 OR u.v3 < t.v3)) ORDER BY t.id"""
         .stripMargin.replace("\n", " "),
+    "sky4d_lineitem" ->
+      """WITH pts AS (SELECT l_orderkey * 10 + l_linenumber AS id,
+        |CAST(l_quantity AS DOUBLE) AS v1, CAST(l_extendedprice AS DOUBLE) AS v2,
+        |CAST(l_discount AS DOUBLE) AS v3, CAST(l_tax AS DOUBLE) AS v4
+        |FROM lineitem WHERE l_orderkey % 40 = 0)
+        |SELECT t.id, t.v1, t.v2, t.v3, t.v4 FROM pts t WHERE NOT EXISTS (
+        |SELECT 1 FROM pts u WHERE u.v1 <= t.v1 AND u.v2 <= t.v2
+        |AND u.v3 <= t.v3 AND u.v4 <= t.v4
+        |AND (u.v1 < t.v1 OR u.v2 < t.v2 OR u.v3 < t.v3 OR u.v4 < t.v4))
+        |ORDER BY t.id""".stripMargin.replace("\n", " "),
     "part_mrdim" ->
       s"""WITH pts AS ($partPointsSql) SELECT id, CAST(LEAST(GREATEST(
          |CAST(FLOOR(v1 / ${DOMAIN / N}) AS INT), 0), ${N - 1}) AS BIGINT) AS pid

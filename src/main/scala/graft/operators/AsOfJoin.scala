@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, the most recent right row at or before the
+  * left row's time, per key ("backward" as-of, ties take the right row).
+  *
+  * Composed Spark-first as the classic tagged-union + window trick instead of
+  * a custom physical operator: union both sides with a side tag, sort within
+  * each key by (time, side), and carry the last-seen right payload forward
+  * with `last(..., ignoreNulls)`. One shuffle on the key, no range join, no
+  * per-key collect — at 100 TB this is a single sort-based window over the
+  * union, which beats the O(left × right-per-key) theta-join Spark would
+  * otherwise plan for `r.ts <= l.ts` + argmax.
+  */
+object AsOfJoin {
+
+  /** @param left      probe side
+    * @param right     quote side (payload columns are suffixed `_asof`)
+    * @param keyCols   equi-key columns present on both sides
+    * @param leftTime  time column on `left`
+    * @param rightTime time column on `right`
+    * @param payload   right columns to carry (beyond key/time)
+    */
+  def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               leftTime: String, rightTime: String,
+               payload: Seq[String]): DataFrame = {
+    val l = left.withColumn("_t", col(leftTime)).withColumn("_side", lit(1))
+    val r = right.select(
+      (keyCols.map(col) :+ col(rightTime).as("_t")) ++
+        payload.map(c => col(c).as(s"${c}_asof")): _*)
+      .withColumn("_side", lit(0))
+    val lCols = left.columns
+    val union = l.select(
+      (lCols.map(col) ++ payload.map(c => lit(null).cast(
+        right.schema(c).dataType).as(s"${c}_asof")) :+
+        col("_t") :+ col("_side")): _*)
+      .unionByName(r.select(
+        (keyCols.map(col) ++ lCols.filterNot(keyCols.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+          payload.map(c => col(s"${c}_asof")) :+ col("_t") :+ col("_side")): _*))
+    // right rows sort before left rows at equal time => "at or before"
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = payload.foldLeft(union) { (acc, c) =>
+      acc.withColumn(s"${c}_asof",
+        last(col(s"${c}_asof"), ignoreNulls = true).over(w))
+    }
+    carried.where(col("_side") === 1).drop("_t", "_side")
+  }
+}

@@ -50,6 +50,13 @@ object Generators {
     vals.map(v => math.max(dMin, math.min(dMax, (v * scale).toInt)).toDouble)
   }
 
+  /** Query-threshold injector (reference G4, `python/unified_producer.py:25,
+    * 180-188`): one trigger payload "qid,recordCount" per `threshold` records
+    * produced — the workload that drives the barrier protocol. */
+  def queryTriggers(totalRecords: Long, threshold: Long = 1000000L): Seq[String] = {
+    (1L to totalRecords / threshold).map(q => s"$q,${q * threshold}")
+  }
+
   /** Distributed generation of n points of the named distribution. */
   def generate(spark: SparkSession, distribution: String, n: Long, dims: Int,
                dMin: Int = 0, dMax: Int = 10000, seed: Long = 42L): Dataset[Point] = {

@@ -101,6 +101,18 @@ object SkylineQueries {
         .where(graft.functions.DominanceExpressions.dominates(col("va"), col("vb")))
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
     }),
+    // Pure SQL surface: the skyline as an anti-join written in Spark SQL
+    // with the injected sky_dominates function (same NOT EXISTS shape as the
+    // DuckDB oracle — proves the SQL-facing API end to end)
+    "sky2d_sql" -> ((s, dir) => {
+      graft.plans.SkylineExtensions.register(s)
+      partPoints(s, dir).createOrReplaceTempView("pts_sql")
+      s.sql(
+        """SELECT t.id, t.v1, t.v2 FROM pts_sql t WHERE NOT EXISTS (
+          |  SELECT 1 FROM pts_sql u
+          |  WHERE sky_dominates(array(u.v1, u.v2), array(t.v1, t.v2)))
+          |ORDER BY t.id""".stripMargin)
+    }),
     // F2: grid dominance pre-filter (midpoint pruning)
     "grid_prefilter" -> ((s, dir) =>
       partPoints(s, dir)
@@ -167,6 +179,7 @@ object SkylineQueries {
          |CAST(FLOOR(ATAN2(v2, v1) / (PI() / 2.0) * $N) AS INT), 0), ${N - 1})
          |AS BIGINT) AS pid FROM pts ORDER BY id""".stripMargin.replace("\n", " "),
     "sky2d_plan" -> sky2dOracle(partPointsSql),
+    "sky2d_sql" -> sky2dOracle(partPointsSql),
     "sky_dominance_pairs" ->
       s"""WITH pts AS (SELECT * FROM ($partPointsSql) WHERE id <= 80)
          |SELECT a.id AS id_a, b.id AS id_b FROM pts a, pts b

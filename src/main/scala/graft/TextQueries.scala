@@ -87,6 +87,15 @@ object TextQueries {
           e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy("query_id", "rank")
     }),
+    // IVF-style ANN (deterministic stride centroids, nProbe lists) — no SQL
+    // oracle (recall asserted in PipelineOpsSpec); rows-only driver check
+    "ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, "vec_id", "embedding",
+          e.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nLists = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
     // LSH-bucketed ANN (deterministic hyperplanes) — no SQL oracle; the
     // driver records a rows-only check. Recall vs brute force is asserted in
     // SimilaritySpec instead.

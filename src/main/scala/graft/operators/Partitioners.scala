@@ -65,11 +65,11 @@ object Partitioners {
     math.max(0, math.min(p, n - 1))
   }
 
-  /** MR-Angle as a Column over an ARRAY<DOUBLE>. */
-  def mrAngle(values: Column, n: Int): Column = {
-    val f = udf((vs: Seq[Double]) => mrAngleScala(vs, n))
-    f(values)
-  }
+  /** MR-Angle as a Column over an ARRAY<DOUBLE> — a codegen'd native
+    * expression (`graft.functions.MrAngleExpr`), so the partitioner fuses
+    * into the scan's whole-stage codegen instead of breaking it with a UDF. */
+  def mrAngle(values: Column, n: Int): Column =
+    graft.functions.AngleExpressions.mrAngleNative(values, n)
 
   /** Strategy dispatch by name, mirroring the reference CLI
     * (`--algo mr-dim|mr-grid|mr-angle`, `FlinkSkyline.java:112-134`). */

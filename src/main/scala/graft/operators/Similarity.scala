@@ -61,6 +61,50 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF-style ANN: corpus vectors are assigned to their nearest of `nLists`
+    * coarse centroids (deterministic: the centroids are the corpus vectors at
+    * a fixed id stride — reproducible without a k-means RNG); a query probes
+    * its `nProbe` closest lists and ranks exact cosine inside them only.
+    * The inverted-list join bounds work to |corpus|/nLists · nProbe per
+    * query — the scale path when sign-bucket LSH recall is insufficient. */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, nLists: Int, nProbe: Int): DataFrame = {
+    val c = corpus.select(col(corpusId).as("nbr_id"), asDouble(col(corpusVec)).as("cvec"))
+    val q = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("qvec"))
+    // deterministic coarse centroids: every (count/nLists)-th corpus vector
+    val w0 = Window.orderBy(col("nbr_id"))
+    val numbered = c.withColumn("_rn", row_number().over(w0))
+    val total = numbered.count()
+    val stride = math.max(1L, total / nLists)
+    val centroids = numbered.where((col("_rn") - 1) % stride === 0)
+      .limit(nLists)
+      .select(col("nbr_id").as("list_id"), col("cvec").as("centroid"))
+    // corpus → nearest list (argmin by cosine distance, ties to lower id)
+    val wAssign = Window.partitionBy(col("nbr_id"))
+      .orderBy(cosineSimNative(col("cvec"), col("centroid")).desc, col("list_id").asc)
+    val assigned = c.crossJoin(broadcast(centroids))
+      .withColumn("_r", row_number().over(wAssign))
+      .where(col("_r") === 1)
+      .select(col("nbr_id"), col("cvec"), col("list_id"))
+    // query → nProbe nearest lists
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(cosineSimNative(col("qvec"), col("centroid")).desc, col("list_id").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("_r", row_number().over(wProbe))
+      .where(col("_r") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("list_id"))
+    val scored = assigned.join(broadcast(probes), Seq("list_id"))
+      .select(col("query_id"), col("nbr_id"),
+        cosineSimNative(col("qvec"), col("cvec")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("cosine"))
+  }
+
   /** LSH-bucketed ANN: candidates = same-bucket pairs (plus queries always
     * examine their own bucket), ranked by exact cosine within the bucket.
     * Recall < 1.0 by construction; bucket count 2^nPlanes bounds work. */

@@ -81,6 +81,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == Map(0L -> "en", 1L -> "de", 2L -> "fr"))
   }
 
+  test("IVF ANN finds self and overlaps brute-force top-k") {
+    import spark.implicits._
+    val rng = new scala.util.Random(77)
+    val df = Seq.tabulate(300)(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 3)
+    val ivf = Similarity.ivfTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 5, nLists = 8, nProbe = 3).collect()
+    val bf = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 5).collect()
+    val ivfByQ = ivf.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+    val bfByQ = bf.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+    bfByQ.foreach { case (qid, bfSet) =>
+      val got = ivfByQ.getOrElse(qid, Set.empty)
+      assert(got.contains(qid))                        // self always found
+      assert((got & bfSet).size >= 2, s"query $qid recall too low")
+    }
+  }
+
   test("brute-force ANN: self is rank 1 with cosine 1.0; LSH recall is sane") {
     import spark.implicits._
     val rng = new scala.util.Random(42)

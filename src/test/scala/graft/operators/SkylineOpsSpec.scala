@@ -92,6 +92,21 @@ class SkylineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("grid-parallel skyline equals aggregator skyline across dims") {
+    import spark.implicits._
+    for ((dims, seed) <- Seq((2, 41), (3, 42), (4, 43))) {
+      val pts = mkPts(3000, dims, seed, card = 40)
+      val expect = asSet(SkylineOps.skyline(pts.toDS()).collect().toSeq)
+      val got = asSet(SkylineOps.skylineGridParallel(pts.toDS(), dims).collect().toSeq)
+      assert(got == expect, s"dims=$dims")
+    }
+    // duplicates preserved through the grid path
+    val dups = Seq.tabulate(4)(i => graft.core.Point(500L + i, Array(0.0, 0.0))) ++
+      mkPts(500, 2, 44, card = 40).map(p => p.copy(values = p.values.map(_ + 1.0)))
+    val out = SkylineOps.skylineGridParallel(dups.toDS(), 2).collect()
+    assert(out.count(_.values.toSeq == Seq(0.0, 0.0)) == 4)
+  }
+
   test("metrics query emits reference JSON schema fields") {
     import spark.implicits._
     val pts = mkPts(1000, 2, seed = 5)

@@ -38,6 +38,14 @@ object TextQueries {
       TextAnalysis.withTokenStats(docs(s, dir), "text")
         .select("doc_id", "n_tokens", "n_chars_computed", "avg_token_len")
         .orderBy("doc_id")),
+    // BPE-ish regex tokenization: letter runs | digit runs | single
+    // non-alnum glyphs (the GPT-2-style pre-tokenizer shape)
+    "text_tokens_bpe" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          size(expr(
+            """regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)"""))
+            .cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")),
     // quality scoring
     "text_quality" -> ((s, dir) =>
       TextAnalysis.withQualityScore(docs(s, dir), "text")
@@ -119,6 +127,11 @@ object TextQueries {
          |CASE WHEN length(trim(text)) = 0 OR $toks = 0 THEN 0.0 ELSE
          |CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / $toks END
          |AS avg_token_len FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+    m += "text_tokens_bpe" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text,
+        |'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
     val padded = s"concat(' ', $normSql, ' ')"
     val stopHits = TextAnalysis.Stopwords

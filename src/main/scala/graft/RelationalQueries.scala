@@ -108,6 +108,26 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
+    // selective filter + aggregate (the classic scan-pushdown showcase)
+    "q6_forecast" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))),
+    // semi/anti joins (EXISTS / NOT EXISTS as physical join types)
+    "q_semi_anti" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val withOrders = cust.join(ord, cust("c_custkey") === ord("o_custkey"),
+        "left_semi").select(col("c_custkey"), lit("has_orders").as("status"))
+      val withoutOrders = cust.join(ord, cust("c_custkey") === ord("o_custkey"),
+        "left_anti").select(col("c_custkey"), lit("no_orders").as("status"))
+      withOrders.unionAll(withoutOrders).orderBy("c_custkey")
+    }),
     // skew-resilient aggregation: salted two-phase min/count — partials on
     // (key, salt) spread a hot key over 8 reducers, finals re-merge; output
     // is identical to the unsalted group-by (same oracle as dedup_exact)
@@ -259,6 +279,21 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", " "),
+    "q6_forecast" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue, COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+        |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
+        .stripMargin.replace("\n", " "),
+    "q_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS status FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS status FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin.replace("\n", " "),
     "dedup_salted" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |AS fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups

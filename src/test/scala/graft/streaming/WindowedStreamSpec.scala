@@ -51,4 +51,27 @@ class WindowedStreamSpec extends AnyFunSuite {
       assert(after.count(_._1 == ts(0)) == 2)
     } finally q.stop()
   }
+
+  test("session windows close after the inactivity gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val agg = in.toDS().toDF("ts", "user_id")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(session_window(col("ts"), "15 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two bursts separated by > 15 min → two sessions of 2 and 1
+      in.addData((ts(0, 0), 1L), (ts(0, 10), 1L), (ts(0, 40), 1L))
+      q.processAllAvailable()
+      in.addData((ts(3, 0), 2L))     // advance watermark; close user-1 sessions
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 2L), (1L, 1L)))
+    } finally q.stop()
+  }
 }

@@ -41,6 +41,11 @@ object PipelineQueries {
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(Multimodal.asBinary(docs(s, dir), "doc_id", "text"))
         .toDF().orderBy("media_id")),
+    // multimodal: resize metadata transform (target dims + scale factor)
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizeMeta(
+        Multimodal.decodeMeta(Multimodal.asBinary(docs(s, dir), "doc_id", "text")),
+        224, 224).orderBy("media_id")),
     // multimodal: frame sampling explode
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
@@ -64,6 +69,15 @@ object PipelineQueries {
         |(octet_length(CAST(text AS BLOB)) * 7) % 768 AS height,
         |octet_length(CAST(text AS BLOB)) % 5 + 1 AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin.replace("\n", " "),
+    "multimodal_resize" ->
+      """WITH meta AS (SELECT doc_id AS media_id,
+        |  octet_length(CAST(text AS BLOB)) % 1024 AS width,
+        |  (octet_length(CAST(text AS BLOB)) * 7) % 768 AS height
+        |  FROM documents)
+        |SELECT media_id, width, height,
+        |CAST(224 AS BIGINT) AS target_width, CAST(224 AS BIGINT) AS target_height,
+        |CASE WHEN width > 0 THEN CAST(224 AS DOUBLE) / width ELSE 1.0 END AS scale_x
+        |FROM meta ORDER BY media_id""".stripMargin.replace("\n", " "),
     "multimodal_frames" ->
       """WITH meta AS (SELECT doc_id AS media_id,
         |  octet_length(CAST(text AS BLOB)) % 5 + 1 AS n_frames FROM documents)

@@ -118,6 +118,14 @@ object RelationalQueries {
           col("l_discount").cast("decimal(18,2)")))
           .cast("double").as("revenue"),
           count(lit(1)).as("n"))),
+    // distinct aggregates (expand + two-phase distinct count)
+    "q_distinct_counts" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
     // semi/anti joins (EXISTS / NOT EXISTS as physical join types)
     "q_semi_anti" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
@@ -286,6 +294,11 @@ object RelationalQueries {
         |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
         |AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
         |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
+        .stripMargin.replace("\n", " "),
+    "q_distinct_counts" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+        |COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin.replace("\n", " "),
     "q_semi_anti" ->
       """SELECT c_custkey, 'has_orders' AS status FROM customer

@@ -81,6 +81,15 @@ object TextQueries {
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 5,
           threshold = 0.35)
         .orderBy("id_a", "id_b")),
+    // near-dup clustering: connected components (min-label propagation) over
+    // the jaccard>=0.35 similarity graph; cluster_id = canonical (min) doc
+    "dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", k = 5,
+        threshold = 0.35).select(col("id_a"), col("id_b"))
+      Dedup.clusterNearDups(d.select(col("doc_id").as("id")), pairs)
+        .orderBy("id")
+    }),
     // simhash (relational bit-vote form)
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
@@ -213,6 +222,26 @@ object TextQueries {
          |FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
          |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.35
          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
+    m += "dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS ($shinglesSql),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM common
+         |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.35),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT d.doc_id AS id,
+         |  LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+         |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |GROUP BY d.doc_id ORDER BY id""".stripMargin.replace("\n", " ")
 
     val bitSums = (0 until 60).map(b =>
       s"SUM((h >> $b) & 1) AS c$b").mkString(", ")

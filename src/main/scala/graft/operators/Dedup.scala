@@ -119,6 +119,44 @@ object Dedup {
     counted.select(col(idCol), sig.as("simhash"))
   }
 
+  /** Near-duplicate clustering: connected components over the similarity
+    * graph, labels = smallest doc id reachable (the cluster's canonical
+    * document). Iterative min-label propagation — each round is one join +
+    * groupBy (shuffle-bounded), converging in O(diameter) rounds; pipelines
+    * keep one row per cluster afterwards. Deterministic.
+    *
+    * @param ids   all node ids (docs), one column `id`
+    * @param pairs undirected edges (id_a, id_b)
+    */
+  def clusterNearDups(ids: DataFrame, pairs: DataFrame,
+                      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = ids.select(col("id"), col("id").as("cluster_id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // each node adopts the min label among itself and its neighbors
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .where(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Scale path for embedding near-dups: random-hyperplane sign buckets with
     * multi-probe (each vector also lands in every bucket at Hamming distance
     * 1), then exact cosine inside buckets only. High-cosine pairs collide in

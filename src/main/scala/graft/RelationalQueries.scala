@@ -177,6 +177,16 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,3)")).cast("double").as("sum_value"))
         .orderBy("bucket_start", "event_type")),
+    // grouped skyline: one Pareto frontier per event-time hour — minimize
+    // (value, props.k) within each bucket (windowed-skyline extension)
+    "sky_windowed_events" -> ((s, dir) => {
+      val ev = events(s, dir).select(
+        expr("(ts div 1000000000) div 3600 * 3600").as("bucket_start"),
+        col("event_id"), col("value").cast("double").as("v1"),
+        get_json_object(col("props"), "$.k").cast("double").as("v2"))
+      graft.operators.SkylineOps.groupedSkylineDF(ev, "bucket_start",
+        "event_id", Seq("v1", "v2")).orderBy("bucket_start", "event_id")
+    }),
     // as-of join: for each error event, the user's latest prior purchase
     "asof_purchase" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -330,6 +340,15 @@ object RelationalQueries {
         |CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type"""
         .stripMargin.replace("\n", " "),
+    "sky_windowed_events" ->
+      """WITH pts AS (SELECT (epoch_ns(ts) // 1000000000) // 3600 * 3600
+        |AS bucket_start, event_id, CAST(value AS DOUBLE) AS v1,
+        |CAST(json_extract_string(props, '$.k') AS DOUBLE) AS v2 FROM events)
+        |SELECT t.bucket_start, t.event_id, t.v1, t.v2 FROM pts t
+        |WHERE NOT EXISTS (SELECT 1 FROM pts u
+        |  WHERE u.bucket_start = t.bucket_start
+        |  AND u.v1 <= t.v1 AND u.v2 <= t.v2 AND (u.v1 < t.v1 OR u.v2 < t.v2))
+        |ORDER BY t.bucket_start, t.event_id""".stripMargin.replace("\n", " "),
     "asof_purchase" ->
       """SELECT l.event_id, l.user_id, r.value AS value_asof,
         |r.event_id AS prior_purchase_id

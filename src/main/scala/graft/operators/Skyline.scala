@@ -126,6 +126,30 @@ object SkylineOps {
             "global_processing_time_ms", "total_processing_time_ms")
   }
 
+  /** Grouped skyline: one Pareto frontier per group key (e.g. per event-time
+    * window) — the relational `groupBy().agg(skyline)` form. Partial
+    * aggregation applies per group, so each group's combiner runs map-side
+    * and groups are fully parallel. */
+  def groupedSkylineDF(df: DataFrame, groupCol: String, idCol: String,
+                       dimCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    implicit val tupEnc: Encoder[(Long, Point)] = ExpressionEncoder[(Long, Point)]()
+    val prepared = df.select(col(groupCol).cast("long").as("_g"),
+      col(idCol).cast("long").as("id"),
+      array(dimCols.map(c => col(c).cast("double")): _*).as("values"))
+      .as[(Long, Long, Seq[Double])]
+      .map { case (g, id, vs) => (g, Point(id, vs.toArray)) }
+    prepared.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new SkylineAgg().toColumn)
+      .flatMap { case (g, pts) => pts.map(p => (g, p.id, p.values.toSeq)) }
+      .toDF(groupCol, idCol, "values")
+      .select(col(groupCol) +: col(idCol) +:
+        dimCols.zipWithIndex.map { case (c, i) =>
+          element_at(col("values"), i + 1).as(c) }: _*)
+  }
+
   /** Large-scale skyline via log-depth tree aggregation: partial per-partition
     * skylines combine pairwise across executors instead of funneling every
     * local skyline into one single-threaded final merge. Same fixpoint as

@@ -249,6 +249,50 @@ object SkylineOps {
       .select(col(idCol), col(v1), col(v2))
   }
 
+  /** Fully-distributed 2-D skyline: like [[skyline2DDF]] but the prefix-min
+    * over distinct v1 values is computed with a range-partitioned two-pass
+    * scan instead of one global window — per-partition local prefix minima
+    * plus broadcast per-partition offsets — so no single task ever sees all
+    * distinct v1 values. Identical output. */
+  def skyline2DDFScalable(df: DataFrame, idCol: String, v1: String, v2: String,
+                          numRanges: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gmin = df.groupBy(col(v1)).agg(min(col(v2)).as("_gmin"))
+      .select(col(v1).cast("double").as("_v1"), col("_gmin").cast("double"))
+      .as[(Double, Double)]
+      .repartitionByRange(numRanges, col("_v1"))
+      .sortWithinPartitions(col("_v1"))
+    val parted = gmin.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      it.map { case (v, m) => (pid, v, m) }
+    }.cache()
+    // per-partition overall minima (tiny) -> exclusive prefix offsets
+    val partMins = parted.groupByKey(_._1)
+      .mapGroups((pid, it) => (pid, it.map(_._3).min)).collect().sortBy(_._1)
+    val offsets: Map[Int, Double] = {
+      var acc = Double.PositiveInfinity
+      partMins.map { case (pid, m) =>
+        val o = acc; acc = math.min(acc, m); pid -> o
+      }.toMap
+    }
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val pref = parted.mapPartitions { it =>
+      var run = Double.PositiveInfinity
+      it.map { case (pid, v, m) =>
+        val pmin = math.min(bOffsets.value.getOrElse(pid, Double.PositiveInfinity), run)
+        run = math.min(run, m)
+        (v, m, pmin)
+      }
+    }.toDF("_v1", "_gmin", "_pmin")
+    val out = df.join(pref, df(v1).cast("double") === col("_v1"))
+      .where(col(v2).cast("double") === col("_gmin") &&
+        col("_pmin") > col(v2).cast("double"))
+      .select(col(idCol), col(v1), col(v2))
+    parted.unpersist()
+    out
+  }
+
   /** Relational skyline over explicit dimension columns: returns the input rows
     * that are Pareto-optimal (duplicates preserved). Implemented as the typed
     * two-phase aggregate, then re-expanded to the original column layout. */

@@ -92,6 +92,20 @@ class SkylineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("scalable 2D sort path equals windowed 2D path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    for (seed <- Seq(61, 62)) {
+      val pts = mkPts(4000, 2, seed, card = 60)
+      val df = pts.map(p => (p.id, p.values(0), p.values(1))).toDF("id", "v1", "v2")
+      val a = SkylineOps.skyline2DDF(df, "id", "v1", "v2")
+        .as[(Long, Double, Double)].collect().toSet
+      val b = SkylineOps.skyline2DDFScalable(df, "id", "v1", "v2", numRanges = 7)
+        .as[(Long, Double, Double)].collect().toSet
+      assert(a == b, s"seed=$seed")
+    }
+  }
+
   test("grid-parallel skyline equals aggregator skyline across dims") {
     import spark.implicits._
     for ((dims, seed) <- Seq((2, 41), (3, 42), (4, 43))) {

@@ -69,7 +69,7 @@ object Bench {
       val pts = Generators.generate(spark, "anti-correlated", 1000000L, 2)
         .toDF("id", "values", "op")
         .select(col("id"), col("values")(0).as("v1"), col("values")(1).as("v2"))
-      SkylineOps.skyline2DDF(pts, "id", "v1", "v2").count()
+      SkylineOps.skyline2DDFScalable(pts, "id", "v1", "v2").count()
     }
     results("sky_1m_3d_anti") = time {
       SkylineOps.skylineViaStrategy(
@@ -83,7 +83,7 @@ object Bench {
       val pts = Generators.generate(spark, "anti-correlated", 10000000L, 2)
         .toDF("id", "values", "op")
         .select(col("id"), col("values")(0).as("v1"), col("values")(1).as("v2"))
-      SkylineOps.skyline2DDF(pts, "id", "v1", "v2").count()
+      SkylineOps.skyline2DDFScalable(pts, "id", "v1", "v2").count()
     }
     // 4-D curse-of-dimensionality case (reference: ~717s at 800k-1M records,
     // capped there; tree-merge keeps the global phase parallel)
@@ -95,7 +95,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // numeric sf parsed from the directory name (".../sf0.1" -> 0.1)
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("0")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+    println(line)
+    System.out.flush()
     spark.stop()
+    // re-print after Spark shutdown so the JSON is also the LAST stdout line
+    // even if executor teardown interleaves output
+    println(line)
   }
 }

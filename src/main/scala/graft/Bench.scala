@@ -86,10 +86,17 @@ object Bench {
       SkylineOps.skyline2DDFScalable(pts, "id", "v1", "v2").count()
     }
     // 4-D curse-of-dimensionality case (reference: ~717s at 800k-1M records,
-    // capped there; tree-merge keeps the global phase parallel)
-    results("sky_500k_4d_tree") = time {
-      SkylineOps.skylineTree(
-        Generators.generate(spark, "anti-correlated", 500000L, 4), depth = 3).length
+    // capped there). The broadcast cross-filter keeps the global phase fully
+    // parallel: local antichains are broadcast sum-sorted and every candidate
+    // filters against the union on its own core.
+    results("sky_500k_4d_bcast") = time {
+      SkylineOps.skylineBroadcastFilter(
+        Generators.generate(spark, "anti-correlated", 500000L, 4)).count()
+    }
+    // the reference's own 4-D scale (1M records, ~717s on Flink)
+    results("sky_1m_4d_bcast") = time {
+      SkylineOps.skylineBroadcastFilter(
+        Generators.generate(spark, "anti-correlated", 1000000L, 4)).count()
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -174,6 +174,103 @@ object SkylineOps {
       depth).result
   }
 
+  /** Two-phase skyline whose GLOBAL phase is fully parallel: per-partition
+    * local antichains (phase 1, map-side SFS build) are unioned, broadcast as
+    * one flat sum-sorted coordinate array, and every candidate is then
+    * dominance-filtered against the broadcast set in parallel across all
+    * cores (phase 2). Correct because any dominator of a candidate is either
+    * itself in the union or is dominated by a union member that (by
+    * transitivity) also dominates the candidate.
+    *
+    * The scan per candidate stops at the candidate's own coordinate sum: a
+    * dominator must be <= everywhere and < somewhere, hence has a STRICTLY
+    * smaller sum — so only the sorted prefix `sums(k) < sum(c)` can contain
+    * one. Duplicates of a skyline point all survive (equal sums are outside
+    * the prefix), matching BNL semantics.
+    *
+    * Scale: the broadcast is bounded by (numPartitions × local skyline
+    * size), not by input size — the same bound the reference's global phase
+    * ships over its second shuffle (`FlinkSkyline.java:171-174`), but here
+    * the merge work is spread over every core instead of one reducer. If the
+    * union exceeds `maxBroadcastPoints` (high-dim pathological data) it
+    * falls back to the log-depth [[skylineTree]] merge; at cluster scale the
+    * same pattern nests hierarchically (filter within executor groups
+    * first). */
+  def skylineBroadcastFilter(ds: Dataset[Point],
+                             maxBroadcastPoints: Int = 4000000): Dataset[Point] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    implicit val pe: Encoder[Point] = ExpressionEncoder[Point]()
+    val localRdd = ds.rdd.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else Iterator.single(SkylineBuffer.of(it).result.toArray)
+    }.cache()
+    val locals = localRdd.collect()
+    val union = locals.iterator.flatten.toArray
+    if (union.isEmpty) { localRdd.unpersist(); return spark.emptyDataset[Point] }
+    val d = union(0).values.length
+    if (union.length > maxBroadcastPoints) {
+      localRdd.unpersist()
+      val tree = skylineTree(ds)
+      return spark.createDataset(tree)
+    }
+    // pack the union ascending by coordinate sum: flat coords + parallel sums
+    val sums = union.map(p => { var s = 0.0; var i = 0
+      while (i < p.values.length) { s += p.values(i); i += 1 }; s })
+    val order = Array.range(0, union.length)
+      .filter(union(_).values.length == d).sortBy(sums(_))
+    val flat = new Array[Double](order.length * d)
+    val srt = new Array[Double](order.length)
+    var k = 0
+    while (k < order.length) {
+      System.arraycopy(union(order(k)).values, 0, flat, k * d, d)
+      srt(k) = sums(order(k)); k += 1
+    }
+    val bFlat = spark.sparkContext.broadcast(flat)
+    val bSums = spark.sparkContext.broadcast(srt)
+    val survivors = localRdd.flatMap { arr =>
+      val fl = bFlat.value; val sm = bSums.value
+      var lastKiller = -1
+      arr.iterator.filter { p =>
+        val vs = p.values
+        if (vs.length != d) true // off-contract arity: never dominated
+        else {
+          var s = 0.0; var i = 0
+          while (i < d) { s += vs(i); i += 1 }
+          // lower bound: first index with sm(idx) >= s (strict-prefix scan)
+          var lo = 0; var hi = sm.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (sm(mid) < s) lo = mid + 1 else hi = mid
+          }
+          @inline def beats(q: Int): Boolean = {
+            val base = q * d
+            var better = false; var bad = false; var t = 0
+            while (!bad && t < d) {
+              val av = fl(base + t); val bv = vs(t)
+              if (av > bv) bad = true else if (av < bv) better = true
+              t += 1
+            }
+            !bad && better
+          }
+          var dominated = false
+          if (lastKiller >= 0 && lastKiller < lo && beats(lastKiller))
+            dominated = true
+          var q = 0
+          while (!dominated && q < lo) {
+            if (beats(q)) { dominated = true; lastKiller = q }
+            q += 1
+          }
+          !dominated
+        }
+      }
+    }
+    val out = spark.createDataset(survivors)
+    // materialization note: survivors reads localRdd (cached) once more; the
+    // caller's first action computes it, after which the cache can be freed.
+    out
+  }
+
   /** Grid-parallel skyline: the global merge itself distributed.
     *
     * Points are assigned to 2^d hyper-octant cells around per-dimension

@@ -121,6 +121,27 @@ class SkylineOpsSpec extends AnyFunSuite {
     assert(out.count(_.values.toSeq == Seq(0.0, 0.0)) == 4)
   }
 
+  test("broadcast-filter skyline equals aggregator skyline across dims") {
+    import spark.implicits._
+    for ((dims, seed) <- Seq((2, 51), (3, 52), (4, 53))) {
+      val pts = mkPts(3000, dims, seed, card = 40)
+      val expect = asSet(SkylineOps.skyline(pts.toDS()).collect().toSeq)
+      val got = asSet(SkylineOps.skylineBroadcastFilter(
+        pts.toDS().repartition(5)).collect().toSeq)
+      assert(got == expect, s"dims=$dims")
+    }
+    // duplicates of a skyline point all survive (equal sums never dominate)
+    val dups = Seq.tabulate(4)(i => graft.core.Point(500L + i, Array(0.0, 0.0))) ++
+      mkPts(500, 2, 54, card = 40).map(p => p.copy(values = p.values.map(_ + 1.0)))
+    val out = SkylineOps.skylineBroadcastFilter(dups.toDS().repartition(3)).collect()
+    assert(out.count(_.values.toSeq == Seq(0.0, 0.0)) == 4)
+    // oversized-union fallback path still exact
+    val pts = mkPts(2000, 2, seed = 55, card = 1000)
+    val viaFallback = asSet(SkylineOps.skylineBroadcastFilter(
+      pts.toDS(), maxBroadcastPoints = 10).collect().toSeq)
+    assert(viaFallback == bruteForce(pts))
+  }
+
   test("metrics query emits reference JSON schema fields") {
     import spark.implicits._
     val pts = mkPts(1000, 2, seed = 5)

@@ -207,6 +207,24 @@ object RelationalQueries {
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    // grouping sets: full cube with decimal-exact sums
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_discount").cast("decimal(18,4)")).cast("double").as("sum_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    // exact distributed quantiles per group (integer-valued input + dyadic
+    // quantiles keep the interpolation bit-exact across engines)
+    "events_quantiles" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(percentile(floor(col("value")), lit(0.25)).as("p25"),
+          percentile(floor(col("value")), lit(0.5)).as("p50"),
+          percentile(floor(col("value")), lit(0.75)).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
     // set operations: INTERSECT / EXCEPT over key sets
     "set_ops_building" -> ((s, dir) => {
       val building = t(s, dir, "customer")
@@ -362,6 +380,22 @@ object RelationalQueries {
         |COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+        .stripMargin.replace("\n", " "),
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+        |COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+        .stripMargin.replace("\n", " "),
+    "events_quantiles" ->
+      """SELECT event_type,
+        |quantile_cont(FLOOR(value), 0.25) AS p25,
+        |quantile_cont(FLOOR(value), 0.5) AS p50,
+        |quantile_cont(FLOOR(value), 0.75) AS p75,
+        |COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replace("\n", " "),
     "set_ops_building" ->
       """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'

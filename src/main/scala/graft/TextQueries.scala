@@ -122,8 +122,54 @@ object TextQueries {
           e.where(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nPlanes = 6, dims = 64)
         .orderBy("query_id", "rank")
-    })
+    }),
+    // PII scrub: regex redaction of emails/phone numbers + redaction counts.
+    // The fixture text is digit-free, so a deterministic contact suffix is
+    // appended first (same construction in the oracle) to exercise real hits.
+    "text_pii_scrub" -> ((s, dir) => {
+      val contact = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com or +1-5550-"),
+        col("doc_id").cast("string"))
+      val scrubbed = regexp_replace(
+        regexp_replace(contact, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+      docs(s, dir).select(col("doc_id"),
+          size(regexp_extract_all(contact, lit(EmailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(contact, lit(PhoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          md5(scrubbed).as("scrub_fp"))
+        .orderBy("doc_id")
+    }),
+    // top terms per document: tf ranked with document-frequency tiebreak
+    // (integer-only tf-idf flavor — rank by tf DESC, rarity ASC, term ASC)
+    "text_top_terms" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"),
+          explode(split(graft.functions.normText(col("text")), " ")).as("term"))
+        .where(col("term") =!= "")
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(broadcast(dfreq), "term")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df")
+        .orderBy("doc_id", "rank")
+    }),
+    // deterministic hash-mod sampling, stratified by construction (each
+    // stratum keeps ~1/10 of its rows; reproducible across engines/runs)
+    "sample_stratified" -> ((s, dir) =>
+      docs(s, dir)
+        .where(graft.functions.hash60(
+          concat(lit("smpl#"), col("doc_id").cast("string"))) % 10 === 0)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id"))
   )
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+?[0-9][0-9\\-]{5,}[0-9]"
 
   def oracleSql: Map[String, String] = {
     val toks = s"len(regexp_split_to_array(trim(text), '\\s+'))"
@@ -263,6 +309,37 @@ object TextQueries {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |  CAST(b.embedding AS DOUBLE[])) >= 0.90
         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
+    val contactSql = "concat(text, ' contact user', CAST(doc_id AS VARCHAR), " +
+      "'@example.com or +1-5550-', CAST(doc_id AS VARCHAR))"
+    val emailReSql = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneReSql = "\\+?[0-9][0-9\\-]{5,}[0-9]"
+    m += "text_pii_scrub" ->
+      s"""SELECT doc_id,
+         |CAST(len(regexp_extract_all($contactSql, '$emailReSql')) AS BIGINT) AS n_emails,
+         |CAST(len(regexp_extract_all($contactSql, '$phoneReSql')) AS BIGINT) AS n_phones,
+         |md5(regexp_replace(regexp_replace($contactSql, '$emailReSql', '<EMAIL>', 'g'),
+         |  '$phoneReSql', '<PHONE>', 'g')) AS scrub_fp
+         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+    m += "text_top_terms" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+         |  FROM documents),
+         |tok AS (SELECT * FROM toks WHERE term <> ''),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |ranked AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         |  ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+         |    ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rank
+         |  FROM tf JOIN dfreq USING (term))
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df
+         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""
+        .stripMargin.replace("\n", " ")
+
+    m += "sample_stratified" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE ${hash60Sql("concat('smpl#', CAST(doc_id AS VARCHAR))")} % 10 = 0
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
     m += "ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -62,22 +62,24 @@ object Similarity {
   }
 
   /** IVF-style ANN: corpus vectors are assigned to their nearest of `nLists`
-    * coarse centroids (deterministic: the centroids are the corpus vectors at
-    * a fixed id stride — reproducible without a k-means RNG); a query probes
-    * its `nProbe` closest lists and ranks exact cosine inside them only.
-    * The inverted-list join bounds work to |corpus|/nLists · nProbe per
-    * query — the scale path when sign-bucket LSH recall is insufficient. */
+    * coarse centroids (deterministic: the centroids are the corpus vectors
+    * with the smallest md5-derived id hash — a reproducible pseudo-random
+    * sample, no k-means RNG); a query probes its `nProbe` closest lists and
+    * ranks exact cosine inside them only. The inverted-list join bounds work
+    * to |corpus|/nLists · nProbe per query — the scale path when sign-bucket
+    * LSH recall is insufficient. Centroid selection is a distributed top-k
+    * (TakeOrderedAndProject), never a global sort or single-partition
+    * window. */
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, nLists: Int, nProbe: Int): DataFrame = {
     val c = corpus.select(col(corpusId).as("nbr_id"), asDouble(col(corpusVec)).as("cvec"))
     val q = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("qvec"))
-    // deterministic coarse centroids: every (count/nLists)-th corpus vector
-    val w0 = Window.orderBy(col("nbr_id"))
-    val numbered = c.withColumn("_rn", row_number().over(w0))
-    val total = numbered.count()
-    val stride = math.max(1L, total / nLists)
-    val centroids = numbered.where((col("_rn") - 1) % stride === 0)
+    // deterministic coarse centroids: nLists corpus vectors with the
+    // smallest hash60(id) — a seedless uniform sample of the corpus
+    val centroids = c
+      .orderBy(hash60(concat(lit("ivf#"), col("nbr_id").cast("string"))).asc,
+        col("nbr_id").asc)
       .limit(nLists)
       .select(col("nbr_id").as("list_id"), col("cvec").as("centroid"))
     // corpus → nearest list (argmin by cosine distance, ties to lower id)

@@ -20,8 +20,10 @@ import graft.operators.SkylineOps
   *                              │ local results
   *                [global BNL merge + countdown latch A3]  (driver-side
   *                 accumulator fed via foreachBatch — the reference's single
-  *                 keyed aggregator instance; Spark disallows chaining a
-  *                 second flatMapGroupsWithState after the first in one query)
+  *                 keyed aggregator instance; flatMapGroupsWithState cannot
+  *                 be chained twice in one query. [[SkylineStreamTWS]] runs
+  *                 the SAME topology fully distributed as two chained
+  *                 `transformWithState` stages — preferred on Spark 4.)
   *                              │ metrics JSON strings
   *
   * Within a micro-batch, data elements are processed before triggers so the

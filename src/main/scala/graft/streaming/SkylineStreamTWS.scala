@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.streaming._
+
+import graft.core.{Point, SkylineBuffer}
+import graft.streaming.SkylineStream.{Envelope, LocalResult, LocalState, QueryResult}
+
+/** The reference's full two-hop streaming topology as ONE Structured
+  * Streaming query, via Spark 4 `transformWithState` (RocksDB state store):
+  *
+  *   envelopes ─ groupByKey(pid) ─ [LocalProcessor: BNL skyline + barrier
+  *   state machine, A1+A2] ─ groupByKey(queryPayload) ─ [GlobalProcessor:
+  *   incremental BNL merge + countdown latch, A3] ─ QueryResult
+  *
+  * This is the chained keyed-stage shape of the reference
+  * (`java/org.main/FlinkSkyline.java:138-183`) that the older
+  * `flatMapGroupsWithState` API could not express in a single query (it
+  * cannot be chained); `transformWithState` can, so the global merge runs
+  * as a distributed stateful operator instead of a driver-side accumulator.
+  */
+object SkylineStreamTWS {
+
+  /** Per-query global-phase bookkeeping (the reference's ValueState/MapState
+    * set, `FlinkSkyline.java:472-512`). `localSizes` is an assoc list — the
+    * Avro state encoder supports arrays of structs but not MapType. */
+  case class GlobalMeta(arrived: Int, minStart: Long, lastArrival: Long,
+                        maxCpu: Long, dispatchMs: Long,
+                        localSizes: Seq[(Int, Int)])
+
+  /** A1+A2: local BNL skyline + barrier/trigger state machine, keyed by
+    * spatial partition id. Delegates to [[SkylineStream.stepLocal]] — the
+    * same state transition the flatMapGroupsWithState shell uses. */
+  class LocalProcessor extends StatefulProcessor[Int, Envelope, LocalResult] {
+    @transient private var st: ValueState[LocalState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[LocalState]("local",
+        Encoders.product[LocalState], TTLConfig.NONE)
+
+    override def handleInputRows(pid: Int, rows: Iterator[Envelope],
+                                 tv: TimerValues): Iterator[LocalResult] = {
+      val cur = if (st.exists()) st.get() else LocalState(Nil, -1L, Nil, 0L, 0L)
+      val (out, next) = SkylineStream.stepLocal(pid, rows.toSeq, cur)
+      st.update(next)
+      out.iterator
+    }
+  }
+
+  /** A3: global skyline merge + countdown latch, keyed by query payload.
+    * Emits exactly when all `totalPartitions` local results arrived, then
+    * clears the per-query state (`FlinkSkyline.java:573,653-657`). */
+  class GlobalProcessor(totalPartitions: Int)
+      extends StatefulProcessor[String, LocalResult, QueryResult] {
+    @transient private var buf: ListState[Point] = _
+    @transient private var meta: ValueState[GlobalMeta] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[Point]("buf",
+        Encoders.product[Point], TTLConfig.NONE)
+      meta = getHandle.getValueState[GlobalMeta]("meta",
+        Encoders.product[GlobalMeta], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(payload: String, rows: Iterator[LocalResult],
+                                 tv: TimerValues): Iterator[QueryResult] = {
+      var m = if (meta.exists()) meta.get()
+        else GlobalMeta(0, Long.MaxValue, 0L, 0L, 0L, Nil)
+      val sky = new SkylineBuffer
+      buf.get().foreach(p => sky.points += p)  // restore merged antichain
+      rows.foreach { r =>
+        m = GlobalMeta(m.arrived + 1,
+          math.min(m.minStart, r.startMs), System.currentTimeMillis(),
+          math.max(m.maxCpu, r.cpuMs), r.dispatchMs,
+          m.localSizes :+ (r.pid -> r.skyline.size))
+        r.skyline.foreach(sky.insert)
+      }
+      if (m.arrived >= totalPartitions) {
+        val finish = System.currentTimeMillis()
+        val global = sky.result
+        val survivors = global.groupBy(_.originPartition).view.mapValues(_.size)
+        val sizesByPid = m.localSizes.toMap
+        val sumRatios = (0 until totalPartitions).map { i =>
+          sizesByPid.get(i) match {
+            case Some(sz) if sz > 0 => survivors.getOrElse(i, 0).toDouble / sz
+            case _ => 0.0
+          }
+        }.sum
+        val parts = payload.split(",")
+        val mapWall = math.max(0L, m.lastArrival - m.minStart)
+        buf.clear(); meta.clear()
+        Iterator.single(QueryResult(parts(0),
+          if (parts.length > 1) parts(1).trim else "unknown",
+          global.size, sumRatios / totalPartitions,
+          math.max(0L, mapWall - m.maxCpu), m.maxCpu,
+          finish - m.lastArrival, finish - m.minStart))
+      } else {
+        buf.put(sky.result.toArray)
+        meta.update(m)
+        Iterator.empty
+      }
+    }
+  }
+
+  /** The full chained topology. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). */
+  def topology(env: Dataset[Envelope], totalPartitions: Int): Dataset[QueryResult] = {
+    implicit val lrEnc: Encoder[LocalResult] = ExpressionEncoder[LocalResult]()
+    implicit val qrEnc: Encoder[QueryResult] = ExpressionEncoder[QueryResult]()
+    implicit val intEnc: Encoder[Int] = Encoders.scalaInt
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    env.groupByKey(_.pid)
+      .transformWithState(new LocalProcessor, TimeMode.None(), OutputMode.Append())
+      .groupByKey(_.payload)
+      .transformWithState(new GlobalProcessor(totalPartitions),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

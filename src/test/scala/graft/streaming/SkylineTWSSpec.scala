@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Dominance
+import graft.operators.SparkTestSession
+
+/** The chained two-stage transformWithState topology: local skyline +
+  * barrier, then distributed global merge with countdown latch — the whole
+  * reference dataflow in ONE streaming query (no driver-side aggregator). */
+class SkylineTWSSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val N = 4
+
+  private def mkLines(pts: Seq[(Long, Double, Double)]): Seq[String] =
+    pts.map { case (id, a, b) => s"$id,$a,$b" }
+
+  private def bruteSize(pts: Seq[(Long, Double, Double)]): Int = {
+    val vs = pts.map { case (_, a, b) => Array(a, b) }
+    vs.count(t => !vs.exists(u => Dominance.dominates(u, t)))
+  }
+
+  test("chained transformWithState: global skyline emitted once latch fills") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("tws_ckpt").toString
+    val dataIn = MemoryStream[String]
+    val trigIn = MemoryStream[String]
+    val n = N
+    val pidOf = graft.operators.SkylineOps.pidFunction("mr-dim", 100.0, n)
+    val env = dataIn.toDS().flatMap(l => SkylineStream.parseData(l, pidOf))
+      .unionAll(trigIn.toDS().flatMap(p =>
+        SkylineStream.broadcastTrigger(p, n, 1L)))
+    val out = SkylineStreamTWS.topology(env, n)
+    val q = out.writeStream.format("memory").queryName("tws_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val rng = new scala.util.Random(23)
+      val pts = Seq.tabulate(300)(i =>
+        (i.toLong, rng.nextInt(100).toDouble, rng.nextInt(100).toDouble))
+      // batch 1: data only — nothing may be emitted yet
+      dataIn.addData(mkLines(pts))
+      q.processAllAvailable()
+      assert(spark.table("tws_out").count() == 0)
+      // batch 2: trigger with satisfied barrier → every partition answers,
+      // the global stage's latch fills, ONE result row appears
+      trigIn.addData("7,250")
+      q.processAllAvailable()
+      val rows = spark.table("tws_out").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getAs[String]("queryId") == "7")
+      assert(r.getAs[String]("recordCount") == "250")
+      assert(r.getAs[Int]("skylineSize") == bruteSize(pts))
+      val opt = r.getAs[Double]("optimality")
+      assert(opt >= 0.0 && opt <= 1.0)
+      // a second query through the same (cleared) per-query state
+      trigIn.addData("8,250")
+      q.processAllAvailable()
+      assert(spark.table("tws_out").count() == 2)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+}

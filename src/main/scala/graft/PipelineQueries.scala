@@ -27,6 +27,47 @@ object PipelineQueries {
       pts.map(p => (p.id, p.values(0), p.values(1)))
         .toDF("id", "v1", "v2").orderBy("id")
     }),
+    // The SAME protocol through the chained transformWithState topology — a
+    // real streaming query (MemoryStream → local stage → global stage →
+    // memory sink) whose emitted points must equal the batch skyline SQL.
+    "stream_tws_sky2d" -> ((s, dir) => {
+      import s.implicits._
+      val prior = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        implicit val sqlCtx = s.sqlContext
+        val n = SkylineQueries.N
+        val pidOf = graft.operators.SkylineOps.pidFunction("mr-angle",
+          SkylineQueries.DOMAIN, n)
+        val lines = SkylineQueries.partPoints(s, dir).select(
+          concat_ws(",", col("id").cast("string"), col("v1").cast("string"),
+            col("v2").cast("string")).as("line")).as[String].collect()
+        val dataIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+        val trigIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+        val env = dataIn.toDS().flatMap(l => SkylineStream.parseData(l, pidOf))
+          .unionAll(trigIn.toDS().flatMap(p =>
+            SkylineStream.broadcastTrigger(p, n, 0L)))
+        // one micro-batch carries data + trigger; stepLocal orders
+        // data-before-triggers within a batch, so the bare barrier fires
+        val name = s"tws_q_${System.nanoTime()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("tws_q").toString
+        dataIn.addData(lines.toIndexedSeq)
+        trigIn.addData("collect,0")
+        val q = graft.streaming.SkylineStreamTWS.topologyPoints(env, n)
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try { q.processAllAvailable() } finally q.stop()
+        s.table(name)
+          .select(col("id"), element_at(col("values"), 1).as("v1"),
+            element_at(col("values"), 2).as("v2"))
+          .orderBy("id")
+      } finally prior match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }),
     // G1-G3 generator sanity: skyline sizes per distribution (rows-only
     // check; the structural assertion anti > correlated > uniform lives in
     // GeneratorsSpec).
@@ -55,6 +96,12 @@ object PipelineQueries {
 
   def oracleSql: Map[String, String] = Map(
     "stream_sky2d" ->
+      s"""WITH pts AS (${SkylineQueries.partPointsSql})
+         |SELECT t.id, t.v1, t.v2 FROM pts t WHERE NOT EXISTS (
+         |  SELECT 1 FROM pts u
+         |  WHERE u.v1 <= t.v1 AND u.v2 <= t.v2 AND (u.v1 < t.v1 OR u.v2 < t.v2))
+         |ORDER BY t.id""".stripMargin.replace("\n", " "),
+    "stream_tws_sky2d" ->
       s"""WITH pts AS (${SkylineQueries.partPointsSql})
          |SELECT t.id, t.v1, t.v2 FROM pts t WHERE NOT EXISTS (
          |  SELECT 1 FROM pts u

@@ -103,6 +103,52 @@ object SkylineStreamTWS {
     }
   }
 
+  /** Like [[GlobalProcessor]] but emits the merged global skyline POINTS at
+    * latch-fill (for oracle-checking the chained topology against the batch
+    * skyline SQL; the reference's suppressed-payload emission path,
+    * `FlinkSkyline.java:643-646`, behind its output flag). */
+  class GlobalPointsProcessor(totalPartitions: Int)
+      extends StatefulProcessor[String, LocalResult, Point] {
+    @transient private var buf: ListState[Point] = _
+    @transient private var arrived: ValueState[Int] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[Point]("buf",
+        Encoders.product[Point], TTLConfig.NONE)
+      arrived = getHandle.getValueState[Int]("arrived",
+        Encoders.scalaInt, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(payload: String, rows: Iterator[LocalResult],
+                                 tv: TimerValues): Iterator[Point] = {
+      var n = if (arrived.exists()) arrived.get() else 0
+      val sky = new SkylineBuffer
+      buf.get().foreach(p => sky.points += p)
+      rows.foreach { r => n += 1; r.skyline.foreach(sky.insert) }
+      if (n >= totalPartitions) {
+        buf.clear(); arrived.clear()
+        sky.result.iterator
+      } else {
+        buf.put(sky.result.toArray)
+        arrived.update(n)
+        Iterator.empty
+      }
+    }
+  }
+
+  /** [[topology]] variant emitting the global skyline points. */
+  def topologyPoints(env: Dataset[Envelope], totalPartitions: Int): Dataset[Point] = {
+    implicit val lrEnc: Encoder[LocalResult] = ExpressionEncoder[LocalResult]()
+    implicit val ptEnc: Encoder[Point] = ExpressionEncoder[Point]()
+    implicit val intEnc: Encoder[Int] = Encoders.scalaInt
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    env.groupByKey(_.pid)
+      .transformWithState(new LocalProcessor, TimeMode.None(), OutputMode.Append())
+      .groupByKey(_.payload)
+      .transformWithState(new GlobalPointsProcessor(totalPartitions),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** The full chained topology. Requires the RocksDB state store provider
     * (`spark.sql.streaming.stateStore.providerClass`). */
   def topology(env: Dataset[Envelope], totalPartitions: Int): Dataset[QueryResult] = {

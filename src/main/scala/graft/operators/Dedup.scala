@@ -53,7 +53,10 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignatures(df, idCol, textCol, k, numHashes)
+    // one row per doc × numHashes longs — tiny relative to the corpus; cache
+    // so the shingle+minhash pass runs once, not once per consumer (banded
+    // keys + both sides of the signature join)
+    val sig = minhashSignatures(df, idCol, textCol, k, numHashes).cache()
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)

@@ -113,6 +113,23 @@ object SkylineQueries {
           |  WHERE sky_dominates(array(u.v1, u.v2), array(t.v1, t.v2)))
           |ORDER BY t.id""".stripMargin)
     }),
+    // k-skyband generalization: rows dominated by fewer than k others
+    // (k = 1 is the skyline). Dominator counting via the codegen'd dominance
+    // predicate; at scale the count join runs per grid cell (only subset
+    // cells can contain dominators), bounding the pairwise work.
+    "sky_skyband" -> ((s, dir) => {
+      val pts = partPoints(s, dir).where(col("id") <= 300)
+      val a = pts.select(col("id").as("id_a"), array(col("v1"), col("v2")).as("va"))
+      val b = pts.select(col("id").as("id_b"), array(col("v1"), col("v2")).as("vb"))
+      val cnt = a.crossJoin(b)
+        .where(graft.functions.DominanceExpressions.dominates(col("va"), col("vb")))
+        .groupBy(col("id_b")).agg(count(lit(1)).as("n_dominators"))
+      pts.join(cnt, pts("id") === cnt("id_b"), "left")
+        .select(col("id"), col("v1"), col("v2"),
+          coalesce(col("n_dominators"), lit(0L)).as("n_dominators"))
+        .where(col("n_dominators") < 3)
+        .orderBy("id")
+    }),
     // F2: grid dominance pre-filter (midpoint pruning)
     "grid_prefilter" -> ((s, dir) =>
       partPoints(s, dir)
@@ -185,6 +202,16 @@ object SkylineQueries {
          |SELECT a.id AS id_a, b.id AS id_b FROM pts a, pts b
          |WHERE a.v1 <= b.v1 AND a.v2 <= b.v2 AND (a.v1 < b.v1 OR a.v2 < b.v2)
          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    "sky_skyband" ->
+      s"""WITH pts AS (SELECT * FROM ($partPointsSql) WHERE id <= 300)
+         |SELECT t.id, t.v1, t.v2,
+         |(SELECT COUNT(*) FROM pts u
+         |  WHERE u.v1 <= t.v1 AND u.v2 <= t.v2 AND (u.v1 < t.v1 OR u.v2 < t.v2))
+         |  AS n_dominators
+         |FROM pts t
+         |WHERE (SELECT COUNT(*) FROM pts u
+         |  WHERE u.v1 <= t.v1 AND u.v2 <= t.v2 AND (u.v1 < t.v1 OR u.v2 < t.v2)) < 3
+         |ORDER BY t.id""".stripMargin.replace("\n", " "),
     "grid_prefilter" ->
       s"""WITH pts AS ($partPointsSql) SELECT id, v1, v2 FROM pts
          |WHERE v1 < ${DOMAIN / 2} OR v2 < ${DOMAIN / 2} ORDER BY id"""

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Output layout for training-data exports: hive-partitioned, size-capped,
+  * optionally salted shard files.
+  *
+  * At 100 TB the write layout is as load-bearing as the compute: training
+  * readers want (a) partition pruning by coarse keys (lang/source/date),
+  * (b) bounded file sizes for parallel ingestion, (c) deterministic shard
+  * assignment so re-runs produce identical layouts. This composes the three:
+  * hive-style `partitionBy`, `maxRecordsPerFile`, and an md5-derived shard
+  * column that spreads rows evenly regardless of input order (no RNG, no
+  * round-robin nondeterminism).
+  */
+object OutputLayout {
+
+  /** Deterministic shard id in [0, nShards) from a stable key column. */
+  def shardId(key: org.apache.spark.sql.Column, nShards: Int): org.apache.spark.sql.Column =
+    pmod(graft.functions.hash60(concat(lit("shard#"), key.cast("string"))),
+      lit(nShards)).cast("int")
+
+  /** Write `df` hive-partitioned by `partitionCols`, distributed into
+    * `nShards` deterministic shards per partition (one task → one file run),
+    * each file capped at `maxRecordsPerFile` rows. Readers prune on
+    * `partitionCols`; shard files are balanced by the hash, not input order. */
+  def writeSharded(df: DataFrame, outDir: String, idCol: String,
+                   partitionCols: Seq[String], nShards: Int,
+                   maxRecordsPerFile: Long = 1000000L): Unit = {
+    val sharded = df.withColumn("_shard", shardId(col(idCol), nShards))
+    sharded
+      .repartition((partitionCols.map(col) :+ col("_shard")): _*)
+      .sortWithinPartitions(col(idCol))
+      .drop("_shard")
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(outDir)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sharded training-data export: hive partition dirs, capped files,
+  * deterministic layout, lossless round-trip. */
+class OutputLayoutSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("writeSharded partitions by key, caps files, round-trips losslessly") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("layout").toString
+    OutputLayout.writeSharded(docs, out, "doc_id", Seq("lang"),
+      nShards = 2, maxRecordsPerFile = 50)
+
+    // hive partition dirs exist per lang
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("lang=")).sorted
+    val langs = docs.select("lang").distinct().as[String].collect().sorted
+    assert(dirs.toSeq == langs.map(l => s"lang=$l").toSeq)
+
+    // every parquet file respects the record cap
+    val files = dirs.flatMap(d => new java.io.File(s"$out/$d").listFiles()
+      .filter(_.getName.endsWith(".parquet")))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val n = spark.read.parquet(f.getAbsolutePath).count()
+      assert(n <= 50, s"${f.getName} has $n rows")
+    }
+
+    // lossless round-trip (partition col comes back from the dir key)
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    val a = docs.select("doc_id", "lang", "n_chars").as[(Long, String, Long)]
+      .collect().toSet
+    val b = back.select("doc_id", "lang", "n_chars").as[(Long, String, Long)]
+      .collect().toSet
+    assert(a == b)
+
+    // deterministic: a second write yields the same per-partition file counts
+    val out2 = java.nio.file.Files.createTempDirectory("layout2").toString
+    OutputLayout.writeSharded(docs, out2, "doc_id", Seq("lang"),
+      nShards = 2, maxRecordsPerFile = 50)
+    def layoutOf(root: String) =
+      new java.io.File(root).listFiles().filter(_.isDirectory)
+        .filter(_.getName.startsWith("lang=")).map { d =>
+          d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+        }.toMap
+    assert(layoutOf(out) == layoutOf(out2))
+  }
+}

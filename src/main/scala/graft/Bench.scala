@@ -25,7 +25,9 @@ object Bench {
     "dedup_exact", "dedup_minhash_sig", "dedup_minhash_pairs", "dedup_simhash",
     "dedup_embedding", "dedup_salted", "ann_topk", "ann_ivf", "ann_lsh",
     "multimodal_meta", "asof_purchase", "events_tumbling", "events_ranks",
-    "sky4d_lineitem", "sky2d_plan", "stream_sky2d")
+    "sky4d_lineitem", "sky2d_plan", "stream_sky2d", "stream_tws_sky2d",
+    "text_pii_scrub", "text_top_terms", "sample_stratified",
+    "events_quantiles", "q_cube", "sky_skyband")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

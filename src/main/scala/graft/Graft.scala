@@ -44,6 +44,18 @@ object Graft {
     streaming.SkylineStream.runBatch(spark, dataLines, triggers, strategy,
       domain, partitions)
 
+  /** High-dimensional / anti-correlated scale path: fully parallel global
+    * phase via the broadcast cross-filter (see
+    * [[SkylineOps.skylineBroadcastFilter]]). */
+  def skylineLargeScale(ds: Dataset[Point]): Dataset[Point] =
+    SkylineOps.skylineBroadcastFilter(ds)
+
+  /** The chained two-stage streaming topology (Spark 4 transformWithState;
+    * requires the RocksDB state store provider). */
+  def skylineStreamTopology(env: Dataset[streaming.SkylineStream.Envelope],
+                            partitions: Int): Dataset[streaming.SkylineStream.QueryResult] =
+    streaming.SkylineStreamTWS.topology(env, partitions)
+
   // --- training-data pipeline --------------------------------------------
 
   def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -65,4 +77,12 @@ object Graft {
 
   def languageId(df: DataFrame, textCol: String): DataFrame =
     TextAnalysis.withLanguageId(df, textCol)
+
+  /** Hive-partitioned, size-capped, deterministically sharded parquet export
+    * (training-data output layout). */
+  def writeSharded(df: DataFrame, outDir: String, idCol: String,
+                   partitionCols: Seq[String], nShards: Int,
+                   maxRecordsPerFile: Long = 1000000L): Unit =
+    OutputLayout.writeSharded(df, outDir, idCol, partitionCols, nShards,
+      maxRecordsPerFile)
 }

@@ -97,9 +97,11 @@ final class SkylineBuffer extends Serializable {
     var n = 0
     // per-block per-dim minima over survivors (block = BLK points): a block
     // where some dim's minimum exceeds the candidate's value cannot contain a
-    // dominator, so the whole block is skipped. (Measured: a wash on heavily
-    // anti-correlated data where block minima straddle most candidates, a
-    // win on distributions with dominated regions; always sound.)
+    // dominator, so the whole block is skipped — the lower-corner MBR prune
+    // of MBR-oriented skyline processing (ICDE 2019), applied to a packed
+    // array. (Measured: a wash on heavily anti-correlated data where block
+    // minima straddle most candidates, a win on distributions with dominated
+    // regions; always sound.)
     val BLK = 128
     var blockMins = Array.fill(math.max(16, (old.length / BLK + 2) * d))(
       Double.PositiveInfinity)

@@ -33,8 +33,12 @@ object PipelineQueries {
     "stream_tws_sky2d" -> ((s, dir) => {
       import s.implicits._
       val prior = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      val priorShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // state-store instances = shuffle partitions per stateful stage; size
+      // them to the N-partition protocol instead of the batch default
+      s.conf.set("spark.sql.shuffle.partitions", SkylineQueries.N.toString)
       try {
         implicit val sqlCtx = s.sqlContext
         val n = SkylineQueries.N
@@ -63,9 +67,12 @@ object PipelineQueries {
           .select(col("id"), element_at(col("values"), 1).as("v1"),
             element_at(col("values"), 2).as("v2"))
           .orderBy("id")
-      } finally prior match {
-        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", priorShuffle)
+        prior match {
+          case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
       }
     }),
     // G1-G3 generator sanity: skyline sizes per distribution (rows-only

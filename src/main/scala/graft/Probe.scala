@@ -13,16 +13,21 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // reference local-optimality figures (BASELINE.md): 2D@1M MR-Dim .7379,
-    // MR-Grid .5415, MR-Angle .7453; 3D@1M .6742/.5906/.6652
-    for (dims <- Seq(2, 3); strat <- Seq("mr-dim", "mr-grid", "mr-angle")) {
-      val pts = Generators.generate(spark, "anti-correlated", 1000000L, dims)
+    def time(tag: String)(f: => Any): Unit = {
       val t0 = System.nanoTime()
-      val row = SkylineOps.skylineWithMetrics(pts, strat, 10000.0, 8, "q", 1000000L)
-        .collect().head
-      println(f"PROBE opt dims=$dims strat=$strat " +
-        f"opt=${row.getAs[Double]("optimality")}%.4f sky=${row.getAs[Long]("skyline_size")} " +
-        f"t=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val r = f
+      println(f"PROBE $tag ${(System.nanoTime() - t0) / 1e9}%.2f s -> $r")
+    }
+    SkylineOps.skyline(Generators.generate(spark, "uniform", 10000, 2)).count()
+    time("4d_1m_bcast") {
+      SkylineOps.skylineBroadcastFilter(
+        Generators.generate(spark, "anti-correlated", 1000000L, 4)).count()
+    }
+    // force the oversized path end-to-end at real volume
+    time("4d_1m_bcast_prefilter") {
+      SkylineOps.skylineBroadcastFilter(
+        Generators.generate(spark, "anti-correlated", 1000000L, 4),
+        maxBroadcastPoints = 100000).count()
     }
     spark.stop()
   }

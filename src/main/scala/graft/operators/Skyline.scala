@@ -201,74 +201,139 @@ object SkylineOps {
     val spark = ds.sparkSession
     import spark.implicits._
     implicit val pe: Encoder[Point] = ExpressionEncoder[Point]()
-    val localRdd = ds.rdd.mapPartitions { it =>
+    var localRdd = ds.rdd.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
       else Iterator.single(SkylineBuffer.of(it).result.toArray)
     }.cache()
-    val locals = localRdd.collect()
-    val union = locals.iterator.flatten.toArray
-    if (union.isEmpty) { localRdd.unpersist(); return spark.emptyDataset[Point] }
-    val d = union(0).values.length
-    if (union.length > maxBroadcastPoints) {
+    // size check BEFORE any collect — the union never lands on the driver
+    // unless it fits the broadcast bound
+    var unionCount = localRdd.map(_.length.toLong).fold(0L)(_ + _)
+    if (unionCount == 0) { localRdd.unpersist(); return spark.emptyDataset[Point] }
+    if (unionCount > maxBroadcastPoints) {
+      // union too wide to broadcast whole: distributed pairwise cross-filter.
+      // The union is re-chunked, each (chunk i, chunk j) pair is dominance-
+      // checked in its OWN task (prefix-scan against chunk j's packed form),
+      // and per-chunk survivor bitmasks are AND-reduced. Total work is the
+      // same O(s²·d) any exact merge pays on a pathological antichain, but
+      // it is spread over chunks² tasks with no serial merge and no
+      // oversized driver collect.
+      val out = crossFilterChunks(spark, localRdd)
       localRdd.unpersist()
-      val tree = skylineTree(ds)
-      return spark.createDataset(tree)
+      return out
     }
-    // pack the union ascending by coordinate sum: flat coords + parallel sums
-    val sums = union.map(p => { var s = 0.0; var i = 0
+    val union = localRdd.collect().iterator.flatten.toArray
+    val packed = pack(union)
+    val bPacked = spark.sparkContext.broadcast(packed)
+    val survivors = localRdd.flatMap { arr =>
+      val pk = bPacked.value
+      arr.iterator.filter(p => !dominatedByPacked(pk, p))
+    }
+    spark.createDataset(survivors)
+    // materialization note: survivors reads localRdd (cached) once more; the
+    // caller's first action computes it, after which the cache can be freed.
+  }
+
+  /** Distributed pairwise cross-filter over an RDD of local antichains: the
+    * global-merge path when the union exceeds the broadcast bound. Chunks
+    * are rebalanced to ~2 chunks per core, every ordered chunk pair (i, j)
+    * with i != j runs as one task producing chunk i's survivor bitset vs
+    * chunk j, and bitsets AND-reduce per chunk. Within-chunk domination is
+    * impossible (each chunk is an antichain). */
+  private def crossFilterChunks(spark: SparkSession,
+      localRdd: org.apache.spark.rdd.RDD[Array[Point]]): Dataset[Point] = {
+    implicit val pe: Encoder[Point] = ExpressionEncoder[Point]()
+    val nChunks = math.max(2, spark.sparkContext.defaultParallelism * 2)
+    // re-chunk to balance: points hash-spread, each chunk re-reduced to an
+    // antichain (sound: dropping locally-dominated points is always sound)
+    val chunks = localRdd.flatMap(_.iterator)
+      .map(p => (java.lang.Math.floorMod(p.id, nChunks.toLong), p))
+      .groupByKey(nChunks)
+      .map { case (i, pts) => (i, SkylineBuffer.of(pts.iterator).result.toArray) }
+      .cache()
+    val packed = chunks.map { case (i, arr) => (i, pack(arr)) }
+    val pairs = chunks.cartesian(packed)
+      .filter { case ((i, _), (j, _)) => i != j }
+    val masks = pairs.map { case ((i, arr), (_, pk)) =>
+      val bits = new Array[Long]((arr.length >> 6) + 1)
+      java.util.Arrays.fill(bits, -1L)
+      var x = 0
+      while (x < arr.length) {
+        if (dominatedByPacked(pk, arr(x))) bits(x >> 6) &= ~(1L << (x & 63))
+        x += 1
+      }
+      (i, bits)
+    }.reduceByKey { (a, b) =>
+      val out = new Array[Long](math.max(a.length, b.length))
+      var x = 0
+      while (x < out.length) {
+        val av = if (x < a.length) a(x) else -1L
+        val bv = if (x < b.length) b(x) else -1L
+        out(x) = av & bv; x += 1
+      }
+      out
+    }
+    // left join: a chunk with no partner (single-chunk degenerate case) has
+    // no dominators outside itself and survives whole
+    val survivors = chunks.leftOuterJoin(masks).flatMap { case (_, (arr, bitsOpt)) =>
+      bitsOpt match {
+        case Some(bits) => arr.iterator.zipWithIndex.collect {
+          case (p, x) if ((bits(x >> 6) >>> (x & 63)) & 1L) == 1L => p
+        }
+        case None => arr.iterator
+      }
+    }
+    spark.createDataset(survivors)
+  }
+
+  /** Packed antichain for broadcast: flat coords + ascending coordinate sums
+    * (only points of the majority arity participate; others never dominate). */
+  private[operators] case class PackedPoints(flat: Array[Double],
+                                             sums: Array[Double], d: Int)
+      extends Serializable
+
+  private[operators] def pack(points: Array[Point]): PackedPoints = {
+    val d = if (points.isEmpty) 0 else points(0).values.length
+    val sums = points.map(p => { var s = 0.0; var i = 0
       while (i < p.values.length) { s += p.values(i); i += 1 }; s })
-    val order = Array.range(0, union.length)
-      .filter(union(_).values.length == d).sortBy(sums(_))
+    val order = Array.range(0, points.length)
+      .filter(points(_).values.length == d).sortBy(sums(_))
     val flat = new Array[Double](order.length * d)
     val srt = new Array[Double](order.length)
     var k = 0
     while (k < order.length) {
-      System.arraycopy(union(order(k)).values, 0, flat, k * d, d)
+      System.arraycopy(points(order(k)).values, 0, flat, k * d, d)
       srt(k) = sums(order(k)); k += 1
     }
-    val bFlat = spark.sparkContext.broadcast(flat)
-    val bSums = spark.sparkContext.broadcast(srt)
-    val survivors = localRdd.flatMap { arr =>
-      val fl = bFlat.value; val sm = bSums.value
-      var lastKiller = -1
-      arr.iterator.filter { p =>
-        val vs = p.values
-        if (vs.length != d) true // off-contract arity: never dominated
-        else {
-          var s = 0.0; var i = 0
-          while (i < d) { s += vs(i); i += 1 }
-          // lower bound: first index with sm(idx) >= s (strict-prefix scan)
-          var lo = 0; var hi = sm.length
-          while (lo < hi) {
-            val mid = (lo + hi) >>> 1
-            if (sm(mid) < s) lo = mid + 1 else hi = mid
-          }
-          @inline def beats(q: Int): Boolean = {
-            val base = q * d
-            var better = false; var bad = false; var t = 0
-            while (!bad && t < d) {
-              val av = fl(base + t); val bv = vs(t)
-              if (av > bv) bad = true else if (av < bv) better = true
-              t += 1
-            }
-            !bad && better
-          }
-          var dominated = false
-          if (lastKiller >= 0 && lastKiller < lo && beats(lastKiller))
-            dominated = true
-          var q = 0
-          while (!dominated && q < lo) {
-            if (beats(q)) { dominated = true; lastKiller = q }
-            q += 1
-          }
-          !dominated
-        }
-      }
+    PackedPoints(flat, srt, d)
+  }
+
+  /** True iff some packed point strictly dominates `p`. Scans only the
+    * strictly-smaller-sum prefix (binary-search cutoff): a dominator is <=
+    * everywhere and < somewhere, hence has a strictly smaller sum. */
+  private[operators] def dominatedByPacked(pk: PackedPoints, p: Point): Boolean = {
+    val vs = p.values
+    if (vs.length != pk.d || pk.sums.length == 0) return false
+    var s = 0.0; var i = 0
+    while (i < pk.d) { s += vs(i); i += 1 }
+    var lo = 0; var hi = pk.sums.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (pk.sums(mid) < s) lo = mid + 1 else hi = mid
     }
-    val out = spark.createDataset(survivors)
-    // materialization note: survivors reads localRdd (cached) once more; the
-    // caller's first action computes it, after which the cache can be freed.
-    out
+    val fl = pk.flat
+    var q = 0
+    while (q < lo) {
+      val base = q * pk.d
+      var better = false; var bad = false; var t = 0
+      while (!bad && t < pk.d) {
+        val av = fl(base + t); val bv = vs(t)
+        if (av > bv) bad = true else if (av < bv) better = true
+        t += 1
+      }
+      if (!bad && better) return true
+      q += 1
+    }
+    false
   }
 
   /** Grid-parallel skyline: the global merge itself distributed.

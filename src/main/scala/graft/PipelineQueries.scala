@@ -75,6 +75,29 @@ object PipelineQueries {
         }
       }
     }),
+    // File-format sources beyond parquet (SURVEY §2.2): write the fixture
+    // subset out as CSV / JSON-lines, read it back through spark.read.csv /
+    // spark.read.json with an explicit schema, and hash-match the parquet
+    // oracle — proves the file-source parse paths end to end.
+    "csv_file_source" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("csvsrc").toString
+      s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true")
+        .schema("o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE")
+        .csv(tmp)
+        .orderBy("o_orderkey")
+    }),
+    "json_file_source" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("jsonsrc").toString
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").json(tmp)
+      s.read.schema("doc_id LONG, lang STRING, n_chars LONG").json(tmp)
+        .orderBy("doc_id")
+    }),
     // G1-G3 generator sanity: skyline sizes per distribution (rows-only
     // check; the structural assertion anti > correlated > uniform lives in
     // GeneratorsSpec).
@@ -114,6 +137,13 @@ object PipelineQueries {
          |  SELECT 1 FROM pts u
          |  WHERE u.v1 <= t.v1 AND u.v2 <= t.v2 AND (u.v1 < t.v1 OR u.v2 < t.v2))
          |ORDER BY t.id""".stripMargin.replace("\n", " "),
+    "csv_file_source" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey"""
+        .stripMargin.replace("\n", " "),
+    "json_file_source" ->
+      """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "),
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data preparation: the composed pipeline a user of
+  * this library runs over a raw document corpus. Every stage is one of the
+  * library's shuffle-bounded operators, so the whole chain scales the same
+  * way its parts do; each stage's row counts are reported for auditability.
+  *
+  *   raw docs → quality filter → language filter → exact dedup →
+  *   near-dup clustering (keep cluster canonical) → deterministic sample →
+  *   sharded hive-partitioned export
+  */
+object TrainingPipeline {
+
+  case class StageCounts(raw: Long, quality: Long, language: Long,
+                         exactDedup: Long, nearDedup: Long, sampled: Long)
+
+  /** Run the full chain; returns the surviving rows and per-stage counts.
+    * `sampleMod` keeps ~1/sampleMod of rows (hash-deterministic; 1 = keep
+    * all). Writes sharded parquet to `outDir` when non-empty. */
+  def prepare(docs: DataFrame, idCol: String, textCol: String, langCol: String,
+              keepLangs: Set[String], jaccardThreshold: Double = 0.35,
+              sampleMod: Int = 1, outDir: String = "",
+              nShards: Int = 8): (DataFrame, StageCounts) = {
+    val raw = docs.count()
+
+    // 1. quality: token/stopword/punctuation heuristics
+    val quality = TextAnalysis.withQualityScore(docs, textCol)
+      .where(col("quality_ok"))
+      .select(docs.columns.map(col): _*)
+    val nQuality = quality.count()
+
+    // 2. language allowlist
+    val lang = quality.where(col(langCol).isin(keepLangs.toSeq: _*))
+    val nLang = lang.count()
+
+    // 3. exact dedup: keep the lowest-id row per normalized fingerprint
+    val keeperIds = Dedup.byFingerprint(lang, idCol, textCol)
+      .select(col(idCol))
+    val exact = lang.join(keeperIds, Seq(idCol), "left_semi")
+    val nExact = exact.count()
+
+    // 4. near-dup clustering: connected components over jaccard>=t pairs;
+    // keep each cluster's canonical (minimum-id) member
+    val pairs = Dedup.ngramJaccardPairs(exact, idCol, textCol, k = 5,
+      threshold = jaccardThreshold).select(col("id_a"), col("id_b"))
+    val clusters = Dedup.clusterNearDups(
+      exact.select(col(idCol).as("id")), pairs)
+    val canon = clusters.where(col("id") === col("cluster_id"))
+      .select(col("id").as(idCol))
+    val near = exact.join(canon, Seq(idCol), "left_semi")
+    val nNear = near.count()
+
+    // 5. deterministic hash sample (stratified by construction)
+    val sampled = if (sampleMod <= 1) near else near.where(
+      graft.functions.hash60(concat(lit("smpl#"), col(idCol).cast("string")))
+        % sampleMod === 0)
+    val nSampled = sampled.count()
+
+    // 6. sharded export
+    if (outDir.nonEmpty)
+      OutputLayout.writeSharded(sampled, outDir, idCol, Seq(langCol), nShards)
+
+    (sampled, StageCounts(raw, nQuality, nLang, nExact, nNear, nSampled))
+  }
+}

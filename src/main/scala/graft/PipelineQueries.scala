@@ -75,6 +75,28 @@ object PipelineQueries {
         }
       }
     }),
+    // The injected SQL function surface end to end: hash60, shingles,
+    // MR-Angle and cosine all usable from plain Spark SQL, hash-matched
+    // against the DuckDB formulations of the same math.
+    "sql_functions" -> ((s, dir) => {
+      graft.plans.SkylineExtensions.register(s)
+      docs(s, dir).createOrReplaceTempView("docs_sqlfn")
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .createOrReplaceTempView("emb_sqlfn")
+      s.sql(
+        """SELECT d.doc_id,
+          |  graft_hash60(d.lang) AS lang_hash,
+          |  CAST(size(graft_shingles(lower(trim(d.text)), 5)) AS BIGINT)
+          |    AS n_shingles,
+          |  CAST(graft_mrangle(array(CAST(d.n_chars AS DOUBLE),
+          |    CAST(d.doc_id AS DOUBLE) + 1.0), 8) AS BIGINT) AS angle_pid,
+          |  graft_cosine(CAST(e.embedding AS ARRAY<DOUBLE>),
+          |    CAST(q.embedding AS ARRAY<DOUBLE>)) AS cos_q0
+          |FROM docs_sqlfn d
+          |JOIN emb_sqlfn e ON e.vec_id = d.doc_id
+          |CROSS JOIN (SELECT embedding FROM emb_sqlfn WHERE vec_id = 0) q
+          |ORDER BY d.doc_id""".stripMargin)
+    }),
     // File-format sources beyond parquet (SURVEY §2.2): write the fixture
     // subset out as CSV / JSON-lines, read it back through spark.read.csv /
     // spark.read.json with an explicit schema, and hash-match the parquet
@@ -137,6 +159,19 @@ object PipelineQueries {
          |  SELECT 1 FROM pts u
          |  WHERE u.v1 <= t.v1 AND u.v2 <= t.v2 AND (u.v1 < t.v1 OR u.v2 < t.v2))
          |ORDER BY t.id""".stripMargin.replace("\n", " "),
+    "sql_functions" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        |  WHERE vec_id = 0)
+        |SELECT d.doc_id,
+        |CAST(concat('0x', substr(md5(d.lang), 1, 15)) AS BIGINT) AS lang_hash,
+        |CAST(CASE WHEN length(lower(trim(d.text))) < 5 THEN 1
+        |  ELSE length(lower(trim(d.text))) - 4 END AS BIGINT) AS n_shingles,
+        |CAST(LEAST(GREATEST(CAST(FLOOR(ATAN2(CAST(d.doc_id AS DOUBLE) + 1.0,
+        |  CAST(d.n_chars AS DOUBLE)) / (PI() / 2.0) * 8) AS INT), 0), 7)
+        |  AS BIGINT) AS angle_pid,
+        |list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos_q0
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |CROSS JOIN q ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
     "csv_file_source" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey"""

@@ -126,16 +126,51 @@ class SkylineExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object SkylineExtensions {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.types.{BinaryType, LongType}
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal int, got $other")
+  }
+
+  /** md5-derived portable 60-bit hash as a Catalyst tree (the SQL-function
+    * form of [[graft.functions.hash60]]). */
+  private def hash60Expr(c: Expression): Expression =
+    Cast(Conv(Substring(Md5(Cast(c, BinaryType)), Literal(1), Literal(15)),
+      Literal(16), Literal(10)), LongType)
+
   /** Runtime registration on an existing session (extensions classes only
-    * apply at session build; driver-owned sessions need this path). */
+    * apply at session build; driver-owned sessions need this path). Exposes
+    * the skyline planner strategy plus the engine's SQL function surface:
+    * sky_dominates, graft_dot, graft_sqnorm, graft_cosine, graft_hash60,
+    * graft_shingles, graft_mrangle. */
   def register(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(SkylineStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ SkylineStrategy
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sky_dominates",
-      exprs => graft.functions.DominatesExpr(exprs(0), exprs(1)),
-      "built-in")
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("sky_dominates",
+      exprs => graft.functions.DominatesExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => graft.functions.DotProductExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sqnorm",
+      exprs => graft.functions.SqNormExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine", exprs => {
+      val dot = graft.functions.DotProductExpr(exprs(0), exprs(1))
+      val denom = Multiply(Sqrt(graft.functions.SqNormExpr(exprs(0))),
+        Sqrt(graft.functions.SqNormExpr(exprs(1))))
+      Least(Seq(Greatest(Seq(Divide(dot, denom), Literal(-1.0))), Literal(1.0)))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("graft_hash60",
+      exprs => hash60Expr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingles",
+      exprs => graft.functions.CharShinglesExpr(exprs(0),
+        intArg(exprs(1), "graft_shingles(k)")), "built-in")
+    reg.createOrReplaceTempFunction("graft_mrangle",
+      exprs => graft.functions.MrAngleExpr(exprs(0),
+        intArg(exprs(1), "graft_mrangle(n)")), "built-in")
   }
 }
 

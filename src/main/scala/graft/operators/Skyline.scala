@@ -439,6 +439,11 @@ object SkylineOps {
       }.toMap
     }
     val bOffsets = spark.sparkContext.broadcast(offsets)
+    // localCheckpoint(eager): the prefix frame must be MATERIALIZED while the
+    // cached `parted` (whose partition-id stamps the broadcast offsets
+    // describe) is still pinned. A lazy frame would recompute `parted` at
+    // action time with a freshly-sampled range partitioning, and the stale
+    // offsets would yield wrong prefix minima.
     val pref = parted.mapPartitions { it =>
       var run = Double.PositiveInfinity
       it.map { case (pid, v, m) =>
@@ -446,13 +451,12 @@ object SkylineOps {
         run = math.min(run, m)
         (v, m, pmin)
       }
-    }.toDF("_v1", "_gmin", "_pmin")
-    val out = df.join(pref, df(v1).cast("double") === col("_v1"))
+    }.toDF("_v1", "_gmin", "_pmin").localCheckpoint(true)
+    parted.unpersist()
+    df.join(pref, df(v1).cast("double") === col("_v1"))
       .where(col(v2).cast("double") === col("_gmin") &&
         col("_pmin") > col(v2).cast("double"))
       .select(col(idCol), col(v1), col(v2))
-    parted.unpersist()
-    out
   }
 
   /** Relational skyline over explicit dimension columns: returns the input rows

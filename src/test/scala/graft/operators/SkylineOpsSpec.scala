@@ -104,6 +104,19 @@ class SkylineOpsSpec extends AnyFunSuite {
         .as[(Long, Double, Double)].collect().toSet
       assert(a == b, s"seed=$seed")
     }
+    // high key cardinality + repeated invocation: the range sampler draws
+    // different boundaries per run, so any dependence on a recomputed
+    // partitioning (vs the one the offsets were computed from) shows up as
+    // run-to-run flicker here
+    val big = mkPts(60000, 2, seed = 63, card = 50000)
+    val bigDf = big.map(p => (p.id, p.values(0), p.values(1))).toDF("id", "v1", "v2")
+    val expect = SkylineOps.skyline2DDF(bigDf, "id", "v1", "v2")
+      .as[(Long, Double, Double)].collect().toSet
+    for (round <- 1 to 3) {
+      val got = SkylineOps.skyline2DDFScalable(bigDf, "id", "v1", "v2", numRanges = 16)
+        .as[(Long, Double, Double)].collect().toSet
+      assert(got == expect, s"round=$round")
+    }
   }
 
   test("grid-parallel skyline equals aggregator skyline across dims") {

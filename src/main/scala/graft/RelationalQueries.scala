@@ -200,6 +200,52 @@ object RelationalQueries {
           col("value_asof"), col("event_id_asof").as("prior_purchase_id"))
         .orderBy("event_id")
     }),
+    // forward as-of join: for each purchase, the user's NEXT error event
+    "asof_next_error" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.where(col("event_type") === "error")
+      graft.operators.AsOfJoin.forward(purchases, errors,
+          keyCols = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          payload = Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          col("event_id_asof").as("next_error_id"), col("value_asof"))
+        .orderBy("event_id")
+    }),
+    // hopping (sliding) event-time windows: 1h size, 30min slide — each
+    // event lands in two windows (explode over the two candidate starts)
+    "events_hopping" -> ((s, dir) => {
+      val hopBase = expr("(ts div 1000000000) div 1800 * 1800")
+      events(s, dir)
+        .select(col("event_type"), col("value"),
+          explode(array(hopBase - 1800L, hopBase)).as("window_start"))
+        .groupBy(col("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,3)")).cast("double").as("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+    // explicit grouping sets (beyond rollup/cube)
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |COUNT(*) AS n
+          |FROM li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+          .stripMargin)
+    }),
+    // pivot: per user decile, one count column per event type
+    "events_pivot" -> ((s, dir) =>
+      events(s, dir)
+        .select((col("user_id") % 10).as("user_decile"), col("event_type"))
+        .groupBy(col("user_decile"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_decile")),
     // grouping sets: rollup with decimal-exact sums
     "q1_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -374,6 +420,43 @@ object RelationalQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
         |ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin.replace("\n", " "),
+    "asof_next_error" ->
+      """SELECT p.event_id, p.user_id, n.next_error_id, n.value_asof
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |LEFT JOIN LATERAL (
+        |  SELECT e.event_id AS next_error_id, e.value AS value_asof
+        |  FROM events e
+        |  WHERE e.event_type = 'error' AND e.user_id = p.user_id
+        |    AND e.ts >= p.ts
+        |  ORDER BY e.ts, e.event_id LIMIT 1) n ON TRUE
+        |ORDER BY p.event_id""".stripMargin.replace("\n", " "),
+    "events_hopping" ->
+      """WITH e AS (SELECT event_type, value,
+        |  epoch_ns(ts) // 1000000000 AS sec FROM events),
+        |ex AS (SELECT event_type, value,
+        |  unnest([(sec // 1800) * 1800 - 1800, (sec // 1800) * 1800])
+        |    AS window_start FROM e)
+        |SELECT window_start, event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+        |FROM ex GROUP BY 1, 2 ORDER BY window_start, event_type"""
+        .stripMargin.replace("\n", " "),
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |COUNT(*) AS n
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+        .stripMargin.replace("\n", " "),
+    "events_pivot" ->
+      """SELECT user_id % 10 AS user_decile,
+        |COUNT(*) FILTER (event_type = 'click') AS click,
+        |COUNT(*) FILTER (event_type = 'error') AS error,
+        |COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY user_decile"""
+        .stripMargin.replace("\n", " "),
     "q1_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

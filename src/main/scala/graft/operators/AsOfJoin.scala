@@ -51,4 +51,40 @@ object AsOfJoin {
     }
     carried.where(col("_side") === 1).drop("_t", "_side")
   }
+
+  /** Forward as-of: for every left row, the EARLIEST right row at or after
+    * its time, per key. Same tagged-union shape scanned in descending time;
+    * the first payload column must uniquely identify right rows (it breaks
+    * equal-time ties toward the smallest value, deterministically). */
+  def forward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+              leftTime: String, rightTime: String,
+              payload: Seq[String]): DataFrame = {
+    val l = left.withColumn("_t", col(leftTime)).withColumn("_side", lit(1))
+    val r = right.select(
+      (keyCols.map(col) :+ col(rightTime).as("_t")) ++
+        payload.map(c => col(c).as(s"${c}_asof")): _*)
+      .withColumn("_side", lit(0))
+    val lCols = left.columns
+    val union = l.select(
+      (lCols.map(col) ++ payload.map(c => lit(null).cast(
+        right.schema(c).dataType).as(s"${c}_asof")) :+
+        col("_t") :+ col("_side")): _*)
+      .unionByName(r.select(
+        (keyCols.map(col) ++ lCols.filterNot(keyCols.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+          payload.map(c => col(s"${c}_asof")) :+ col("_t") :+ col("_side")): _*))
+    // descending time: the last right seen before a left row is the one with
+    // the smallest time >= the left's; right ids scan descending so the
+    // smallest id wins equal-time ties (left rows order among themselves is
+    // irrelevant — they carry nothing)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_t").desc, col("_side").asc,
+        col(s"${payload.head}_asof").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = payload.foldLeft(union) { (acc, c) =>
+      acc.withColumn(s"${c}_asof",
+        last(col(s"${c}_asof"), ignoreNulls = true).over(w))
+    }
+    carried.where(col("_side") === 1).drop("_t", "_side")
+  }
 }

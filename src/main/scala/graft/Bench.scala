@@ -27,7 +27,9 @@ object Bench {
     "multimodal_meta", "asof_purchase", "events_tumbling", "events_ranks",
     "sky4d_lineitem", "sky2d_plan", "stream_sky2d", "stream_tws_sky2d",
     "text_pii_scrub", "text_top_terms", "sample_stratified",
-    "events_quantiles", "q_cube", "sky_skyband")
+    "events_quantiles", "q_cube", "sky_skyband", "asof_next_error",
+    "events_hopping", "q_grouping_sets", "events_pivot", "sql_functions",
+    "csv_file_source", "json_file_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -62,8 +62,11 @@ object Bench {
           catch { case _: Throwable => -1.0 }
       }
     }
+    // a failed workload records -1 instead of losing the whole JSON line
+    def bench(name: String)(f: => Unit): Unit =
+      results(name) = try time(f) catch { case _: Throwable => -1.0 }
     // reference-workload skylines (1M anti-correlated, domain [0,10000])
-    results("sky_1m_2d_anti") = time {
+    bench("sky_1m_2d_anti") {
       SkylineOps.skylineViaStrategy(
         Generators.generate(spark, "anti-correlated", 1000000L, 2),
         "mr-angle", 10000.0, 8).count()
@@ -71,7 +74,7 @@ object Bench {
     // the prefix-scan path reads its input twice (group pass + join pass);
     // cache the generated points so generation runs once, like an ingested
     // table would (materialization is inside the timed region)
-    results("sky_1m_2d_sort") = time {
+    bench("sky_1m_2d_sort") {
       import org.apache.spark.sql.functions.col
       val pts = Generators.generate(spark, "anti-correlated", 1000000L, 2)
         .toDF("id", "values", "op")
@@ -80,14 +83,14 @@ object Bench {
       SkylineOps.skyline2DDFScalable(pts, "id", "v1", "v2").count()
       pts.unpersist()
     }
-    results("sky_1m_3d_anti") = time {
+    bench("sky_1m_3d_anti") {
       SkylineOps.skylineViaStrategy(
         Generators.generate(spark, "anti-correlated", 1000000L, 3),
         "mr-angle", 10000.0, 8).count()
     }
 
     // scalability envelope: reference is "linear to 10M records, < 400 s"
-    results("sky_10m_2d_sort") = time {
+    bench("sky_10m_2d_sort") {
       import org.apache.spark.sql.functions.col
       val pts = Generators.generate(spark, "anti-correlated", 10000000L, 2)
         .toDF("id", "values", "op")
@@ -100,12 +103,12 @@ object Bench {
     // capped there). The broadcast cross-filter keeps the global phase fully
     // parallel: local antichains are broadcast sum-sorted and every candidate
     // filters against the union on its own core.
-    results("sky_500k_4d_bcast") = time {
+    bench("sky_500k_4d_bcast") {
       SkylineOps.skylineBroadcastFilter(
         Generators.generate(spark, "anti-correlated", 500000L, 4)).count()
     }
     // the reference's own 4-D scale (1M records, ~717s on Flink)
-    results("sky_1m_4d_bcast") = time {
+    bench("sky_1m_4d_bcast") {
       SkylineOps.skylineBroadcastFilter(
         Generators.generate(spark, "anti-correlated", 1000000L, 4)).count()
     }

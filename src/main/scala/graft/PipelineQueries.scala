@@ -143,7 +143,14 @@ object PipelineQueries {
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
         Multimodal.decodeMeta(Multimodal.asBinary(docs(s, dir), "doc_id", "text")))
-        .orderBy("media_id", "frame_idx"))
+        .orderBy("media_id", "frame_idx")),
+    // multimodal: real per-item feature extraction (16-bin byte histogram,
+    // partition-batched like a neural encoder would run); exposed as the
+    // raw integer bin counts so the oracle is integer-only
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.byteHistogramCounts(
+        Multimodal.asBinary(docs(s, dir), "doc_id", "text"))
+        .orderBy("media_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -197,6 +204,19 @@ object PipelineQueries {
         |CAST(224 AS BIGINT) AS target_width, CAST(224 AS BIGINT) AS target_height,
         |CASE WHEN width > 0 THEN CAST(224 AS DOUBLE) / width ELSE 1.0 END AS scale_x
         |FROM meta ORDER BY media_id""".stripMargin.replace("\n", " "),
+    "multimodal_features" -> {
+      val bins = (0 until 16).map(b =>
+        s"COALESCE(COUNT(*) FILTER (nib = $b), 0) AS bin$b").mkString(", ")
+      s"""WITH ch AS (SELECT doc_id,
+         |  unnest([ascii(substr(text, i, 1)) // 16
+         |          for i in range(1, length(text) + 1)]) AS nib
+         |  FROM documents),
+         |agg AS (SELECT doc_id, $bins FROM ch GROUP BY doc_id)
+         |SELECT d.doc_id AS media_id,
+         |${(0 until 16).map(b => s"COALESCE(a.bin$b, 0) AS bin$b").mkString(", ")}
+         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY media_id""".stripMargin.replace("\n", " ")
+    },
     "multimodal_frames" ->
       """WITH meta AS (SELECT doc_id AS media_id,
         |  octet_length(CAST(text AS BLOB)) % 5 + 1 AS n_frames FROM documents)

@@ -130,6 +130,20 @@ object SkylineQueries {
         .where(col("n_dominators") < 3)
         .orderBy("id")
     }),
+    // dominance score: how many points each point dominates (the dual of
+    // skyband's dominator count — "top dominators" analytics)
+    "sky_dominance_score" -> ((s, dir) => {
+      val pts = partPoints(s, dir).where(col("id") <= 300)
+      val a = pts.select(col("id").as("id_a"), array(col("v1"), col("v2")).as("va"))
+      val b = pts.select(col("id").as("id_b"), array(col("v1"), col("v2")).as("vb"))
+      val cnt = a.crossJoin(b)
+        .where(graft.functions.DominanceExpressions.dominates(col("va"), col("vb")))
+        .groupBy(col("id_a")).agg(count(lit(1)).as("n_dominated"))
+      pts.join(cnt, pts("id") === cnt("id_a"), "left")
+        .select(col("id"),
+          coalesce(col("n_dominated"), lit(0L)).as("n_dominated"))
+        .orderBy(col("n_dominated").desc, col("id").asc)
+    }),
     // F2: grid dominance pre-filter (midpoint pruning)
     "grid_prefilter" -> ((s, dir) =>
       partPoints(s, dir)
@@ -202,6 +216,14 @@ object SkylineQueries {
          |SELECT a.id AS id_a, b.id AS id_b FROM pts a, pts b
          |WHERE a.v1 <= b.v1 AND a.v2 <= b.v2 AND (a.v1 < b.v1 OR a.v2 < b.v2)
          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    "sky_dominance_score" ->
+      s"""WITH pts AS (SELECT * FROM ($partPointsSql) WHERE id <= 300)
+         |SELECT t.id,
+         |(SELECT COUNT(*) FROM pts u
+         |  WHERE t.v1 <= u.v1 AND t.v2 <= u.v2 AND (t.v1 < u.v1 OR t.v2 < u.v2))
+         |  AS n_dominated
+         |FROM pts t
+         |ORDER BY n_dominated DESC, t.id ASC""".stripMargin.replace("\n", " "),
     "sky_skyband" ->
       s"""WITH pts AS (SELECT * FROM ($partPointsSql) WHERE id <= 300)
          |SELECT t.id, t.v1, t.v2,

@@ -75,6 +75,27 @@ object Multimodal {
       }.toDF("media_id", "features")
   }
 
+  /** Raw integer 16-bin byte histogram (un-normalized
+    * [[byteHistogramFeatures]]) — oracle-checkable exactly, same
+    * partition-batched shape. One column per bin. */
+  def byteHistogramCounts(bin: DataFrame, batchSize: Int = 64): DataFrame = {
+    implicit val enc = ExpressionEncoder[(Long, Array[Long])]()
+    bin.select(col("media_id"), col("payload")).as[(Long, Array[Byte])](
+      ExpressionEncoder[(Long, Array[Byte])]())
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val h = new Array[Long](16)
+            var i = 0
+            while (i < bytes.length) { h((bytes(i) & 0xff) >> 4) += 1L; i += 1 }
+            (id, h)
+          }
+        }
+      }.toDF("media_id", "bins")
+      .select(col("media_id") +: (0 until 16).map(b =>
+        element_at(col("bins"), b + 1).as(s"bin$b")): _*)
+  }
+
   /** Resize stub: a real codec would rescale pixels; the metadata transform
     * (target dims, scale factor) is the part pipelines depend on. */
   def resizeMeta(meta: Dataset[MediaMeta], targetW: Long, targetH: Long): DataFrame =

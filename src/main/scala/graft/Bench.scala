@@ -29,7 +29,8 @@ object Bench {
     "text_pii_scrub", "text_top_terms", "sample_stratified",
     "events_quantiles", "q_cube", "sky_skyband", "asof_next_error",
     "events_hopping", "q_grouping_sets", "events_pivot", "sql_functions",
-    "csv_file_source", "json_file_source")
+    "csv_file_source", "json_file_source", "multimodal_features",
+    "sky_dominance_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

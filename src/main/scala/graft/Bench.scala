@@ -81,8 +81,8 @@ object Bench {
         .toDF("id", "values", "op")
         .select(col("id"), col("values")(0).as("v1"), col("values")(1).as("v2"))
         .cache()
-      SkylineOps.skyline2DDFScalable(pts, "id", "v1", "v2").count()
-      pts.unpersist()
+      try SkylineOps.skyline2DDFScalable(pts, "id", "v1", "v2").count()
+      finally pts.unpersist()
     }
     bench("sky_1m_3d_anti") {
       SkylineOps.skylineViaStrategy(
@@ -97,8 +97,8 @@ object Bench {
         .toDF("id", "values", "op")
         .select(col("id"), col("values")(0).as("v1"), col("values")(1).as("v2"))
         .cache()
-      SkylineOps.skyline2DDFScalable(pts, "id", "v1", "v2").count()
-      pts.unpersist()
+      try SkylineOps.skyline2DDFScalable(pts, "id", "v1", "v2").count()
+      finally pts.unpersist()
     }
     // 4-D curse-of-dimensionality case (reference: ~717s at 800k-1M records,
     // capped there). The broadcast cross-filter keeps the global phase fully
@@ -122,11 +122,10 @@ object Bench {
       .map(_.group(1)).getOrElse("0")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+    // print ONCE, after Spark shutdown, so the single JSON result line is
+    // also the last stdout line (no interleaved executor teardown output)
+    spark.stop()
     println(line)
     System.out.flush()
-    spark.stop()
-    // re-print after Spark shutdown so the JSON is also the LAST stdout line
-    // even if executor teardown interleaves output
-    println(line)
   }
 }

@@ -76,26 +76,35 @@ object Similarity {
     val c = corpus.select(col(corpusId).as("nbr_id"), asDouble(col(corpusVec)).as("cvec"))
     val q = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("qvec"))
     // deterministic coarse centroids: nLists corpus vectors with the
-    // smallest hash60(id) — a seedless uniform sample of the corpus
-    val centroids = c
+    // smallest hash60(id) — a seedless uniform sample of the corpus. The
+    // selection is a distributed top-k (TakeOrderedAndProject); the nLists
+    // winners are collected and inlined as literals so list assignment below
+    // is a pure per-row expression — no crossJoin, no Exchange, no Window
+    // ever touches the corpus side.
+    val cents: Array[(Long, Array[Double])] = c
       .orderBy(hash60(concat(lit("ivf#"), col("nbr_id").cast("string"))).asc,
         col("nbr_id").asc)
       .limit(nLists)
       .select(col("nbr_id").as("list_id"), col("cvec").as("centroid"))
-    // corpus → nearest list (argmin by cosine distance, ties to lower id)
-    val wAssign = Window.partitionBy(col("nbr_id"))
-      .orderBy(cosineSimNative(col("cvec"), col("centroid")).desc, col("list_id").asc)
-    val assigned = c.crossJoin(broadcast(centroids))
-      .withColumn("_r", row_number().over(wAssign))
-      .where(col("_r") === 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // (negated cosine, list_id) structs sort ascending = cosine desc with
+    // ties to the lower list id — the same argmax rule as a row_number over
+    // (cosine DESC, list_id ASC)
+    def candidates(vec: Column): Column = array_sort(array(cents.map {
+      case (id, arr) =>
+        struct((-cosineSimNative(vec, typedLit(arr))).as("nc"),
+          lit(id).as("list_id"))
+    }: _*))
+    // corpus → nearest list: element 1 of the sorted candidate array
+    val assigned = c.withColumn("list_id",
+      element_at(candidates(col("cvec")), 1).getField("list_id"))
       .select(col("nbr_id"), col("cvec"), col("list_id"))
-    // query → nProbe nearest lists
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(cosineSimNative(col("qvec"), col("centroid")).desc, col("list_id").asc)
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("_r", row_number().over(wProbe))
-      .where(col("_r") <= nProbe)
-      .select(col("query_id"), col("qvec"), col("list_id"))
+    // query → nProbe nearest lists: first nProbe of the sorted candidates
+    val probes = q
+      .select(col("query_id"), col("qvec"),
+        explode(slice(candidates(col("qvec")), 1, nProbe)).as("_p"))
+      .select(col("query_id"), col("qvec"), col("_p.list_id").as("list_id"))
     val scored = assigned.join(broadcast(probes), Seq("list_id"))
       .select(col("query_id"), col("nbr_id"),
         cosineSimNative(col("qvec"), col("cvec")).as("cosine"))

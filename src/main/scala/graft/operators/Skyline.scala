@@ -219,36 +219,41 @@ object SkylineOps {
     val spark = ds.sparkSession
     import spark.implicits._
     implicit val pe: Encoder[Point] = ExpressionEncoder[Point]()
-    var localRdd = ds.rdd.mapPartitions { it =>
+    val localRdd = ds.rdd.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
       else Iterator.single(SkylineBuffer.of(it).result.toArray)
     }.cache()
-    // size check BEFORE any collect — the union never lands on the driver
-    // unless it fits the broadcast bound
-    var unionCount = localRdd.map(_.length.toLong).fold(0L)(_ + _)
-    if (unionCount == 0) { localRdd.unpersist(); return spark.emptyDataset[Point] }
-    if (unionCount > maxBroadcastPoints) {
-      // union too wide to broadcast whole: distributed pairwise cross-filter.
-      // The union is re-chunked, each (chunk i, chunk j) pair is dominance-
-      // checked in its OWN task (prefix-scan against chunk j's packed form),
-      // and per-chunk survivor bitmasks are AND-reduced. Total work is the
-      // same O(s²·d) any exact merge pays on a pathological antichain, but
-      // it is spread over chunks² tasks with no serial merge and no
-      // oversized driver collect.
-      val out = crossFilterChunks(spark, localRdd)
-      localRdd.unpersist()
-      return out
-    }
-    val union = localRdd.collect().iterator.flatten.toArray
-    val packed = pack(union)
-    val bPacked = spark.sparkContext.broadcast(packed)
-    val survivors = localRdd.flatMap { arr =>
-      val pk = bPacked.value
-      arr.iterator.filter(p => !dominatedByPacked(pk, p))
-    }
-    spark.createDataset(survivors)
-    // materialization note: survivors reads localRdd (cached) once more; the
-    // caller's first action computes it, after which the cache can be freed.
+    try {
+      // size check BEFORE any collect — the union never lands on the driver
+      // unless it fits the broadcast bound
+      val unionCount = localRdd.map(_.length.toLong).fold(0L)(_ + _)
+      if (unionCount == 0) return spark.emptyDataset[Point]
+      if (unionCount > maxBroadcastPoints) {
+        // union too wide to broadcast whole: distributed pairwise cross-filter.
+        // The union is re-chunked, each (chunk i, chunk j) pair is dominance-
+        // checked in its OWN task (prefix-scan against chunk j's packed form),
+        // and per-chunk survivor bitmasks are AND-reduced. Total work is the
+        // same O(s²·d) any exact merge pays on a pathological antichain, but
+        // it is spread over chunks² tasks with no serial merge and no
+        // oversized driver collect.
+        return crossFilterChunks(spark, localRdd)
+      }
+      val union = localRdd.collect().iterator.flatten.toArray
+      val packed = pack(union)
+      val bPacked = spark.sparkContext.broadcast(packed)
+      // the union is already on the driver, so the candidate side is re-seeded
+      // from it rather than re-reading localRdd — nothing stays cached past
+      // this call (a leak here pins block-manager memory for the session,
+      // since query catalogs call this dozens of times)
+      val slices = math.max(1, math.min(union.length / 4096 + 1,
+        spark.sparkContext.defaultParallelism))
+      val survivors = spark.sparkContext.parallelize(union.toIndexedSeq, slices)
+        .mapPartitions { it =>
+          val pk = bPacked.value
+          it.filter(p => !dominatedByPacked(pk, p))
+        }
+      spark.createDataset(survivors)
+    } finally localRdd.unpersist(false)
   }
 
   /** Distributed pairwise cross-filter over an RDD of local antichains: the
@@ -262,11 +267,22 @@ object SkylineOps {
     implicit val pe: Encoder[Point] = ExpressionEncoder[Point]()
     val nChunks = math.max(2, spark.sparkContext.defaultParallelism * 2)
     // re-chunk to balance: points hash-spread, each chunk re-reduced to an
-    // antichain (sound: dropping locally-dominated points is always sound)
+    // antichain (sound: dropping locally-dominated points is always sound).
+    // Each chunk is then put in a TOTAL deterministic order (coordinate sum,
+    // then id): the survivor bitmasks below address points by array index,
+    // so a cache-evicted-and-recomputed chunk must reproduce the exact same
+    // order or bit x would silently denote a different point.
     val chunks = localRdd.flatMap(_.iterator)
       .map(p => (java.lang.Math.floorMod(p.id, nChunks.toLong), p))
       .groupByKey(nChunks)
-      .map { case (i, pts) => (i, SkylineBuffer.of(pts.iterator).result.toArray) }
+      .map { case (i, pts) =>
+        val arr = SkylineBuffer.of(pts.iterator).result.toArray
+        (i, arr.sortBy(p => {
+          var s = 0.0; var k = 0
+          while (k < p.values.length) { s += p.values(k); k += 1 }
+          (s, p.id)
+        }))
+      }
       .cache()
     val packed = chunks.map { case (i, arr) => (i, pack(arr)) }
     val pairs = chunks.cartesian(packed)
@@ -299,7 +315,14 @@ object SkylineOps {
         }
         case None => arr.iterator
       }
-    }
+    }.cache()
+    // materialize the (result-sized) survivors eagerly so the chunk cache —
+    // bounded by the full union, potentially >maxBroadcastPoints — can be
+    // freed before returning instead of pinning block-manager memory for the
+    // rest of the session; the survivors cache itself is freed by the
+    // ContextCleaner once the returned Dataset is dropped
+    survivors.count()
+    chunks.unpersist(false)
     spark.createDataset(survivors)
   }
 
@@ -410,15 +433,23 @@ object SkylineOps {
     }
   }
 
-  /** Sort-based 2-D skyline — the Catalyst-native fast path. A point (v1,v2)
-    * is Pareto-minimal iff v2 equals the min of its v1-group AND no strictly
-    * smaller v1-group has a min v2 <= v2. That is one groupBy + one prefix-min
-    * window over the DISTINCT v1 values + one join: all codegen, no BNL, and
-    * the only single-task step runs over distinct(v1) rows (bounded for
-    * discretized/low-cardinality dims; for unbounded continuous dims at scale
-    * prefer [[skyline]] or range-partition the prefix scan). Duplicates of a
-    * skyline point all survive, like the BNL path. */
-  def skyline2DDF(df: DataFrame, idCol: String, v1: String, v2: String): DataFrame = {
+  /** Sort-based 2-D skyline. A point (v1,v2) is Pareto-minimal iff v2 equals
+    * the min of its v1-group AND no strictly smaller v1-group has a min
+    * v2 <= v2. The public path delegates to [[skyline2DDFScalable]], whose
+    * prefix-min is range-partitioned — no task ever sees all distinct v1
+    * values, so the plan has no single-partition window at any scale.
+    * Duplicates of a skyline point all survive, like the BNL path. */
+  def skyline2DDF(df: DataFrame, idCol: String, v1: String, v2: String): DataFrame =
+    skyline2DDFScalable(df, idCol, v1, v2)
+
+  /** Windowed reference formulation of the 2-D sort skyline: one global
+    * prefix-min window over the DISTINCT v1 values. Kept ONLY as a test
+    * oracle for [[skyline2DDFScalable]] — the `Window.orderBy` with no
+    * partitioning funnels all distinct v1 values through one task, which is
+    * exactly what the scalable path exists to avoid. Not part of the public
+    * API. */
+  private[graft] def skyline2DDFWindowed(df: DataFrame, idCol: String,
+                                         v1: String, v2: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gmin = df.groupBy(col(v1)).agg(min(col(v2)).as("_gmin"))
     val w = Window.orderBy(col(v1)).rowsBetween(Window.unboundedPreceding, -1)

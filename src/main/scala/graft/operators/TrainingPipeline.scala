@@ -36,33 +36,39 @@ object TrainingPipeline {
     val lang = quality.where(col(langCol).isin(keepLangs.toSeq: _*))
     val nLang = lang.count()
 
-    // 3. exact dedup: keep the lowest-id row per normalized fingerprint
+    // 3. exact dedup: keep the lowest-id row per normalized fingerprint.
+    // Cached: the near-dup stage below (shingle join + iterative clustering)
+    // is the dominant cost and reads `exact` several times — without the
+    // cache every downstream count() replays stages 1-3 too.
     val keeperIds = Dedup.byFingerprint(lang, idCol, textCol)
       .select(col(idCol))
-    val exact = lang.join(keeperIds, Seq(idCol), "left_semi")
+    val exact = lang.join(keeperIds, Seq(idCol), "left_semi").cache()
     val nExact = exact.count()
+    try {
+      // 4. near-dup clustering: connected components over jaccard>=t pairs;
+      // keep each cluster's canonical (minimum-id) member
+      val pairs = Dedup.ngramJaccardPairs(exact, idCol, textCol, k = 5,
+        threshold = jaccardThreshold).select(col("id_a"), col("id_b"))
+      val clusters = Dedup.clusterNearDups(
+        exact.select(col(idCol).as("id")), pairs)
+      val canon = clusters.where(col("id") === col("cluster_id"))
+        .select(col("id").as(idCol))
+      val near = exact.join(canon, Seq(idCol), "left_semi").cache()
+      try {
+        val nNear = near.count()
 
-    // 4. near-dup clustering: connected components over jaccard>=t pairs;
-    // keep each cluster's canonical (minimum-id) member
-    val pairs = Dedup.ngramJaccardPairs(exact, idCol, textCol, k = 5,
-      threshold = jaccardThreshold).select(col("id_a"), col("id_b"))
-    val clusters = Dedup.clusterNearDups(
-      exact.select(col(idCol).as("id")), pairs)
-    val canon = clusters.where(col("id") === col("cluster_id"))
-      .select(col("id").as(idCol))
-    val near = exact.join(canon, Seq(idCol), "left_semi")
-    val nNear = near.count()
+        // 5. deterministic hash sample (stratified by construction)
+        val sampled = if (sampleMod <= 1) near else near.where(
+          graft.functions.hash60(concat(lit("smpl#"), col(idCol).cast("string")))
+            % sampleMod === 0)
+        val nSampled = sampled.count()
 
-    // 5. deterministic hash sample (stratified by construction)
-    val sampled = if (sampleMod <= 1) near else near.where(
-      graft.functions.hash60(concat(lit("smpl#"), col(idCol).cast("string")))
-        % sampleMod === 0)
-    val nSampled = sampled.count()
+        // 6. sharded export
+        if (outDir.nonEmpty)
+          OutputLayout.writeSharded(sampled, outDir, idCol, Seq(langCol), nShards)
 
-    // 6. sharded export
-    if (outDir.nonEmpty)
-      OutputLayout.writeSharded(sampled, outDir, idCol, Seq(langCol), nShards)
-
-    (sampled, StageCounts(raw, nQuality, nLang, nExact, nNear, nSampled))
+        (sampled, StageCounts(raw, nQuality, nLang, nExact, nNear, nSampled))
+      } finally near.unpersist(false)
+    } finally exact.unpersist(false)
   }
 }

@@ -98,7 +98,7 @@ class SkylineOpsSpec extends AnyFunSuite {
     for (seed <- Seq(61, 62)) {
       val pts = mkPts(4000, 2, seed, card = 60)
       val df = pts.map(p => (p.id, p.values(0), p.values(1))).toDF("id", "v1", "v2")
-      val a = SkylineOps.skyline2DDF(df, "id", "v1", "v2")
+      val a = SkylineOps.skyline2DDFWindowed(df, "id", "v1", "v2")
         .as[(Long, Double, Double)].collect().toSet
       val b = SkylineOps.skyline2DDFScalable(df, "id", "v1", "v2", numRanges = 7)
         .as[(Long, Double, Double)].collect().toSet
@@ -110,7 +110,7 @@ class SkylineOpsSpec extends AnyFunSuite {
     // run-to-run flicker here
     val big = mkPts(60000, 2, seed = 63, card = 50000)
     val bigDf = big.map(p => (p.id, p.values(0), p.values(1))).toDF("id", "v1", "v2")
-    val expect = SkylineOps.skyline2DDF(bigDf, "id", "v1", "v2")
+    val expect = SkylineOps.skyline2DDFWindowed(bigDf, "id", "v1", "v2")
       .as[(Long, Double, Double)].collect().toSet
     for (round <- 1 to 3) {
       val got = SkylineOps.skyline2DDFScalable(bigDf, "id", "v1", "v2", numRanges = 16)

@@ -104,8 +104,8 @@ object TextQueries {
           e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy("query_id", "rank")
     }),
-    // IVF-style ANN (deterministic stride centroids, nProbe lists) — no SQL
-    // oracle (recall asserted in PipelineOpsSpec); rows-only driver check
+    // IVF-style ANN (deterministic hash-sampled centroids, nProbe lists);
+    // full DuckDB oracle below mirrors the centroid/argmax construction
     "ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfTopK(e, "vec_id", "embedding",
@@ -113,9 +113,8 @@ object TextQueries {
           k = 10, nLists = 16, nProbe = 4)
         .orderBy("query_id", "rank")
     }),
-    // LSH-bucketed ANN (deterministic hyperplanes) — no SQL oracle; the
-    // driver records a rows-only check. Recall vs brute force is asserted in
-    // SimilaritySpec instead.
+    // LSH-bucketed ANN (deterministic hyperplanes); full DuckDB oracle below
+    // embeds the plane constants. Recall vs brute force asserted in specs.
     "ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.lshTopK(e, "vec_id", "embedding",
@@ -352,6 +351,69 @@ object TextQueries {
         |    ORDER BY cosine DESC, nbr_id ASC) AS rank FROM scored)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, nbr_id, cosine
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+        .stripMargin.replace("\n", " ")
+
+    // IVF ANN oracle: same deterministic construction as Similarity.ivfTopK —
+    // centroids = 16 corpus vectors with the smallest hash60('ivf#'||id),
+    // argmax-cosine list assignment, 4 probed lists per query. Cosine values
+    // are bit-equal between cosineSimNative and list_cosine_similarity, so
+    // the argmax/rank orders agree exactly.
+    m += "ann_ivf" ->
+      s"""WITH c AS (SELECT vec_id AS nbr_id, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM embeddings),
+         |cent AS (SELECT nbr_id AS list_id, cvec AS centroid FROM c
+         |  ORDER BY ${hash60Sql("concat('ivf#', CAST(nbr_id AS VARCHAR))")} ASC,
+         |    nbr_id ASC LIMIT 16),
+         |assigned AS (SELECT nbr_id, cvec, list_id FROM (
+         |  SELECT c.nbr_id, c.cvec, cent.list_id,
+         |    ROW_NUMBER() OVER (PARTITION BY c.nbr_id
+         |      ORDER BY list_cosine_similarity(c.cvec, cent.centroid) DESC,
+         |        cent.list_id ASC) AS r
+         |  FROM c CROSS JOIN cent) WHERE r = 1),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+         |  FROM embeddings WHERE vec_id < 5),
+         |probes AS (SELECT query_id, qvec, list_id FROM (
+         |  SELECT q.query_id, q.qvec, cent.list_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY list_cosine_similarity(q.qvec, cent.centroid) DESC,
+         |        cent.list_id ASC) AS r
+         |  FROM q CROSS JOIN cent) WHERE r <= 4),
+         |scored AS (SELECT p.query_id, a.nbr_id,
+         |  list_cosine_similarity(p.qvec, a.cvec) AS cosine
+         |  FROM assigned a JOIN probes p USING (list_id)),
+         |ranked AS (SELECT query_id, nbr_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, nbr_id ASC) AS rank FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, nbr_id, cosine
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+        .stripMargin.replace("\n", " ")
+
+    // LSH ANN oracle: the 6 hyperplanes' md5-derived components are embedded
+    // as literals (Double.toString round-trips exactly), and each dot product
+    // is an explicit left-associative sum — the same fold order as the
+    // Column-level dotProduct — so the sign bits and buckets match exactly.
+    def lshBucketSql(vec: String): String =
+      (0 until 6).map { p =>
+        val dot = (0 until 64).map { d =>
+          s"$vec[${d + 1}] * ${operators.Similarity.planeComponent(p, d)}"
+        }.mkString(" + ")
+        s"(CASE WHEN $dot >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    m += "ann_lsh" ->
+      s"""WITH c AS (SELECT vec_id AS nbr_id, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM embeddings),
+         |cb AS (SELECT nbr_id, cvec, ${lshBucketSql("cvec")} AS bucket FROM c),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+         |  FROM embeddings WHERE vec_id < 5),
+         |qb AS (SELECT query_id, qvec, ${lshBucketSql("qvec")} AS bucket FROM q),
+         |scored AS (SELECT qb.query_id, cb.nbr_id,
+         |  list_cosine_similarity(qb.qvec, cb.cvec) AS cosine
+         |  FROM cb JOIN qb USING (bucket)),
+         |ranked AS (SELECT query_id, nbr_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, nbr_id ASC) AS rank FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, nbr_id, cosine
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         .stripMargin.replace("\n", " ")
 
     m.toMap

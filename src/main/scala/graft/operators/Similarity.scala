@@ -42,8 +42,11 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
-    * a value in [-0.5, 0.5) derived from md5 — identical across engines. */
-  private def planeComponent(p: Int, d: Int): Double = {
+    * a value in [-0.5, 0.5) derived from md5 — identical across engines.
+    * Exposed package-wide so the DuckDB oracle SQL can embed the exact same
+    * constants (Double.toString round-trips bit-exactly through the SQL
+    * parser). */
+  private[graft] def planeComponent(p: Int, d: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"plane_${p}_$d".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.substring(0, 15)

@@ -113,37 +113,22 @@ object SkylineQueries {
           |  WHERE sky_dominates(array(u.v1, u.v2), array(t.v1, t.v2)))
           |ORDER BY t.id""".stripMargin)
     }),
-    // k-skyband generalization: rows dominated by fewer than k others
-    // (k = 1 is the skyline). Dominator counting via the codegen'd dominance
-    // predicate; at scale the count join runs per grid cell (only subset
-    // cells can contain dominators), bounding the pairwise work.
-    "sky_skyband" -> ((s, dir) => {
-      val pts = partPoints(s, dir).where(col("id") <= 300)
-      val a = pts.select(col("id").as("id_a"), array(col("v1"), col("v2")).as("va"))
-      val b = pts.select(col("id").as("id_b"), array(col("v1"), col("v2")).as("vb"))
-      val cnt = a.crossJoin(b)
-        .where(graft.functions.DominanceExpressions.dominates(col("va"), col("vb")))
-        .groupBy(col("id_b")).agg(count(lit(1)).as("n_dominators"))
-      pts.join(cnt, pts("id") === cnt("id_b"), "left")
-        .select(col("id"), col("v1"), col("v2"),
-          coalesce(col("n_dominators"), lit(0L)).as("n_dominators"))
+    // k-skyband generalization over the FULL part table: rows dominated by
+    // fewer than k others (k = 1 is the skyline). Grid-cell-bounded dominator
+    // counting — strictly-dominating cells contribute via a broadcast
+    // prefix-sum table, only same-row/column border cells are checked
+    // pairwise through a cell-keyed join (no crossJoin anywhere).
+    "sky_skyband" -> ((s, dir) =>
+      SkylineOps.dominatorCounts2D(partPoints(s, dir), "id", "v1", "v2",
+          DOMAIN, g = 32)
         .where(col("n_dominators") < 3)
-        .orderBy("id")
-    }),
-    // dominance score: how many points each point dominates (the dual of
-    // skyband's dominator count — "top dominators" analytics)
-    "sky_dominance_score" -> ((s, dir) => {
-      val pts = partPoints(s, dir).where(col("id") <= 300)
-      val a = pts.select(col("id").as("id_a"), array(col("v1"), col("v2")).as("va"))
-      val b = pts.select(col("id").as("id_b"), array(col("v1"), col("v2")).as("vb"))
-      val cnt = a.crossJoin(b)
-        .where(graft.functions.DominanceExpressions.dominates(col("va"), col("vb")))
-        .groupBy(col("id_a")).agg(count(lit(1)).as("n_dominated"))
-      pts.join(cnt, pts("id") === cnt("id_a"), "left")
-        .select(col("id"),
-          coalesce(col("n_dominated"), lit(0L)).as("n_dominated"))
-        .orderBy(col("n_dominated").desc, col("id").asc)
-    }),
+        .orderBy("id")),
+    // dominance score over the FULL part table: how many points each point
+    // dominates (the dual decomposition — suffix sums + upper border cells)
+    "sky_dominance_score" -> ((s, dir) =>
+      SkylineOps.dominatedCounts2D(partPoints(s, dir), "id", "v1", "v2",
+          DOMAIN, g = 32)
+        .orderBy(col("n_dominated").desc, col("id").asc)),
     // F2: grid dominance pre-filter (midpoint pruning)
     "grid_prefilter" -> ((s, dir) =>
       partPoints(s, dir)
@@ -216,8 +201,10 @@ object SkylineQueries {
          |SELECT a.id AS id_a, b.id AS id_b FROM pts a, pts b
          |WHERE a.v1 <= b.v1 AND a.v2 <= b.v2 AND (a.v1 < b.v1 OR a.v2 < b.v2)
          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    // oracles stay the direct quadratic formulation — the grid decomposition
+    // on the Spark side must reproduce them exactly
     "sky_dominance_score" ->
-      s"""WITH pts AS (SELECT * FROM ($partPointsSql) WHERE id <= 300)
+      s"""WITH pts AS ($partPointsSql)
          |SELECT t.id,
          |(SELECT COUNT(*) FROM pts u
          |  WHERE t.v1 <= u.v1 AND t.v2 <= u.v2 AND (t.v1 < u.v1 OR t.v2 < u.v2))
@@ -225,15 +212,13 @@ object SkylineQueries {
          |FROM pts t
          |ORDER BY n_dominated DESC, t.id ASC""".stripMargin.replace("\n", " "),
     "sky_skyband" ->
-      s"""WITH pts AS (SELECT * FROM ($partPointsSql) WHERE id <= 300)
-         |SELECT t.id, t.v1, t.v2,
-         |(SELECT COUNT(*) FROM pts u
-         |  WHERE u.v1 <= t.v1 AND u.v2 <= t.v2 AND (u.v1 < t.v1 OR u.v2 < t.v2))
-         |  AS n_dominators
-         |FROM pts t
-         |WHERE (SELECT COUNT(*) FROM pts u
-         |  WHERE u.v1 <= t.v1 AND u.v2 <= t.v2 AND (u.v1 < t.v1 OR u.v2 < t.v2)) < 3
-         |ORDER BY t.id""".stripMargin.replace("\n", " "),
+      s"""WITH pts AS ($partPointsSql),
+         |cnt AS (SELECT t.id, t.v1, t.v2,
+         |  (SELECT COUNT(*) FROM pts u
+         |    WHERE u.v1 <= t.v1 AND u.v2 <= t.v2 AND (u.v1 < t.v1 OR u.v2 < t.v2))
+         |    AS n_dominators FROM pts t)
+         |SELECT id, v1, v2, n_dominators FROM cnt
+         |WHERE n_dominators < 3 ORDER BY id""".stripMargin.replace("\n", " "),
     "grid_prefilter" ->
       s"""WITH pts AS ($partPointsSql) SELECT id, v1, v2 FROM pts
          |WHERE v1 < ${DOMAIN / 2} OR v2 < ${DOMAIN / 2} ORDER BY id"""

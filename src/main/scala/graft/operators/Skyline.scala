@@ -528,4 +528,107 @@ object SkylineOps {
       dimCols.zipWithIndex.map { case (c, i) =>
         element_at(col("values"), i + 1).as(c) }: _*)
   }
+
+  /** Grid-cell-bounded dominator counting (2-D, minimization): for every row,
+    * the exact number of rows that strictly dominate it — the k-skyband
+    * predicate is `n_dominators < k` (k = 1 gives the skyline).
+    *
+    * Decomposition (the subset-cell property of [[skylineGridParallel]],
+    * applied to counting): a dominator of a point in cell (cx, cy) can only
+    * live in a cell (cx', cy') with cx' <= cx and cy' <= cy.
+    *  - Cells with cx' < cx AND cy' < cy dominate WHOLESALE — every point
+    *    there beats every point here, so their contribution is just a count:
+    *    per-cell counts (g² longs) are collected once and turned into a 2-D
+    *    prefix-sum table, broadcast-joined back. No pairwise work at all.
+    *  - Only same-row / same-column border cells (≤ 2g of the g² cells) need
+    *    exact pairwise dominance checks, and those run as a cell-keyed
+    *    shuffle join — never a crossJoin. Per-point comparisons shrink from
+    *    |input| to ~|input|·2/g, and the work is hash-spread by cell.
+    *
+    * Mirrors the reference's grid partitioner pruning idea
+    * (`java/org.main/FlinkSkyline.java:243-276`) but for dominance COUNTS
+    * rather than skyline membership. */
+  def dominatorCounts2D(df: DataFrame, idCol: String, v1: String, v2: String,
+                        domain: Double, g: Int = 32,
+                        countName: String = "n_dominators"): DataFrame =
+    gridDominanceCounts(df, idCol, v1, v2, domain, g, countName, dual = false)
+
+  /** Dual of [[dominatorCounts2D]]: for every row, how many rows it strictly
+    * DOMINATES (the "dominance score" analytic) — same grid decomposition
+    * with the comparison directions flipped (suffix sums + upper-right
+    * border cells). Output: (idCol, countName). */
+  def dominatedCounts2D(df: DataFrame, idCol: String, v1: String, v2: String,
+                        domain: Double, g: Int = 32,
+                        countName: String = "n_dominated"): DataFrame =
+    gridDominanceCounts(df, idCol, v1, v2, domain, g, countName, dual = true)
+      .select(col(idCol), col(countName))
+
+  private def gridDominanceCounts(df: DataFrame, idCol: String, v1: String,
+                                  v2: String, domain: Double, g: Int,
+                                  countName: String, dual: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    val w = domain / g
+    // clamped cell index: monotone in the coordinate, so cx' < cx still
+    // implies v' < v even for out-of-domain values
+    def cellOf(c: Column): Column =
+      least(greatest(floor(c / lit(w)).cast("int"), lit(0)), lit(g - 1))
+    val pts = df.select(col(idCol).as("_id"),
+        col(v1).cast("double").as("_v1"), col(v2).cast("double").as("_v2"))
+      .withColumn("_cx", cellOf(col("_v1")))
+      .withColumn("_cy", cellOf(col("_v2")))
+    // per-cell counts -> driver-side 2-D prefix sums (g² longs, tiny)
+    val counts = pts.groupBy(col("_cx"), col("_cy")).count().collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val prefix = Array.ofDim[Long](g + 2, g + 2) // #points in cells (<i, <j)
+    for (i <- 1 to g; j <- 1 to g)
+      prefix(i)(j) = prefix(i - 1)(j) + prefix(i)(j - 1) - prefix(i - 1)(j - 1) +
+        counts.getOrElse((i - 1, j - 1), 0L)
+    val total = prefix(g)(g)
+    // strict-cell contribution at (i, j): wholly-dominating cells — lower-left
+    // (< i, < j) for dominator counting, upper-right (> i, > j) for the dual
+    // (by inclusion-exclusion from the same prefix table)
+    def strictAt(i: Int, j: Int): Long =
+      if (!dual) prefix(i)(j)
+      else total - prefix(i + 1)(g) - prefix(g)(j + 1) + prefix(i + 1)(j + 1)
+    import spark.implicits._
+    val strictDf = (for (i <- 0 until g; j <- 0 until g)
+      yield (i, j, strictAt(i, j))).toDF("_cx", "_cy", "_strict")
+    // border candidate cells of (cx, cy): the same column on the dominating
+    // side inclusive, plus the same row on the dominating side exclusive.
+    // sequence(a, b) would DESCEND when b < a, so empty ranges are guarded.
+    val emptyCells = array().cast("array<struct<bx:int,by:int>>")
+    val colCells =
+      if (!dual) transform(sequence(lit(0), col("_cy")),
+        y => struct(col("_cx").as("bx"), y.as("by")))
+      else transform(sequence(col("_cy"), lit(g - 1)),
+        y => struct(col("_cx").as("bx"), y.as("by")))
+    val rowCells =
+      if (!dual) when(col("_cx") === 0, emptyCells)
+        .otherwise(transform(sequence(lit(0), col("_cx") - 1),
+          x => struct(x.as("bx"), col("_cy").as("by"))))
+      else when(col("_cx") === g - 1, emptyCells)
+        .otherwise(transform(sequence(col("_cx") + 1, lit(g - 1)),
+          x => struct(x.as("bx"), col("_cy").as("by"))))
+    val targets = pts.select(col("_id"), col("_v1"), col("_v2"),
+        explode(concat(colCells, rowCells)).as("_bc"))
+      .select(col("_id"), col("_v1"), col("_v2"),
+        col("_bc.bx").as("_bx"), col("_bc.by").as("_by"))
+    val cands = pts.select(col("_cx").as("_bx"), col("_cy").as("_by"),
+      col("_v1").as("_u1"), col("_v2").as("_u2"))
+    // pairwise predicate: u dominates target (default) / target dominates u
+    // (dual)
+    val joined = targets.join(cands, Seq("_bx", "_by"))
+    val borderPred =
+      if (!dual) col("_u1") <= col("_v1") && col("_u2") <= col("_v2") &&
+        (col("_u1") < col("_v1") || col("_u2") < col("_v2"))
+      else col("_v1") <= col("_u1") && col("_v2") <= col("_u2") &&
+        (col("_v1") < col("_u1") || col("_v2") < col("_u2"))
+    val borderCnt = joined.where(borderPred)
+      .groupBy(col("_id")).agg(count(lit(1)).as("_border"))
+    pts.join(broadcast(strictDf), Seq("_cx", "_cy"), "left")
+      .join(borderCnt, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("_v1").as(v1), col("_v2").as(v2),
+        (coalesce(col("_strict"), lit(0L)) + coalesce(col("_border"), lit(0L)))
+          .as(countName))
+  }
 }

@@ -167,4 +167,31 @@ class SkylineOpsSpec extends AnyFunSuite {
     assert(opt >= 0.0 && opt <= 1.0)
     assert(row.getAs[Long]("skyline_size") > 0)
   }
+
+  test("grid-bounded dominator/dominated counts equal brute force") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // duplicates on purpose (card small); values deliberately exceed the
+    // declared domain to exercise the clamped top/bottom cells
+    for ((seed, domain, g) <- Seq((91, 100.0, 8), (92, 80.0, 5), (93, 100.0, 32))) {
+      val rng = new scala.util.Random(seed)
+      val rows = Seq.tabulate(1500)(i =>
+        (i.toLong, rng.nextInt(120).toDouble - 5.0, rng.nextInt(120).toDouble - 5.0))
+      val df = rows.toDF("id", "v1", "v2")
+      val expDominators = rows.map { case (id, x, y) =>
+        id -> rows.count { case (_, ux, uy) =>
+          ux <= x && uy <= y && (ux < x || uy < y) }.toLong
+      }.toMap
+      val expDominated = rows.map { case (id, x, y) =>
+        id -> rows.count { case (_, ux, uy) =>
+          x <= ux && y <= uy && (x < ux || y < uy) }.toLong
+      }.toMap
+      val gotDominators = SkylineOps.dominatorCounts2D(df, "id", "v1", "v2", domain, g)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(gotDominators == expDominators, s"dominators seed=$seed g=$g")
+      val gotDominated = SkylineOps.dominatedCounts2D(df, "id", "v1", "v2", domain, g)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotDominated == expDominated, s"dominated seed=$seed g=$g")
+    }
+  }
 }

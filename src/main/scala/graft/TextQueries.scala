@@ -76,10 +76,14 @@ object TextQueries {
       Dedup.minhashCandidates(docs(s, dir), "doc_id", "text",
           k = 5, numHashes = NUM_HASHES, bands = BANDS)
         .orderBy("id_a", "id_b")),
-    // exact n-gram jaccard over candidate pairs (inverted-index join)
+    // exact n-gram jaccard over candidate pairs (inverted-index join) with
+    // the hot-shingle guard: shingles in more than 100 documents are dropped
+    // from both the intersection and the set sizes, bounding every shingle
+    // join group (a single boilerplate shingle otherwise makes the group
+    // quadratic in corpus size)
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 5,
-          threshold = 0.35)
+          threshold = 0.35, maxDocFreq = 100)
         .orderBy("id_a", "id_b")),
     // near-dup clustering: connected components (min-label propagation) over
     // the jaccard>=0.35 similarity graph; cluster_id = canonical (min) doc
@@ -256,8 +260,13 @@ object TextQueries {
          |FROM pairs p JOIN sig a ON a.doc_id = p.id_a JOIN sig b ON b.doc_id = p.id_b
          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
 
+    // same df<=100 hot-shingle cap as the Spark side, applied before both
+    // the intersection join and the set sizes
     m += "dedup_ngram_jaccard" ->
-      s"""WITH sh AS ($shinglesSql),
+      s"""WITH sh0 AS ($shinglesSql),
+         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN (
+         |  SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 100) f
+         |  ON sh0.shingle = f.shingle),
          |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
          |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -83,13 +83,28 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for pairs sharing at least one shingle.
     * Implemented as shingle-explode + equi-join on the shingle (the classic
     * inverted-index join) + per-pair intersection counting — no cross join.
-    */
+    *
+    * `maxDocFreq` is the hot-shingle guard for skewed corpora: a shingle
+    * appearing in f documents makes its join group produce f² pair rows, so
+    * one boilerplate shingle shared by 1M documents would alone emit 10¹²
+    * rows. Shingles with document frequency > maxDocFreq are dropped from
+    * BOTH the intersection and the per-document sizes (jaccard is then exact
+    * over the filtered shingle sets — a well-defined, oracle-mirrorable
+    * semantic), bounding every join group at maxDocFreq² rows. The default
+    * keeps the unfiltered exact semantics. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 5, threshold: Double = 0.0): DataFrame = {
+                        k: Int = 5, threshold: Double = 0.0,
+                        maxDocFreq: Int = Int.MaxValue): DataFrame = {
     // distinct via shuffle (hash-based), not array_distinct (quadratic scan)
-    val sh = df.select(col(idCol).as("id"),
+    val shAll = df.select(col(idCol).as("id"),
       explode(charShingles(col(textCol), k)).as("shingle"))
       .dropDuplicates("id", "shingle")
+    val sh =
+      if (maxDocFreq == Int.MaxValue) shAll
+      else shAll.join(
+        shAll.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+          .where(col("_df") <= maxDocFreq).select(col("shingle")),
+        Seq("shingle"), "left_semi")
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))

@@ -157,4 +157,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(ranks.zipWithIndex.forall { case (r, i) => r == i + 1 })
     }
   }
+
+  test("ngram jaccard hot-shingle cap bounds join groups on a skewed corpus") {
+    import spark.implicits._
+    // 120 docs all sharing one boilerplate phrase, in 3 disjoint near-dup
+    // families distinguished by a per-family unique tail
+    val rows = (0 until 120).map { i =>
+      val family = i % 3
+      (i.toLong, s"shared boilerplate header text for all documents " +
+        s"family$family family$family family$family unique${family}tail")
+    }
+    val df = rows.toDF("doc_id", "text")
+    // uncapped: the boilerplate shingles connect everything to everything
+    val uncapped = Dedup.ngramJaccardPairs(df, "doc_id", "text", k = 5,
+      threshold = 0.0)
+    assert(uncapped.count() == 120L * 119 / 2)
+    // capped below the corpus-wide df: boilerplate shingles are dropped, so
+    // only the per-family tail shingles can join - pair count collapses to
+    // the within-family pairs (each family has 40 docs)
+    val capped = Dedup.ngramJaccardPairs(df, "doc_id", "text", k = 5,
+      threshold = 0.0, maxDocFreq = 60)
+    val pairs = capped.select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.length == 3 * (40 * 39 / 2), s"got ${pairs.length}")
+    assert(pairs.forall { case (a, b) => a % 3 == b % 3 })
+    // surviving pairs have identical filtered shingle sets -> jaccard 1.0
+    assert(capped.select("jaccard").as[Double].collect().forall(_ == 1.0))
+  }
 }

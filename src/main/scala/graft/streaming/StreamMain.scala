@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
 import graft.operators.SkylineOps
 
@@ -10,7 +10,9 @@ import graft.operators.SkylineOps
   *
   * Usage:
   *   runMain graft.streaming.StreamMain \
-  *     --mode file --data-dir /tmp/in --trigger-dir /tmp/q [--out /tmp/out]
+  *     --mode file --data-dir /tmp/in --trigger-dir /tmp/q \
+  *     [--out /tmp/out] [--metrics-csv /tmp/metrics.csv] \
+  *     [--trigger available-now]
   *   runMain graft.streaming.StreamMain \
   *     --mode kafka --bootstrap host:9092 \
   *     [--input-topic input-tuples --query-topic queries --output-topic output-skyline]
@@ -18,14 +20,37 @@ import graft.operators.SkylineOps
   *           --parallelism 4 (numPartitions = 2x, reference default)
   *           --domain 1000.0 --checkpoint /tmp/ckpt
   *
+  * The pipeline is the fully distributed chained-`transformWithState`
+  * topology ([[SkylineStreamTWS.topology]]): local BNL skylines keyed by
+  * spatial partition, then the countdown-latch global merge keyed by query —
+  * both phases scale with executors; the driver only routes completed
+  * `QueryResult`s to the sink. (The reference funnels the global phase
+  * through one keyed reducer, `FlinkSkyline.java:548-566`.)
+  *
   * Kafka mode needs the spark-sql-kafka connector on the classpath (not
   * bundled here); file mode runs standalone.
   */
 object StreamMain {
+
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
+    val parallelism = opts.getOrElse("parallelism", "4").toInt
+    val spark = SparkSession.builder()
+      .appName("graft-skyline-stream")
+      .master(opts.getOrElse("master", s"local[$parallelism]"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, opts).awaitTermination()
+  }
+
+  /** Build and START the streaming query for `opts` on an existing session.
+    * Mutates `spark.sql.shuffle.partitions` and the state-store provider on
+    * the session conf (callers embedding an existing session should
+    * save/restore). Returns the started query; the caller awaits it. */
+  def run(spark: SparkSession, opts: Map[String, String]): StreamingQuery = {
+    import spark.implicits._
     val algo = opts.getOrElse("algo", "mr-angle")
     val parallelism = opts.getOrElse("parallelism", "4").toInt
     val numPartitions = 2 * parallelism            // FlinkSkyline.java:76
@@ -33,13 +58,11 @@ object StreamMain {
     val checkpoint = opts.getOrElse("checkpoint",
       java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
 
-    val spark = SparkSession.builder()
-      .appName("graft-skyline-stream")
-      .master(opts.getOrElse("master", s"local[$parallelism]"))
-      .config("spark.sql.shuffle.partitions", numPartitions.toString)
-      .getOrCreate()
-    import spark.implicits._
-    spark.sparkContext.setLogLevel("WARN")
+    // transformWithState requires the RocksDB provider; state-store count
+    // follows shuffle partitions, sized to the N-partition protocol
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", numPartitions.toString)
 
     val (dataLines, triggerLines) = opts.getOrElse("mode", "file") match {
       case "kafka" =>
@@ -55,32 +78,39 @@ object StreamMain {
     val env = dataLines.flatMap(l => SkylineStream.parseData(l, pidOf))
       .unionAll(triggerLines.flatMap(p => SkylineStream.broadcastTrigger(
         p, numPartitions, System.currentTimeMillis())))
-    val local = SkylineStream.localPhase(env)
+    val results = SkylineStreamTWS.topology(env, numPartitions)
 
-    // global phase: the reference's single keyed aggregator instance,
-    // accumulating across micro-batches on the driver via foreachBatch
-    val agg = new SkylineStream.GlobalAggregator(numPartitions)
-    var emitted = 0
-    val q = local.writeStream
+    val trigger = opts.get("trigger") match {
+      case Some("available-now") => Trigger.AvailableNow()
+      case _ => Trigger.ProcessingTime("2 seconds")
+    }
+    val writer = (opts.getOrElse("mode", "file"), opts.get("bootstrap")) match {
+      case ("kafka", Some(bs)) =>
+        Sources.kafkaSink(results.map(_.toJson),
+          bs, opts.getOrElse("output-topic", "output-skyline"),
+          checkpoint + "/sink")
+      case _ =>
+        results.writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[SkylineStream.QueryResult],
+             _: Long) =>
+              batch.collect().foreach { r =>
+                opts.get("out") match {
+                  case Some(dir) =>
+                    val f = java.nio.file.Paths.get(dir, s"query_${r.queryId}.json")
+                    java.nio.file.Files.createDirectories(f.getParent)
+                    java.nio.file.Files.writeString(f, r.toJson + "\n")
+                  case None => println(r.toJson)
+                }
+                opts.get("metrics-csv").foreach(p =>
+                  MetricsCollector.append(java.nio.file.Paths.get(p), r))
+              }
+          }
+    }
+    writer
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime("2 seconds"))
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[SkylineStream.LocalResult], _: Long) =>
-        batch.collect().foreach(agg.offer)
-        val results = agg.results
-        results.drop(emitted).foreach { r =>
-          val json = r.toJson
-          opts.get("out") match {
-            case Some(dir) =>
-              val f = java.nio.file.Paths.get(dir, s"query_${r.queryId}.json")
-              java.nio.file.Files.createDirectories(f.getParent)
-              java.nio.file.Files.writeString(f, json + "\n")
-            case None => println(json)
-          }
-        }
-        emitted = results.size
-      }
+      .trigger(trigger)
       .start()
-    q.awaitTermination()
   }
 }

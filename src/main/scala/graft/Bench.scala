@@ -30,7 +30,7 @@ object Bench {
     "events_quantiles", "q_cube", "sky_skyband", "asof_next_error",
     "events_hopping", "q_grouping_sets", "events_pivot", "sql_functions",
     "csv_file_source", "json_file_source", "multimodal_features",
-    "sky_dominance_score")
+    "sky_dominance_score", "dedup_embedding_bucketed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -112,6 +112,15 @@ object Bench {
     bench("sky_1m_4d_bcast") {
       SkylineOps.skylineBroadcastFilter(
         Generators.generate(spark, "anti-correlated", 1000000L, 4)).count()
+    }
+    // same workload through the too-big-to-broadcast fallback: a low
+    // broadcast bound forces the distributed pairwise cross-filter
+    // (crossFilterChunks), exercising the scale path the default-bound run
+    // never reaches
+    bench("sky_500k_4d_xfilter") {
+      SkylineOps.skylineBroadcastFilter(
+        Generators.generate(spark, "anti-correlated", 500000L, 4),
+        maxBroadcastPoints = 20000).count()
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

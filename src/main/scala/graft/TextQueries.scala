@@ -20,6 +20,20 @@ object TextQueries {
   private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
   private def occSql(hay: String, needle: String): String =
     s"CAST((length($hay) - length(replace($hay, '$needle', ''))) / ${needle.length} AS BIGINT)"
+  /** DuckDB form of [[operators.Similarity.lshBucket]]: the md5-derived
+    * hyperplane components are embedded as double literals
+    * (Double.toString round-trips bit-exactly through the SQL parser) and
+    * each dot product is an explicit left-associative sum — the same fold
+    * order as the Column-level dotProduct — so sign bits and buckets match
+    * the Spark side exactly. */
+  private def lshBucketSql(vec: String, nPlanes: Int = 6): String =
+    (0 until nPlanes).map { p =>
+      val dot = (0 until 64).map { d =>
+        s"$vec[${d + 1}] * ${operators.Similarity.planeComponent(p, d)}"
+      }.mkString(" + ")
+      s"(CASE WHEN $dot >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   private def hash60Sql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
   // distinct 5-gram shingles of the normalized text, as (doc_id, shingle) rows
@@ -101,6 +115,22 @@ object TextQueries {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDups(emb(s, dir), "vec_id", "embedding", 0.90)
         .orderBy("id_a", "id_b")),
+    // the SCALE path for embedding near-dups: multi-probe hyperplane LSH
+    // buckets, exact cosine inside buckets only. The fixture has no pairs
+    // above 0.75, so the corpus is unioned with a deterministic
+    // index-alternating perturbation of itself (ids shifted by 1e6) — each
+    // vector then has one near-dup partner at cosine ~0.995, and the
+    // operator must recover the partner pairs through the bucket join.
+    "dedup_embedding_bucketed" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val pert = base.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * when(i % 2 === 0, lit(1.1)).otherwise(lit(0.9))).as("embedding"))
+      Dedup.embeddingNearDupsBucketed(base.unionAll(pert), "vec_id",
+          "embedding", 0.90)
+        .orderBy("id_a", "id_b")
+    }),
     // brute-force cosine top-k ANN (query vectors = vec_id < 5)
     "ann_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -318,6 +348,31 @@ object TextQueries {
         |  CAST(b.embedding AS DOUBLE[])) >= 0.90
         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
 
+    // bucketed scale path: 8 hyperplane sign bits (literal plane constants,
+    // left-associative dot fold as in ann_lsh) + multi-probe at Hamming
+    // distance 1, exact cosine within shared buckets only
+    locally {
+      val probeUnion = (("SELECT id, vec, bucket FROM cb") +:
+        (0 until 8).map(b =>
+          s"SELECT id, vec, xor(bucket, ${1L << b}) AS bucket FROM cb"))
+        .mkString(" UNION ALL ")
+      m += "dedup_embedding_bucketed" ->
+        s"""WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+           |  FROM embeddings),
+           |pert AS (SELECT id + 1000000 AS id,
+           |  [vec[i] * (CASE WHEN (i - 1) % 2 = 0 THEN 1.1 ELSE 0.9 END)
+           |    for i in range(1, 65)] AS vec FROM base),
+           |c AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+           |cb AS (SELECT id, vec, ${lshBucketSql("vec", nPlanes = 8)} AS bucket
+           |  FROM c),
+           |probes AS ($probeUnion),
+           |pairs AS (SELECT DISTINCT a.id AS id_a, p.id AS id_b,
+           |  list_cosine_similarity(a.vec, p.vec) AS cosine
+           |  FROM cb a JOIN probes p ON a.bucket = p.bucket AND a.id < p.id)
+           |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.90
+           |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+    }
+
     val contactSql = "concat(text, ' contact user', CAST(doc_id AS VARCHAR), " +
       "'@example.com or +1-5550-', CAST(doc_id AS VARCHAR))"
     val emailReSql = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -397,17 +452,8 @@ object TextQueries {
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         .stripMargin.replace("\n", " ")
 
-    // LSH ANN oracle: the 6 hyperplanes' md5-derived components are embedded
-    // as literals (Double.toString round-trips exactly), and each dot product
-    // is an explicit left-associative sum — the same fold order as the
-    // Column-level dotProduct — so the sign bits and buckets match exactly.
-    def lshBucketSql(vec: String): String =
-      (0 until 6).map { p =>
-        val dot = (0 until 64).map { d =>
-          s"$vec[${d + 1}] * ${operators.Similarity.planeComponent(p, d)}"
-        }.mkString(" + ")
-        s"(CASE WHEN $dot >= 0 THEN ${1L << p} ELSE 0 END)"
-      }.mkString("(", " + ", ")")
+    // LSH ANN oracle (bucket SQL helper defined at object level): embeds the
+    // hyperplane constants as literals with left-associative dot folds.
     m += "ann_lsh" ->
       s"""WITH c AS (SELECT vec_id AS nbr_id, CAST(embedding AS DOUBLE[]) AS cvec
          |  FROM embeddings),

@@ -265,7 +265,13 @@ object SkylineOps {
   private def crossFilterChunks(spark: SparkSession,
       localRdd: org.apache.spark.rdd.RDD[Array[Point]]): Dataset[Point] = {
     implicit val pe: Encoder[Point] = ExpressionEncoder[Point]()
-    val nChunks = math.max(2, spark.sparkContext.defaultParallelism * 2)
+    // chunk-pair tasks = n·(n-1) but the cartesian SHIPS each chunk n-1
+    // times, so shuffle volume grows linearly in n × |union|: pick
+    // n ≈ √(2·cores) — enough pair-tasks to fill every core (n²≈2·cores)
+    // at the minimum shipped volume, instead of n = 2·cores whose n² tasks
+    // serialize the union 2·cores times for no extra parallelism
+    val nChunks = math.max(2, math.ceil(
+      math.sqrt(spark.sparkContext.defaultParallelism * 2.0)).toInt)
     // re-chunk to balance: points hash-spread, each chunk re-reduced to an
     // antichain (sound: dropping locally-dominated points is always sound).
     // Each chunk is then put in a TOTAL deterministic order (coordinate sum,

@@ -23,7 +23,7 @@ object TrainingPipeline {
   def prepare(docs: DataFrame, idCol: String, textCol: String, langCol: String,
               keepLangs: Set[String], jaccardThreshold: Double = 0.35,
               sampleMod: Int = 1, outDir: String = "",
-              nShards: Int = 8): (DataFrame, StageCounts) = {
+              nShards: Int = 8, maxShingleDocFreq: Int = 10000): (DataFrame, StageCounts) = {
     val raw = docs.count()
 
     // 1. quality: token/stopword/punctuation heuristics
@@ -46,9 +46,12 @@ object TrainingPipeline {
     val nExact = exact.count()
     try {
       // 4. near-dup clustering: connected components over jaccard>=t pairs;
-      // keep each cluster's canonical (minimum-id) member
+      // keep each cluster's canonical (minimum-id) member. The hot-shingle
+      // df cap keeps boilerplate shingles from making any join group
+      // quadratic in corpus size.
       val pairs = Dedup.ngramJaccardPairs(exact, idCol, textCol, k = 5,
-        threshold = jaccardThreshold).select(col("id_a"), col("id_b"))
+        threshold = jaccardThreshold,
+        maxDocFreq = maxShingleDocFreq).select(col("id_a"), col("id_b"))
       val clusters = Dedup.clusterNearDups(
         exact.select(col(idCol).as("id")), pairs)
       val canon = clusters.where(col("id") === col("cluster_id"))

@@ -30,7 +30,8 @@ object Bench {
     "events_quantiles", "q_cube", "sky_skyband", "asof_next_error",
     "events_hopping", "q_grouping_sets", "events_pivot", "sql_functions",
     "csv_file_source", "json_file_source", "multimodal_features",
-    "sky_dominance_score", "dedup_embedding_bucketed")
+    "sky_dominance_score", "dedup_embedding_bucketed",
+    "text_chunking", "domain_cap", "decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

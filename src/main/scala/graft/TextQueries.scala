@@ -131,6 +131,56 @@ object TextQueries {
           "embedding", 0.90)
         .orderBy("id_a", "id_b")
     }),
+    // document chunking: fixed-size character windows with overlap
+    // (size 200, stride 150) — the standard long-document split for LLM
+    // context packing. Pure expression work (sequence + explode + substr):
+    // scan-speed, no shuffle at all.
+    "text_chunking" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          explode(sequence(lit(0),
+            greatest(floor((length(col("text")) - 1) / lit(150)).cast("int"),
+              lit(0)))).as("chunk_id"),
+          col("text"))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("text").substr(col("chunk_id") * 150 + 1, lit(200)).as("chunk"))
+        .withColumn("n_chunk_chars", length(col("chunk")).cast("long"))
+        .orderBy("doc_id", "chunk_id")),
+    // per-domain cap: keep a deterministic hash-ordered sample of at most
+    // 50 documents per source (the C4-style anti-domination filter); the
+    // window partitions by domain, so no task sees more than one domain's
+    // rows and hot domains are what the cap is FOR
+    "domain_cap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(
+        graft.functions.hash60(
+          concat(lit("dcap#"), col("doc_id").cast("string"))).asc,
+        col("doc_id").asc)
+      docs(s, dir)
+        .withColumn("rank_in_domain", row_number().over(w).cast("long"))
+        .where(col("rank_in_domain") <= 50)
+        .select(col("doc_id"), col("source"), col("rank_in_domain"))
+        .orderBy("source", "rank_in_domain")
+    }),
+    // benchmark decontamination: drop candidate documents sharing any
+    // 16-gram shingle with the benchmark set (stand-in: doc_id % 97 == 0;
+    // 16 chars is long enough to pass common phrases and catch real reuse).
+    // Benchmark shingles are the small side -> broadcast semi-join; the
+    // corpus side is one shingle explode, never self-joined.
+    "decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val benchSh = d.where(col("doc_id") % 97 === 0)
+        .select(explode(graft.functions.charShingles(col("text"), 16))
+          .as("shingle")).distinct()
+      val cand = d.where(col("doc_id") % 97 =!= 0)
+      val candSh = cand.select(col("doc_id"),
+          explode(graft.functions.charShingles(col("text"), 16)).as("shingle"))
+        .dropDuplicates("doc_id", "shingle")
+      val contaminated = candSh
+        .join(broadcast(benchSh), Seq("shingle"), "left_semi")
+        .select(col("doc_id")).distinct()
+      cand.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source")).orderBy("doc_id")
+    }),
     // brute-force cosine top-k ANN (query vectors = vec_id < 5)
     "ann_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -403,6 +453,40 @@ object TextQueries {
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE ${hash60Sql("concat('smpl#', CAST(doc_id AS VARCHAR))")} % 10 = 0
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+    m += "text_chunking" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |substr(text, 1 + i * 150, 200) AS chunk,
+        |CAST(length(substr(text, 1 + i * 150, 200)) AS BIGINT) AS n_chunk_chars
+        |FROM documents,
+        |unnest(range(0, greatest((length(text) - 1) // 150, 0) + 1)) AS t(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin.replace("\n", " ")
+
+    m += "domain_cap" ->
+      s"""WITH ranked AS (SELECT doc_id, source,
+         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+         |    ${hash60Sql("concat('dcap#', CAST(doc_id AS VARCHAR))")} ASC,
+         |    doc_id ASC) AS rank_in_domain FROM documents)
+         |SELECT doc_id, source, CAST(rank_in_domain AS BIGINT) AS rank_in_domain
+         |FROM ranked WHERE rank_in_domain <= 50
+         |ORDER BY source, rank_in_domain""".stripMargin.replace("\n", " ")
+
+    // 16-gram variant of the shingle CTE (same normalization; short texts
+    // yield the whole text as one shingle)
+    val shingles16Sql =
+      s"""SELECT doc_id, unnest(list_distinct(
+         |[substr(n, i, 16) for i in range(1, greatest(length(n) - 15, 1) + 1)]))
+         |AS shingle FROM (SELECT doc_id, $normSql AS n FROM documents)"""
+        .stripMargin.replace("\n", " ")
+    m += "decontaminate" ->
+      s"""WITH sh8 AS ($shingles16Sql),
+         |bench AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 97 = 0),
+         |contaminated AS (SELECT DISTINCT s.doc_id FROM sh8 s
+         |  JOIN bench b USING (shingle) WHERE s.doc_id % 97 <> 0)
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id % 97 <> 0
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
 
     m += "ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -120,14 +120,14 @@ object SkylineQueries {
     // pairwise through a cell-keyed join (no crossJoin anywhere).
     "sky_skyband" -> ((s, dir) =>
       SkylineOps.dominatorCounts2D(partPoints(s, dir), "id", "v1", "v2",
-          DOMAIN, g = 32)
+          DOMAIN, g = 64)
         .where(col("n_dominators") < 3)
         .orderBy("id")),
     // dominance score over the FULL part table: how many points each point
     // dominates (the dual decomposition — suffix sums + upper border cells)
     "sky_dominance_score" -> ((s, dir) =>
       SkylineOps.dominatedCounts2D(partPoints(s, dir), "id", "v1", "v2",
-          DOMAIN, g = 32)
+          DOMAIN, g = 64)
         .orderBy(col("n_dominated").desc, col("id").asc)),
     // F2: grid dominance pre-filter (midpoint pruning)
     "grid_prefilter" -> ((s, dir) =>

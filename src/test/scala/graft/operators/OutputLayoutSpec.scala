@@ -49,4 +49,34 @@ class OutputLayoutSpec extends AnyFunSuite {
         }.toMap
     assert(layoutOf(out) == layoutOf(out2))
   }
+
+  test("co-bucketed tables join and aggregate without an Exchange") {
+    import spark.implicits._
+    val left = (0L until 5000L).map(i => (i, s"l$i")).toDF("k", "lv")
+    val right = (0L until 5000L).map(i => (i, i * 2.0)).toDF("k", "rv")
+    spark.sql("DROP TABLE IF EXISTS b_left")
+    spark.sql("DROP TABLE IF EXISTS b_right")
+    OutputLayout.saveBucketed(left, "b_left", "k", 8)
+    OutputLayout.saveBucketed(right, "b_right", "k", 8)
+    // disable auto-broadcast so the planner exercises the co-located bucket
+    // join (at real scale neither side is broadcastable - that is the point)
+    val priorBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // bucket pruning info is only used when AQE doesn't coalesce it away
+      val joined = spark.table("b_left").join(spark.table("b_right"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"join should be shuffle-free:\n$plan")
+      assert(joined.count() == 5000)
+      val agg = spark.table("b_left").groupBy("k").count()
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"),
+        s"bucketed groupBy should be shuffle-free:\n$aggPlan")
+      assert(agg.count() == 5000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBroadcast)
+      spark.sql("DROP TABLE IF EXISTS b_left")
+      spark.sql("DROP TABLE IF EXISTS b_right")
+    }
+  }
 }

@@ -36,11 +36,11 @@ object AsOfJoin {
     val union = l.select(
       (lCols.map(col) ++ payload.map(c => lit(null).cast(
         right.schema(c).dataType).as(s"${c}_asof")) :+
-        col("_t") :+ col("_side")): _*)
+        col("_t") :+ col("_side")).toIndexedSeq: _*)
       .unionByName(r.select(
         (keyCols.map(col) ++ lCols.filterNot(keyCols.contains).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)) ++
-          payload.map(c => col(s"${c}_asof")) :+ col("_t") :+ col("_side")): _*))
+          payload.map(c => col(s"${c}_asof")) :+ col("_t") :+ col("_side")).toIndexedSeq: _*))
     // right rows sort before left rows at equal time => "at or before"
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_t").asc, col("_side").asc)
@@ -68,11 +68,11 @@ object AsOfJoin {
     val union = l.select(
       (lCols.map(col) ++ payload.map(c => lit(null).cast(
         right.schema(c).dataType).as(s"${c}_asof")) :+
-        col("_t") :+ col("_side")): _*)
+        col("_t") :+ col("_side")).toIndexedSeq: _*)
       .unionByName(r.select(
         (keyCols.map(col) ++ lCols.filterNot(keyCols.contains).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)) ++
-          payload.map(c => col(s"${c}_asof")) :+ col("_t") :+ col("_side")): _*))
+          payload.map(c => col(s"${c}_asof")) :+ col("_t") :+ col("_side")).toIndexedSeq: _*))
     // descending time: the last right seen before a left row is the one with
     // the smallest time >= the left's; right ids scan descending so the
     // smallest id wins equal-time ties (left rows order among themselves is

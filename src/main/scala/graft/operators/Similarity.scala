@@ -94,7 +94,7 @@ object Similarity {
     // (negated cosine, list_id) structs sort ascending = cosine desc with
     // ties to the lower list id — the same argmax rule as a row_number over
     // (cosine DESC, list_id ASC)
-    def candidates(vec: Column): Column = array_sort(array(cents.map {
+    def candidates(vec: Column): Column = array_sort(array(cents.toIndexedSeq.map {
       case (id, arr) =>
         struct((-cosineSimNative(vec, typedLit(arr))).as("nc"),
           lit(id).as("list_id"))

@@ -29,7 +29,7 @@ object TrainingPipeline {
     // 1. quality: token/stopword/punctuation heuristics
     val quality = TextAnalysis.withQualityScore(docs, textCol)
       .where(col("quality_ok"))
-      .select(docs.columns.map(col): _*)
+      .select(docs.columns.toIndexedSeq.map(col): _*)
     val nQuality = quality.count()
 
     // 2. language allowlist

@@ -228,11 +228,19 @@ object RelationalQueries {
     // explicit grouping sets (beyond rollup/cube)
     "q_grouping_sets" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+      // pre-aggregate per (flag, status) BEFORE the grouping-set Expand:
+      // Expand multiplies its input per grouping set, so at scale it must
+      // run over the few-row partial, not the fact table (decimal partial
+      // sums are exact and associative - byte-identical results)
       s.sql(
-        """SELECT l_returnflag, l_linestatus,
-          |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-          |COUNT(*) AS n
-          |FROM li_gs
+        """WITH base AS (
+          |  SELECT l_returnflag, l_linestatus,
+          |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q, COUNT(*) AS n
+          |  FROM li_gs GROUP BY 1, 2)
+          |SELECT l_returnflag, l_linestatus,
+          |CAST(SUM(q) AS DOUBLE) AS sum_qty,
+          |SUM(n) AS n
+          |FROM base
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
           .stripMargin)
@@ -246,20 +254,27 @@ object RelationalQueries {
         .count()
         .na.fill(0L)
         .orderBy("user_decile")),
-    // grouping sets: rollup with decimal-exact sums
+    // grouping sets: rollup with decimal-exact sums, over the per-group
+    // partial (see q_grouping_sets note - Expand runs over 6 rows, not 600k)
     "q1_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("_q"),
+          count(lit(1)).as("_n"))
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
-          count(lit(1)).as("n"))
+        .agg(sum(col("_q")).cast("double").as("sum_qty"), sum(col("_n")).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
-    // grouping sets: full cube with decimal-exact sums
+    // grouping sets: full cube with decimal-exact sums, same pre-aggregation
     "q_cube" -> ((s, dir) =>
       t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("_q"),
+          sum(col("l_discount").cast("decimal(18,4)")).as("_d"),
+          count(lit(1)).as("_n"))
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
-          sum(col("l_discount").cast("decimal(18,4)")).cast("double").as("sum_disc"),
-          count(lit(1)).as("n"))
+        .agg(sum(col("_q")).cast("double").as("sum_qty"),
+          sum(col("_d")).cast("double").as("sum_disc"),
+          sum(col("_n")).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
     // exact distributed quantiles per group (integer-valued input + dyadic
     // quantiles keep the interpolation bit-exact across engines)

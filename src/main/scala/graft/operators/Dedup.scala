@@ -99,12 +99,16 @@ object Dedup {
     val shAll = df.select(col(idCol).as("id"),
       explode(charShingles(col(textCol), k)).as("shingle"))
       .dropDuplicates("id", "shingle")
+    // On the capped path, materialize the filtered shingle set eagerly: it
+    // feeds sizes plus BOTH sides of the intersection join, and without
+    // materialization the df-aggregation + semi-join would re-execute per
+    // use. (Uncapped, the identical a/b subplans share a reused exchange.)
     val sh =
       if (maxDocFreq == Int.MaxValue) shAll
       else shAll.join(
         shAll.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
           .where(col("_df") <= maxDocFreq).select(col("shingle")),
-        Seq("shingle"), "left_semi")
+        Seq("shingle"), "left_semi").localCheckpoint(true)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))

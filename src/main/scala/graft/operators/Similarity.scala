@@ -91,6 +91,12 @@ object Similarity {
       .select(col("nbr_id").as("list_id"), col("cvec").as("centroid"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // empty corpus -> no centroids -> an empty zero-element array() would
+    // type as array<void> and fail analysis; the result is empty either way
+    if (cents.isEmpty)
+      return q.limit(0).crossJoin(c.limit(0).select(col("nbr_id")))
+        .select(col("query_id"), lit(0L).as("rank"), col("nbr_id"),
+          lit(0.0).as("cosine"))
     // (negated cosine, list_id) structs sort ascending = cosine desc with
     // ties to the lower list id — the same argmax rule as a row_number over
     // (cosine DESC, list_id ASC)

@@ -283,11 +283,25 @@ object SkylineOps {
       .groupByKey(nChunks)
       .map { case (i, pts) =>
         val arr = SkylineBuffer.of(pts.iterator).result.toArray
-        (i, arr.sortBy(p => {
-          var s = 0.0; var k = 0
-          while (k < p.values.length) { s += p.values(k); k += 1 }
-          (s, p.id)
-        }))
+        // tiebreak all the way through the coordinate vector: (sum, id)
+        // alone is not total when distinct points share an id, and a
+        // non-total order would re-open the index-mismatch window on
+        // recompute
+        (i, arr.sortWith { (a, b) =>
+          var sa = 0.0; var k = 0
+          while (k < a.values.length) { sa += a.values(k); k += 1 }
+          var sb = 0.0; k = 0
+          while (k < b.values.length) { sb += b.values(k); k += 1 }
+          if (sa != sb) sa < sb
+          else if (a.id != b.id) a.id < b.id
+          else {
+            val n = math.min(a.values.length, b.values.length)
+            var d = 0
+            while (d < n && a.values(d) == b.values(d)) d += 1
+            if (d < n) a.values(d) < b.values(d)
+            else a.values.length < b.values.length
+          }
+        })
       }
       .cache()
     val packed = chunks.map { case (i, arr) => (i, pack(arr)) }
@@ -578,10 +592,16 @@ object SkylineOps {
     // implies v' < v even for out-of-domain values
     def cellOf(c: Column): Column =
       least(greatest(floor(c / lit(w)).cast("int"), lit(0)), lit(g - 1))
+    // eager localCheckpoint: pts is read by the cell-count collect below
+    // plus THREE branches of the result plan (targets explode, candidate
+    // side, final join) — materializing once replaces four source scans,
+    // and the required collect job doubles as the materialization action.
+    // Freed by the ContextCleaner when the returned frame is dropped.
     val pts = df.select(col(idCol).as("_id"),
         col(v1).cast("double").as("_v1"), col(v2).cast("double").as("_v2"))
       .withColumn("_cx", cellOf(col("_v1")))
       .withColumn("_cy", cellOf(col("_v2")))
+      .localCheckpoint(true)
     // per-cell counts -> driver-side 2-D prefix sums (g² longs, tiny)
     val counts = pts.groupBy(col("_cx"), col("_cy")).count().collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap

@@ -20,10 +20,13 @@ object MetricsCollector {
     "QueryID,Records,SkylineSize,Optimality,IngestTime(ms)," +
       "LocalTime(ms),GlobalTime(ms),TotalTime(ms),Latency(ms),SkylinePoints"
 
-  /** The CSV row for one completed query (10 columns, header order). */
+  /** The CSV row for one completed query (10 columns, header order).
+    * Locale.ROOT: a comma-decimal default locale would turn the optimality
+    * cell into two cells and break the 10-column format. */
   def row(r: QueryResult, latencyMs: Long = 0L, skylinePoints: String = ""): String =
-    s"${r.queryId},${r.recordCount},${r.skylineSize},${f"${r.optimality}%.4f"}," +
-      s"${r.ingestionTimeMs},${r.localProcessingTimeMs}," +
+    s"${r.queryId},${r.recordCount},${r.skylineSize}," +
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(r.optimality)) +
+      s",${r.ingestionTimeMs},${r.localProcessingTimeMs}," +
       s"${r.globalProcessingTimeMs},${r.totalProcessingTimeMs}," +
       s"$latencyMs,$skylinePoints"
 

@@ -54,7 +54,10 @@ object SkylineStream {
                          totalProcessingTimeMs: Long) {
     def toJson: String =
       s"""{"query_id": "$queryId", "record_count": $recordCount, """ +
-        s""""skyline_size": $skylineSize, "optimality": ${f"$optimality%.4f"}, """ +
+        s""""skyline_size": $skylineSize, "optimality": ${
+          // Locale.ROOT: JSON must use a dot decimal separator regardless of
+          // the JVM default locale
+          String.format(java.util.Locale.ROOT, "%.4f", Double.box(optimality))}, """ +
         s""""ingestion_time_ms": $ingestionTimeMs, """ +
         s""""local_processing_time_ms": $localProcessingTimeMs, """ +
         s""""global_processing_time_ms": $globalProcessingTimeMs, """ +

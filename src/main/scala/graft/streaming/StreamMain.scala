@@ -82,13 +82,18 @@ object StreamMain {
 
     val trigger = opts.get("trigger") match {
       case Some("available-now") => Trigger.AvailableNow()
-      case _ => Trigger.ProcessingTime("2 seconds")
+      case None | Some("processing-time") => Trigger.ProcessingTime("2 seconds")
+      case Some(other) =>
+        // fail fast: silently falling back to a continuous trigger would
+        // make a scripted run (expecting termination) hang forever
+        throw new IllegalArgumentException(
+          s"unknown --trigger '$other' (expected available-now|processing-time)")
     }
     val writer = (opts.getOrElse("mode", "file"), opts.get("bootstrap")) match {
       case ("kafka", Some(bs)) =>
         Sources.kafkaSink(results.map(_.toJson),
           bs, opts.getOrElse("output-topic", "output-skyline"),
-          checkpoint + "/sink")
+          checkpoint)
       case _ =>
         results.writeStream
           .foreachBatch {

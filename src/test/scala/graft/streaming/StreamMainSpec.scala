@@ -72,4 +72,58 @@ class StreamMainSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("StreamMain restart from checkpoint: barrier state survives AvailableNow runs") {
+    val rng = new scala.util.Random(11)
+    val batch1 = Seq.tabulate(200)(i =>
+      (i.toLong, rng.nextInt(80).toDouble, rng.nextInt(80).toDouble))
+    val batch2 = Seq.tabulate(200)(i =>
+      ((i + 200).toLong, rng.nextInt(80).toDouble, rng.nextInt(80).toDouble))
+    val all = batch1 ++ batch2
+    val vs = all.map { case (_, a, b) => Array(a, b) }
+    val expectedSize = vs.count(t => !vs.exists(u => Dominance.dominates(u, t)))
+
+    val dataDir = java.nio.file.Files.createTempDirectory("smr_data")
+    val trigDir = java.nio.file.Files.createTempDirectory("smr_trig")
+    val outDir = java.nio.file.Files.createTempDirectory("smr_out")
+    val ckpt = java.nio.file.Files.createTempDirectory("smr_ckpt")
+    def opts = Map(
+      "mode" -> "file", "data-dir" -> dataDir.toString,
+      "trigger-dir" -> trigDir.toString, "out" -> outDir.toString,
+      "trigger" -> "available-now", "algo" -> "mr-dim",
+      "domain" -> "80.0", "parallelism" -> "2",
+      "checkpoint" -> ckpt.toString)
+
+    val priorShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val priorStore =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      // run 1: first half of the data, no trigger yet
+      java.nio.file.Files.writeString(dataDir.resolve("d1.txt"),
+        batch1.map { case (id, a, b) => s"$id,$a,$b" }.mkString("", "\n", "\n"))
+      val q1 = StreamMain.run(spark, opts)
+      q1.awaitTermination(120000L)
+      assert(!q1.isActive)
+      // run 2 (fresh query, same checkpoint): second half + the trigger.
+      // The local skylines and barrier counters from run 1 must come back
+      // from RocksDB state for the emitted skyline to cover BOTH batches.
+      java.nio.file.Files.writeString(dataDir.resolve("d2.txt"),
+        batch2.map { case (id, a, b) => s"$id,$a,$b" }.mkString("", "\n", "\n"))
+      java.nio.file.Files.writeString(trigDir.resolve("t1.txt"), "9,0\n")
+      val q2 = StreamMain.run(spark, opts)
+      q2.awaitTermination(120000L)
+      assert(!q2.isActive)
+
+      val json = java.nio.file.Files.readString(outDir.resolve("query_9.json"))
+      assert(json.contains(s""""skyline_size": $expectedSize"""), json)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", priorShuffle)
+      priorStore match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

@@ -69,4 +69,60 @@ class SkylineTWSSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("multi-query cadence: staged triggers and a parked barrier, each vs brute force") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("tws_multi").toString
+    val dataIn = MemoryStream[String]
+    val trigIn = MemoryStream[String]
+    val n = N
+    // mr-dim: partition = floor(v1 / (100/n)) - v1 placement controls routing
+    val pidOf = graft.operators.SkylineOps.pidFunction("mr-dim", 100.0, n)
+    val env = dataIn.toDS().flatMap(l => SkylineStream.parseData(l, pidOf))
+      .unionAll(trigIn.toDS().flatMap(p =>
+        SkylineStream.broadcastTrigger(p, n, 1L)))
+    val out = SkylineStreamTWS.topology(env, n)
+    val q = out.writeStream.format("memory").queryName("tws_multi")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val rng = new scala.util.Random(31)
+      val ranges = Seq.tabulate(3)(r => Seq.tabulate(200)(i =>
+        ((r * 200 + i).toLong, rng.nextInt(100).toDouble, rng.nextInt(100).toDouble)))
+      def sizeOf(name: String): Map[String, Int] =
+        spark.table(name).collect()
+          .map(r => r.getAs[String]("queryId") -> r.getAs[Int]("skylineSize")).toMap
+      // the reference's G4 cadence: a trigger after every completed range,
+      // each in its OWN micro-batch so the expected state is exactly the
+      // union of the ranges sent so far
+      for (k <- 1 to 3) {
+        dataIn.addData(mkLines(ranges(k - 1)))
+        q.processAllAvailable()
+        trigIn.addData(s"$k,0")
+        q.processAllAvailable()
+        val sizes = sizeOf("tws_multi")
+        assert(sizes.keySet == (1 to k).map(_.toString).toSet)
+        assert(sizes(k.toString) == bruteSize(ranges.take(k).flatten), s"query $k")
+      }
+      // parked query: barrier 696 is beyond every partition's maxSeenId
+      trigIn.addData("9,696")
+      q.processAllAvailable()
+      assert(!sizeOf("tws_multi").contains("9"))
+      // release: one id >= 696 routed into EACH mr-dim band (v1 picks the
+      // partition), so every partition's barrier clears and the latch fills
+      val release = (0 until n).map(p =>
+        ((696 + p).toLong, p * (100.0 / n) + 1.0, rng.nextInt(100).toDouble))
+      dataIn.addData(mkLines(release))
+      q.processAllAvailable()
+      val sizes = sizeOf("tws_multi")
+      assert(sizes.contains("9"), s"parked query should have fired: $sizes")
+      assert(sizes("9") == bruteSize(ranges.flatten ++ release))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }

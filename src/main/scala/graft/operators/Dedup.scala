@@ -228,4 +228,17 @@ object Dedup {
           col("a.nrm"), col("b.nrm")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** Continuous-ingestion exact dedup: a STREAMING frame deduplicated on the
+    * normalized-text fingerprint across micro-batches — the first document
+    * with a given fingerprint passes, every later arrival (same batch or any
+    * later one) is dropped. State = one row per distinct fingerprint in the
+    * state store, hash-partitioned; at 100 TB/day ingestion this is the
+    * operator that keeps re-crawled pages out of the corpus without a
+    * nightly batch job. Pair with `withWatermark` upstream + the TTL'd
+    * `dropDuplicatesWithinWatermark` when fingerprints may legitimately
+    * recur after a retention horizon. */
+  def streamingDedup(stream: DataFrame, textCol: String): DataFrame =
+    stream.withColumn("fingerprint", docFingerprint(col(textCol)))
+      .dropDuplicates("fingerprint")
 }

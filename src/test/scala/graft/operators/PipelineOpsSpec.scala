@@ -183,4 +183,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     // surviving pairs have identical filtered shingle sets -> jaccard 1.0
     assert(capped.select("jaccard").as[Double].collect().forall(_ == 1.0))
   }
+
+  test("streaming dedup drops repeats across micro-batches via state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val name = s"sdedup_${System.nanoTime()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("sdedup").toString
+    val q = Dedup.streamingDedup(in.toDS().toDF("doc_id", "text"), "text")
+      .select("doc_id")
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // batch 1: two distinct docs + an in-batch duplicate (normalization
+      // collapses case/whitespace)
+      in.addData((0L, "alpha doc"), (1L, "beta doc"), (2L, "  ALPHA   doc "))
+      q.processAllAvailable()
+      // batch 2: a cross-batch duplicate and one genuinely new doc
+      in.addData((3L, "beta doc"), (4L, "gamma doc"))
+      q.processAllAvailable()
+      val ids = spark.table(name).as[Long].collect().toSet
+      // exactly one survivor per fingerprint; the cross-batch repeat (id 3)
+      // must lose to batch 1's state, in-batch winner may be either copy
+      assert(ids.size == 3, s"got $ids")
+      assert((ids & Set(0L, 2L)).size == 1, s"got $ids")
+      assert(ids.contains(1L) && !ids.contains(3L), s"got $ids")
+      assert(ids.contains(4L), s"got $ids")
+    } finally q.stop()
+  }
 }

@@ -205,7 +205,35 @@ final class SkylineBuffer extends Serializable {
         j += 1
       }
     }
-    points = out
+    // The no-evict walk relies on "a dominator has a strictly smaller sum",
+    // which holds for finite sums only: two points with sum +-Inf (or NaN)
+    // can still dominate one another, and acceptance above is permanent.
+    // Re-reduce the (normally empty) non-finite-sum group with the
+    // order-insensitive pairwise check. Cross-group pairs are safe: a
+    // dominator of a finite-sum point has only finite or -Inf coords, and
+    // -Inf-sum points sort first so finite candidates were already checked
+    // against them.
+    var anyNonFinite = false
+    var z = 0
+    while (!anyNonFinite && z < out.length) {
+      if (!java.lang.Double.isFinite(sumOf(out(z).values))) anyNonFinite = true
+      z += 1
+    }
+    points = if (!anyNonFinite) out else {
+      val res = new ArrayBuffer[Point](out.length)
+      val nf = new ArrayBuffer[Point]()
+      out.foreach(p =>
+        if (java.lang.Double.isFinite(sumOf(p.values))) res += p else nf += p)
+      val keep = new ArrayBuffer[Point]()
+      nf.foreach { c =>
+        if (!keep.exists(k => Dominance.dominates(k.values, c.values))) {
+          val survivors = keep.filterNot(k => Dominance.dominates(c.values, k.values))
+          keep.clear(); keep ++= survivors; keep += c
+        }
+      }
+      res ++= keep
+      res
+    }
     staged = new ArrayBuffer[Point]()
   }
 

@@ -34,6 +34,7 @@ case class MrAngleExpr(child: Expression, n: Int) extends UnaryExpression {
       val j = ctx.freshName("j"); val rest = ctx.freshName("rest")
       val norm = ctx.freshName("norm"); val p = ctx.freshName("p")
       val numAngles = ctx.freshName("numAngles")
+      val v = ctx.freshName("v")
       s"""
          |int $d = $a.numElements();
          |int $numAngles = $d - 1;
@@ -42,8 +43,8 @@ case class MrAngleExpr(child: Expression, n: Int) extends UnaryExpression {
          |  for (int $i = 0; $i < $numAngles; $i++) {
          |    double $rest = 0.0;
          |    for (int $j = $i + 1; $j < $d; $j++) {
-         |      double v = $a.getDouble($j);
-         |      $rest += v * v;
+         |      double $v = $a.getDouble($j);
+         |      $rest += $v * $v;
          |    }
          |    $norm += java.lang.Math.atan2(java.lang.Math.sqrt($rest),
          |      $a.getDouble($i)) / (java.lang.Math.PI / 2.0);

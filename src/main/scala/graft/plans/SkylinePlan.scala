@@ -48,22 +48,52 @@ private[plans] object RowSkyline {
       if (ok) buf += ((vs, if (copyRow) r.copy() else r))
     }
     val arr = buf.toArray
-    java.util.Arrays.sort(arr, (a: (Array[Double], InternalRow), b: (Array[Double], InternalRow)) =>
-      java.lang.Double.compare(a._1.sum, b._1.sum))
+    // sums once per row (the comparator runs O(n log n) times), then the
+    // ascending-sum no-evict walk: a dominator has a strictly smaller sum
+    val sums = new Array[Double](arr.length)
+    var s = 0
+    while (s < arr.length) {
+      var acc = 0.0; var t = 0
+      val vs = arr(s)._1
+      while (t < vs.length) { acc += vs(t); t += 1 }
+      sums(s) = acc; s += 1
+    }
+    val order = Array.range(0, arr.length).sortBy(sums(_))
     val out = scala.collection.mutable.ArrayBuffer[(Array[Double], InternalRow)]()
+    val outSums = scala.collection.mutable.ArrayBuffer[Double]()
     var i = 0
-    while (i < arr.length) {
-      val c = arr(i)
+    while (i < order.length) {
+      val c = arr(order(i))
       var dominated = false
       var k = 0
       while (!dominated && k < out.length) {
         if (Dominance.dominates(out(k)._1, c._1)) dominated = true
         k += 1
       }
-      if (!dominated) out += c
+      if (!dominated) { out += c; outSums += sums(order(i)) }
       i += 1
     }
-    out.iterator.map(_._2)
+    // equal non-finite sums can still dominate each other (the no-evict
+    // invariant needs strictly-smaller-sum dominators) — re-reduce that
+    // normally-empty group pairwise
+    if (outSums.exists(v => !java.lang.Double.isFinite(v))) {
+      val res = scala.collection.mutable.ArrayBuffer[(Array[Double], InternalRow)]()
+      val nf = scala.collection.mutable.ArrayBuffer[(Array[Double], InternalRow)]()
+      var y = 0
+      while (y < out.length) {
+        if (java.lang.Double.isFinite(outSums(y))) res += out(y) else nf += out(y)
+        y += 1
+      }
+      val keep = scala.collection.mutable.ArrayBuffer[(Array[Double], InternalRow)]()
+      nf.foreach { c =>
+        if (!keep.exists(k => Dominance.dominates(k._1, c._1))) {
+          val survivors = keep.filterNot(k => Dominance.dominates(c._1, k._1))
+          keep.clear(); keep ++= survivors; keep += c
+        }
+      }
+      res ++= keep
+      res.iterator.map(_._2)
+    } else out.iterator.map(_._2)
   }
 }
 

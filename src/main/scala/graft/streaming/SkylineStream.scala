@@ -53,7 +53,11 @@ object SkylineStream {
                          localProcessingTimeMs: Long, globalProcessingTimeMs: Long,
                          totalProcessingTimeMs: Long) {
     def toJson: String =
-      s"""{"query_id": "$queryId", "record_count": $recordCount, """ +
+      s"""{"query_id": "$queryId", "record_count": ${
+        // the reference interpolates the payload's count verbatim; quote
+        // non-numeric fallbacks ("unknown") so the emitted JSON stays valid
+        if (recordCount.matches("-?\\d+")) recordCount
+        else "\"" + recordCount + "\""}, """ +
         s""""skyline_size": $skylineSize, "optimality": ${
           // Locale.ROOT: JSON must use a dot decimal separator regardless of
           // the JVM default locale
@@ -85,7 +89,13 @@ object SkylineStream {
 
   private def requiredCount(payload: String): Long = {
     val parts = payload.split(",")
-    if (parts.length > 1) parts(1).trim.toLong else 0L
+    // triggers are external input like data lines: an unparseable count
+    // degrades to the no-barrier default instead of failing every task
+    // retry and killing the streaming query (the data path's F1 discipline
+    // applied to the control stream)
+    if (parts.length > 1)
+      try parts(1).trim.toLong catch { case _: NumberFormatException => 0L }
+    else 0L
   }
 
   /** The A1+A2 state machine, applied to one micro-batch's worth of envelopes
@@ -122,7 +132,11 @@ object SkylineStream {
       ready.foreach { case (pl, dm) => fire(pl, dm, cpuSoFar) }
       pending = stillPending
     }
-    // new triggers: fire if barrier satisfied or partition empty (maxId == -1)
+    // new triggers: fire if barrier satisfied or partition empty (maxId == -1).
+    // Reference parity (`FlinkSkyline.java:351`): an empty partition answers
+    // immediately — which deliberately conflates "no data yet" with "no data
+    // ever"; a trigger racing ahead of a partition's first record contributes
+    // an empty local skyline to that query, exactly as the reference does.
     triggers.foreach { e =>
       if (maxId >= requiredCount(e.payload) || maxId == -1L)
         fire(e.payload, e.dispatchMs, cpuSoFar)
@@ -163,12 +177,17 @@ object SkylineStream {
       val acc = accs.getOrElseUpdate(r.payload,
         Acc(new SkylineBuffer, 0, Long.MaxValue, 0L, 0L, r.dispatchMs,
           scala.collection.mutable.Map()))
+      // the latch counts DISTINCT partitions: a duplicated trigger payload
+      // makes every partition answer twice, and a raw arrival counter would
+      // both fill early (missing the slow partitions' skylines) and merge
+      // duplicate antichains (duplicating every skyline point)
+      if (acc.localSizes.contains(r.pid)) return
       acc.minStart = math.min(acc.minStart, r.startMs)
       acc.lastArrival = System.currentTimeMillis()
       acc.maxCpu = math.max(acc.maxCpu, r.cpuMs)
       acc.localSizes(r.pid) = r.skyline.size
       r.skyline.foreach(acc.buf.insert)
-      acc.arrived += 1
+      acc.arrived = acc.localSizes.size
       if (acc.arrived >= totalPartitions) {
         val finish = System.currentTimeMillis()
         val global = acc.buf.result

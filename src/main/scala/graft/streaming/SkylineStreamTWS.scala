@@ -70,11 +70,16 @@ object SkylineStreamTWS {
       val sky = new SkylineBuffer
       buf.get().foreach(p => sky.points += p)  // restore merged antichain
       rows.foreach { r =>
-        m = GlobalMeta(m.arrived + 1,
-          math.min(m.minStart, r.startMs), System.currentTimeMillis(),
-          math.max(m.maxCpu, r.cpuMs), r.dispatchMs,
-          m.localSizes :+ (r.pid -> r.skyline.size))
-        r.skyline.foreach(sky.insert)
+        // distinct-pid latch: a duplicated trigger payload makes partitions
+        // answer twice; counting raw arrivals would fill the latch early
+        // (dropping slow partitions) and double-merge antichains
+        if (!m.localSizes.exists(_._1 == r.pid)) {
+          m = GlobalMeta(m.arrived + 1,
+            math.min(m.minStart, r.startMs), System.currentTimeMillis(),
+            math.max(m.maxCpu, r.cpuMs), r.dispatchMs,
+            m.localSizes :+ (r.pid -> r.skyline.size))
+          r.skyline.foreach(sky.insert)
+        }
       }
       if (m.arrived >= totalPartitions) {
         val finish = System.currentTimeMillis()
@@ -96,7 +101,10 @@ object SkylineStreamTWS {
           math.max(0L, mapWall - m.maxCpu), m.maxCpu,
           finish - m.lastArrival, finish - m.minStart))
       } else {
-        buf.put(sky.result.toArray)
+        // ListState.put rejects empty arrays (Spark 4 contract): a latch
+        // fed only empty-partition answers so far has nothing to store
+        val merged = sky.result
+        if (merged.nonEmpty) buf.put(merged.toArray) else buf.clear()
         meta.update(m)
         Iterator.empty
       }
@@ -107,30 +115,42 @@ object SkylineStreamTWS {
     * latch-fill (for oracle-checking the chained topology against the batch
     * skyline SQL; the reference's suppressed-payload emission path,
     * `FlinkSkyline.java:643-646`, behind its output flag). */
+  /** Distinct partitions already counted toward a query's latch (duplicate
+    * trigger payloads make partitions answer more than once). */
+  case class ArrivedPids(pids: Seq[Int])
+
   class GlobalPointsProcessor(totalPartitions: Int)
       extends StatefulProcessor[String, LocalResult, Point] {
     @transient private var buf: ListState[Point] = _
-    @transient private var arrived: ValueState[Int] = _
+    @transient private var arrived: ValueState[ArrivedPids] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       buf = getHandle.getListState[Point]("buf",
         Encoders.product[Point], TTLConfig.NONE)
-      arrived = getHandle.getValueState[Int]("arrived",
-        Encoders.scalaInt, TTLConfig.NONE)
+      arrived = getHandle.getValueState[ArrivedPids]("arrived",
+        Encoders.product[ArrivedPids], TTLConfig.NONE)
     }
 
     override def handleInputRows(payload: String, rows: Iterator[LocalResult],
                                  tv: TimerValues): Iterator[Point] = {
-      var n = if (arrived.exists()) arrived.get() else 0
+      var pids = if (arrived.exists()) arrived.get().pids else Nil
       val sky = new SkylineBuffer
       buf.get().foreach(p => sky.points += p)
-      rows.foreach { r => n += 1; r.skyline.foreach(sky.insert) }
-      if (n >= totalPartitions) {
+      rows.foreach { r =>
+        // distinct-pid latch; see GlobalProcessor
+        if (!pids.contains(r.pid)) {
+          pids = pids :+ r.pid
+          r.skyline.foreach(sky.insert)
+        }
+      }
+      if (pids.size >= totalPartitions) {
         buf.clear(); arrived.clear()
         sky.result.iterator
       } else {
-        buf.put(sky.result.toArray)
-        arrived.update(n)
+        // ListState.put rejects empty arrays (Spark 4 contract)
+        val merged = sky.result
+        if (merged.nonEmpty) buf.put(merged.toArray) else buf.clear()
+        arrived.update(ArrivedPids(pids))
         Iterator.empty
       }
     }

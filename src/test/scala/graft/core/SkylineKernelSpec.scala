@@ -78,4 +78,21 @@ class SkylineKernelSpec extends AnyFunSuite {
       assert(asSet(whole) == asSet(merged))
     }
   }
+
+  test("non-finite coordinates: dominated +Inf-sum points are evicted") {
+    // two +Inf sums break the strictly-smaller-sum invariant of the
+    // no-evict merge walk; the non-finite group must be re-reduced
+    val b = SkylineBuffer.empty
+    b.add(Point(2, Array(1.0, Double.PositiveInfinity)))
+    b.add(Point(1, Array(0.0, Double.PositiveInfinity)))
+    b.add(Point(3, Array(5.0, 5.0)))
+    val ids = b.result.map(_.id).toSet
+    assert(ids == Set(1L, 3L), s"got $ids")
+    // -Inf sums: (-Inf, 1) dominates (-Inf, 2)
+    val c = SkylineBuffer.empty
+    c.add(Point(10, Array(Double.NegativeInfinity, 2.0)))
+    c.add(Point(11, Array(Double.NegativeInfinity, 1.0)))
+    val ids2 = c.result.map(_.id).toSet
+    assert(ids2 == Set(11L), s"got $ids2")
+  }
 }

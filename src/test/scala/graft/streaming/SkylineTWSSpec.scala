@@ -125,4 +125,53 @@ class SkylineTWSSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("duplicate trigger payload and empty-partition-first arrivals stay correct") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("tws_dup").toString
+    val dataIn = MemoryStream[String]
+    val trigIn = MemoryStream[String]
+    val n = N
+    val pidOf = graft.operators.SkylineOps.pidFunction("mr-dim", 100.0, n)
+    val env = dataIn.toDS().flatMap(l => SkylineStream.parseData(l, pidOf))
+      .unionAll(trigIn.toDS().flatMap(p =>
+        SkylineStream.broadcastTrigger(p, n, 1L)))
+    val out = SkylineStreamTWS.topology(env, n)
+    val q = out.writeStream.format("memory").queryName("tws_dup")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // data confined to mr-dim band 0 (v1 < 25): partitions 1..3 stay
+      // empty. A barrier-100 trigger makes the EMPTY partitions answer
+      // immediately (maxId == -1 rule) while partition 0 parks - the global
+      // latch then holds only empty skylines across batches (the
+      // ListState-empty-put crash scenario).
+      val pts = Seq.tabulate(60)(i =>
+        (i.toLong, (i % 25).toDouble, (i % 97).toDouble))
+      dataIn.addData(mkLines(pts))
+      q.processAllAvailable()
+      trigIn.addData("5,100")
+      q.processAllAvailable()
+      assert(spark.table("tws_dup").count() == 0) // parked, no crash
+      // duplicate payload: the same trigger again - the distinct-pid latch
+      // must not double-count the empty partitions' second answers
+      trigIn.addData("5,100")
+      q.processAllAvailable()
+      assert(spark.table("tws_dup").count() == 0)
+      // release the barrier in partition 0; exactly ONE result appears and
+      // its skyline matches brute force (no duplicated points)
+      dataIn.addData(mkLines(Seq((100L, 10.0, 1.0))))
+      q.processAllAvailable()
+      val rows = spark.table("tws_dup").collect()
+      assert(rows.length == 1, s"got ${rows.length}")
+      val all = pts :+ ((100L, 10.0, 1.0))
+      assert(rows.head.getAs[Int]("skylineSize") == bruteSize(all))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }

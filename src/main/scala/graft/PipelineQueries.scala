@@ -63,9 +63,19 @@ object PipelineQueries {
           .option("checkpointLocation", ckpt)
           .outputMode("append").start()
         try { q.processAllAvailable() } finally q.stop()
-        s.table(name)
+        // the 2-D skyline is tiny: collect it, then drop the memory-sink
+        // table and the RocksDB checkpoint dir so repeated invocations
+        // (bench/verify sweeps) don't accumulate driver tables and /tmp dirs
+        val sunk = s.table(name)
           .select(col("id"), element_at(col("values"), 1).as("v1"),
             element_at(col("values"), 2).as("v2"))
+        val schema = sunk.schema
+        val rows = sunk.collect()
+        s.catalog.dropTempView(name)
+        java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
           .orderBy("id")
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", priorShuffle)
@@ -186,10 +196,15 @@ object PipelineQueries {
     "json_file_source" ->
       """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id"""
         .stripMargin.replace("\n", " "),
+    // first PAYLOAD BYTE via hex(blob) — ascii(substr(text,1,1)) would be
+    // the first character's code point, which diverges from the byte the
+    // moment a document starts with a multibyte UTF-8 character
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        |CASE ascii(substr(text, 1, 1)) % 3 WHEN 0 THEN 'image'
+        |CASE (CASE WHEN octet_length(CAST(text AS BLOB)) = 0 THEN 0
+        |  ELSE CAST(concat('0x', substr(hex(CAST(text AS BLOB)), 1, 2)) AS BIGINT)
+        |  END) % 3 WHEN 0 THEN 'image'
         |  WHEN 1 THEN 'audio' ELSE 'video' END AS format,
         |octet_length(CAST(text AS BLOB)) % 1024 AS width,
         |(octet_length(CAST(text AS BLOB)) * 7) % 768 AS height,
@@ -207,9 +222,13 @@ object PipelineQueries {
     "multimodal_features" -> {
       val bins = (0 until 16).map(b =>
         s"COALESCE(COUNT(*) FILTER (nib = $b), 0) AS bin$b").mkString(", ")
+      // high nibble of each payload BYTE = the hex digit at every odd
+      // position of hex(blob) — byte-exact for any UTF-8 content, unlike a
+      // per-character ascii() codepoint histogram
       s"""WITH ch AS (SELECT doc_id,
-         |  unnest([ascii(substr(text, i, 1)) // 16
-         |          for i in range(1, length(text) + 1)]) AS nib
+         |  unnest([strpos('0123456789ABCDEF',
+         |            substr(hex(CAST(text AS BLOB)), 2 * i - 1, 1)) - 1
+         |          for i in range(1, octet_length(CAST(text AS BLOB)) + 1)]) AS nib
          |  FROM documents),
          |agg AS (SELECT doc_id, $bins FROM ch GROUP BY doc_id)
          |SELECT d.doc_id AS media_id,

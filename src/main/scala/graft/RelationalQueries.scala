@@ -510,14 +510,14 @@ object RelationalQueries {
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin.replace("\n", " "),
     "events_sessionize" ->
-      """WITH g AS (SELECT event_id, user_id,
+      """WITH g AS (SELECT event_id, user_id, ts,
         |  epoch_ns(ts) // 1000000000 AS sec,
         |  LAG(epoch_ns(ts) // 1000000000, 1)
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
         |FROM events)
         |SELECT event_id, user_id,
         |CAST(SUM(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END)
-        |  OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |FROM g ORDER BY event_id""".stripMargin.replace("\n", " ")
   )

@@ -45,11 +45,20 @@ package object functions {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
 
+  /** Clamp to [-1, 1] with NaN passthrough: float error can push a
+    * self-similarity to 1.0000000000000002, but a zero-norm vector's 0/0
+    * must STAY NaN — Spark's NaN-is-largest ordering would otherwise resolve
+    * least(greatest(NaN, -1), 1) to 1.0, turning a zero embedding into a
+    * "perfect match" for everything (DuckDB's list_cosine_similarity yields
+    * NaN there). */
+  private def clampCosine(raw: Column): Column =
+    when(isnan(raw), raw).otherwise(least(greatest(raw, lit(-1.0)), lit(1.0)))
+
   /** Cosine similarity of two ARRAY<DOUBLE> columns, clamped to [-1, 1]
-    * (float error can push a self-similarity to 1.0000000000000002; the clamp
-    * also matches DuckDB's list_cosine_similarity exactly). */
+    * (matches DuckDB's list_cosine_similarity exactly, incl. NaN for
+    * zero-norm inputs). */
   def cosineSim(a: Column, b: Column): Column =
-    least(greatest(dotProduct(a, b) / (l2Norm(a) * l2Norm(b)), lit(-1.0)), lit(1.0))
+    clampCosine(dotProduct(a, b) / (l2Norm(a) * l2Norm(b)))
 
   /** Count of non-overlapping occurrences of literal `needle` in `c` —
     * `(len(c) - len(replace(c, needle, ''))) / len(needle)`, the same
@@ -62,15 +71,14 @@ package object functions {
   /** Fast-path cosine via the codegen'd native expressions (identical float
     * fold order to [[cosineSim]] — bit-equal results, ~10× less overhead). */
   def cosineSimNative(a: Column, b: Column): Column =
-    least(greatest(
+    clampCosine(
       VectorExpressions.dotNative(a, b) /
-        (sqrt(VectorExpressions.sqNormNative(a)) * sqrt(VectorExpressions.sqNormNative(b))),
-      lit(-1.0)), lit(1.0))
+        (sqrt(VectorExpressions.sqNormNative(a)) * sqrt(VectorExpressions.sqNormNative(b))))
 
   /** Cosine from a precomputed dot and per-side norms (for joins where norms
     * are computed once per vector instead of once per pair). */
   def cosineFromNorms(dot: Column, normA: Column, normB: Column): Column =
-    least(greatest(dot / (normA * normB), lit(-1.0)), lit(1.0))
+    clampCosine(dot / (normA * normB))
 
   // --- portable minhash family -------------------------------------------
   // One md5 per shingle; the k-th hash is an affine transform mod a Mersenne

@@ -41,15 +41,26 @@ object AsOfJoin {
         (keyCols.map(col) ++ lCols.filterNot(keyCols.contains).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)) ++
           payload.map(c => col(s"${c}_asof")) :+ col("_t") :+ col("_side")).toIndexedSeq: _*))
-    // right rows sort before left rows at equal time => "at or before"
+    // The carried payload is ONE struct that is null exactly on left rows:
+    // last(_p, ignoreNulls) then picks the last right ROW atomically. Per-
+    // column last(ignoreNulls) would tear rows — a right row with a genuine
+    // NULL in one payload column would contribute its other columns while
+    // that column fell back to an older row's value.
+    val tagged = union.withColumn("_p",
+      when(col("_side") === 0, struct(payload.map(c => col(s"${c}_asof")): _*)))
+    // right rows sort before left rows at equal time => "at or before";
+    // equal-time right rows tiebreak on the first payload column scanning
+    // DESC, so the smallest value deterministically wins the last() pick
+    // (mirrors forward())
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_t").asc, col("_side").asc)
+      .orderBy(col("_t").asc, col("_side").asc,
+        col(s"${payload.head}_asof").desc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = payload.foldLeft(union) { (acc, c) =>
-      acc.withColumn(s"${c}_asof",
-        last(col(s"${c}_asof"), ignoreNulls = true).over(w))
+    val carried = tagged.withColumn("_pc", last(col("_p"), ignoreNulls = true).over(w))
+    val restored = payload.foldLeft(carried) { (acc, c) =>
+      acc.withColumn(s"${c}_asof", col(s"_pc.${c}_asof"))
     }
-    carried.where(col("_side") === 1).drop("_t", "_side")
+    restored.where(col("_side") === 1).drop("_t", "_side", "_p", "_pc")
   }
 
   /** Forward as-of: for every left row, the EARLIEST right row at or after
@@ -73,6 +84,9 @@ object AsOfJoin {
         (keyCols.map(col) ++ lCols.filterNot(keyCols.contains).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)) ++
           payload.map(c => col(s"${c}_asof")) :+ col("_t") :+ col("_side")).toIndexedSeq: _*))
+    // atomic whole-row carry, see backward()
+    val tagged = union.withColumn("_p",
+      when(col("_side") === 0, struct(payload.map(c => col(s"${c}_asof")): _*)))
     // descending time: the last right seen before a left row is the one with
     // the smallest time >= the left's; right ids scan descending so the
     // smallest id wins equal-time ties (left rows order among themselves is
@@ -81,10 +95,10 @@ object AsOfJoin {
       .orderBy(col("_t").desc, col("_side").asc,
         col(s"${payload.head}_asof").desc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = payload.foldLeft(union) { (acc, c) =>
-      acc.withColumn(s"${c}_asof",
-        last(col(s"${c}_asof"), ignoreNulls = true).over(w))
+    val carried = tagged.withColumn("_pc", last(col("_p"), ignoreNulls = true).over(w))
+    val restored = payload.foldLeft(carried) { (acc, c) =>
+      acc.withColumn(s"${c}_asof", col(s"_pc.${c}_asof"))
     }
-    carried.where(col("_side") === 1).drop("_t", "_side")
+    restored.where(col("_side") === 1).drop("_t", "_side", "_p", "_pc")
   }
 }

@@ -53,10 +53,13 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // one row per doc × numHashes longs — tiny relative to the corpus; cache
-    // so the shingle+minhash pass runs once, not once per consumer (banded
-    // keys + both sides of the signature join)
-    val sig = minhashSignatures(df, idCol, textCol, k, numHashes).cache()
+    // one row per doc × numHashes longs — tiny relative to the corpus;
+    // eagerly materialized so the shingle+minhash pass runs once, not once
+    // per consumer (banded keys + both sides of the signature join), with
+    // the lineage truncated; freed by the ContextCleaner when the returned
+    // frame is dropped
+    val sig = minhashSignatures(df, idCol, textCol, k, numHashes)
+      .localCheckpoint(true)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
@@ -128,8 +131,11 @@ object Dedup {
     * explode tokens → hash → per-bit votes via bitwise arithmetic → groupBy.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // distinct via shuffle (dropDuplicates), not array_distinct — the latter
+    // is O(n²) string compares per row, a straggler-maker on long documents
     val toks = df.select(col(idCol),
-      explode(array_distinct(split(normText(col(textCol)), " "))).as("tok"))
+      explode(split(normText(col(textCol)), " ")).as("tok"))
+      .dropDuplicates(idCol, "tok")
       .withColumn("h", hash60(col("tok")))
     val bitCols = (0 until 60).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"c$b"))
@@ -151,7 +157,7 @@ object Dedup {
     * @param pairs undirected edges (id_a, id_b)
     */
   def clusterNearDups(ids: DataFrame, pairs: DataFrame,
-                      maxIters: Int = 20): DataFrame = {
+                      maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
@@ -176,6 +182,14 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // partially-converged labels are silently WRONG downstream: local-minimum
+    // nodes still carry their own id, pass the `id === cluster_id` canonical
+    // filter, and duplicate documents survive dedup — fail loudly instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterNearDups did not converge in $maxIters rounds — a component's " +
+          "diameter exceeds maxIters; raise maxIters (rounds are one join + " +
+          "groupBy each)")
     labels
   }
 

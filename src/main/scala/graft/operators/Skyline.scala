@@ -423,6 +423,9 @@ object SkylineOps {
     val medRow = df.select((0 until dims).map(i =>
       percentile_approx(element_at(col("values"), i + 1), lit(0.5), lit(1000))
         .as(s"m$i")): _*).collect().head
+    // empty input: the percentile aggregate yields NULL medians — return
+    // the empty skyline instead of NPEing on getDouble
+    if (medRow.isNullAt(0)) return spark.emptyDataset[Point]
     val meds = Array.tabulate(dims)(i => medRow.getDouble(i))
     def cellOf(vs: Array[Double]): Int = {
       var m = 0; var i = 0

@@ -70,6 +70,13 @@ object TextQueries {
       TextAnalysis.withLanguageId(docs(s, dir), "text")
         .select("doc_id", "lang_pred", "lang_score")
         .orderBy("doc_id")),
+    // Gopher-style repetition filters: repeated-word / repeated-trigram
+    // fractions and top-bigram coverage, with pass/fail thresholds
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.withRepetitionStats(docs(s, dir), "doc_id", "text")
+        .select("doc_id", "n_words", "dup_word_frac", "dup_trigram_frac",
+          "top_bigram_frac", "repetition_ok")
+        .orderBy("doc_id")),
     // document fingerprint (md5 of normalized text)
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.withFingerprint(docs(s, dir), "text")
@@ -301,6 +308,44 @@ object TextQueries {
          |FROM (SELECT doc_id,
          |${langScores.map { case (l, e) => s"CAST($e AS BIGINT) AS s_$l" }.mkString(", ")}
          |FROM documents) ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+    // repetition stats: words via the same regexp split as text_tokens;
+    // DuckDB lists are 1-indexed so range(1, n-1) / range(1, n) mirror the
+    // Spark transform(sequence(...)) windows; all divisions are single
+    // double ops in the same order as the Column side
+    m += "text_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN []
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+        |  FROM documents),
+        |base AS (SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n_words,
+        |  CASE WHEN len(words) > 0 THEN 1.0 -
+        |    CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE)
+        |    ELSE 0.0 END AS dup_word_frac,
+        |  CASE WHEN len(words) >= 3 THEN
+        |    [concat_ws(' ', words[i], words[i+1], words[i+2])
+        |     for i in range(1, len(words) - 1)] ELSE [] END AS trigrams
+        |  FROM w),
+        |tg AS (SELECT doc_id, n_words, dup_word_frac,
+        |  CASE WHEN len(trigrams) > 0 THEN 1.0 -
+        |    CAST(len(list_distinct(trigrams)) AS DOUBLE) / CAST(len(trigrams) AS DOUBLE)
+        |    ELSE 0.0 END AS dup_trigram_frac FROM base),
+        |bgrows AS (SELECT doc_id, unnest(
+        |    [concat_ws(' ', words[i], words[i+1]) for i in range(1, len(words))]) AS bg
+        |  FROM w WHERE len(words) >= 2),
+        |topbg AS (SELECT doc_id, max(cnt) AS top_cnt FROM
+        |  (SELECT doc_id, bg, count(*) AS cnt FROM bgrows GROUP BY doc_id, bg)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id, n_words, dup_word_frac, dup_trigram_frac,
+        |  CASE WHEN top_cnt IS NOT NULL AND n_words > 0 THEN
+        |    CAST(top_cnt AS DOUBLE) * 2.0 / CAST(n_words AS DOUBLE)
+        |    ELSE 0.0 END AS top_bigram_frac,
+        |  (dup_word_frac <= 0.75 AND dup_trigram_frac <= 0.05 AND
+        |   (CASE WHEN top_cnt IS NOT NULL AND n_words > 0 THEN
+        |     CAST(top_cnt AS DOUBLE) * 2.0 / CAST(n_words AS DOUBLE)
+        |     ELSE 0.0 END) <= 0.10) AS repetition_ok
+        |FROM tg t LEFT JOIN topbg USING (doc_id) ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")
 
     m += "text_fingerprint" ->
       s"""SELECT doc_id, md5($normSql) AS fingerprint FROM documents

@@ -71,6 +71,62 @@ object TextAnalysis {
       .drop((Seq("_padded", "_m") ++ langs.map(l => s"_s_${l._1}")): _*)
   }
 
+  /** Repetition statistics in the Gopher/MassiveText style (Rae et al. 2021,
+    * appendix A1.1 — the published repetition filters for LLM training data):
+    * fraction of repeated word occurrences, fraction of repeated word
+    * trigrams, and the word-fraction covered by the single most frequent
+    * bigram, plus a pass/fail flag at the given thresholds.
+    *
+    * Scale shape: the per-document word/trigram arrays are bounded by
+    * document length (no quadratic per-doc work), and the bigram *mode* —
+    * the one part that cannot be a per-row expression — is computed with
+    * explode + two partial-aggregated groupBys keyed on (doc, bigram), so
+    * the heavy lifting is one hash-spread shuffle, not a per-doc sort or
+    * collect. All arithmetic is single IEEE-double divisions in a fixed
+    * order, reproducible exactly in the DuckDB oracle.
+    */
+  def withRepetitionStats(df: DataFrame, idCol: String, textCol: String,
+                          dupWordMax: Double = 0.75, dupTrigramMax: Double = 0.05,
+                          topBigramMax: Double = 0.10): DataFrame = {
+    val withWords = df.withColumn("_words",
+        when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+          .otherwise(split(trim(col(textCol)), "\\s+")))
+      .withColumn("n_words", size(col("_words")).cast("long"))
+    val withFracs = withWords
+      .withColumn("dup_word_frac",
+        when(col("n_words") > 0,
+          lit(1.0) - size(array_distinct(col("_words"))).cast("double") /
+            col("n_words").cast("double"))
+          .otherwise(lit(0.0)))
+      // sequence(a, b) DESCENDS when b < a — the n_words guard is load-bearing
+      .withColumn("_trigrams",
+        when(col("n_words") >= 3, expr(
+          "transform(sequence(0, int(n_words) - 3), " +
+            "i -> concat_ws(' ', _words[i], _words[i+1], _words[i+2]))"))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("dup_trigram_frac",
+        when(size(col("_trigrams")) > 0,
+          lit(1.0) - size(array_distinct(col("_trigrams"))).cast("double") /
+            size(col("_trigrams")).cast("double"))
+          .otherwise(lit(0.0)))
+    val topBigram = withWords.where(col("n_words") >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, int(n_words) - 2), " +
+          "i -> concat_ws(' ', _words[i], _words[i+1]))")).as("_bg"))
+      .groupBy(col(idCol), col("_bg")).count()
+      .groupBy(col(idCol)).agg(max("count").as("_top_bg_cnt"))
+    withFracs.join(topBigram, Seq(idCol), "left")
+      .withColumn("top_bigram_frac",
+        when(col("_top_bg_cnt").isNotNull && col("n_words") > 0,
+          col("_top_bg_cnt").cast("double") * lit(2.0) / col("n_words").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("repetition_ok",
+        col("dup_word_frac") <= dupWordMax &&
+          col("dup_trigram_frac") <= dupTrigramMax &&
+          col("top_bigram_frac") <= topBigramMax)
+      .drop("_words", "_trigrams", "_top_bg_cnt")
+  }
+
   /** Exact-duplicate fingerprint: md5 of the lowercased whitespace-collapsed
     * text (matches DuckDB `md5(...)` byte-for-byte). */
   def withFingerprint(df: DataFrame, textCol: String): DataFrame =

@@ -212,4 +212,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(ids.contains(4L), s"got $ids")
     } finally q.stop()
   }
+
+  test("repetition stats: degenerate repeats fail, varied text passes, edge docs are 0") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "spam spam spam spam spam spam"),              // one word repeated
+      (1L, "buy now buy now buy now buy now buy now"),    // one bigram repeated
+      // clean doc needs >= 20 words: all-unique bigrams still score 2/n
+      (2L, "a varied sentence with mostly unique words that keeps going for " +
+        "quite some time so bigram coverage stays small enough to pass"),
+      (3L, "solo"),                                       // no bigrams/trigrams
+      (4L, "   ")                                         // empty after trim
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.withRepetitionStats(df, "doc_id", "text")
+      .select("doc_id", "n_words", "dup_word_frac", "dup_trigram_frac",
+        "top_bigram_frac", "repetition_ok")
+      .collect().map(x => x.getLong(0) -> x).toMap
+
+    assert(r(0L).getDouble(2) > 0.8 && !r(0L).getBoolean(5))   // dup words
+    assert(r(0L).getDouble(4) >= 1.0)  // overlapping "spam spam" overcounts past 1
+    assert(r(1L).getDouble(4) > 0.5 && !r(1L).getBoolean(5))   // dominant bigram
+    assert(r(2L).getDouble(2) == 0.0 && r(2L).getDouble(3) == 0.0 &&
+      r(2L).getBoolean(5))                                     // clean doc passes
+    assert(r(3L).getLong(1) == 1L && r(3L).getDouble(3) == 0.0 &&
+      r(3L).getDouble(4) == 0.0 && r(3L).getBoolean(5))        // single word
+    assert(r(4L).getLong(1) == 0L && r(4L).getDouble(2) == 0.0 &&
+      r(4L).getBoolean(5))                                     // empty doc
+  }
 }

@@ -31,7 +31,8 @@ object Bench {
     "events_hopping", "q_grouping_sets", "events_pivot", "sql_functions",
     "csv_file_source", "json_file_source", "multimodal_features",
     "sky_dominance_score", "dedup_embedding_bucketed",
-    "text_chunking", "domain_cap", "decontaminate", "text_repetition")
+    "text_chunking", "domain_cap", "decontaminate", "text_repetition",
+    "stream_windowed_sky")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -85,6 +85,61 @@ object PipelineQueries {
         }
       }
     }),
+    // Event-time windowed streaming skyline: watermark + 1h tumbling window +
+    // the SkylineAgg partial/final aggregator in append mode — each hour's
+    // Pareto frontier is emitted exactly once, when the watermark passes the
+    // window end (real event-time semantics, unlike the reference's
+    // processing-time barrier protocol). Two far-future sentinel batches
+    // march the watermark past every real window; their own windows are
+    // filtered by id < 0. Oracle = the same per-hour NOT EXISTS skyline SQL
+    // as sky_windowed_events.
+    "stream_windowed_sky" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rows = s.read.parquet(s"$dir/events.parquet").select(
+          col("event_id"),
+          expr("ts div 1000000000").as("secs"),
+          col("value").cast("double").as("v1"),
+          get_json_object(col("props"), "$.k").cast("double").as("v2"))
+        .as[(Long, Long, Double, Double)].collect()
+      val maxSecs = rows.map(_._2).max
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Double, Double)]
+      val skyAgg = udaf(new graft.operators.SkylineAgg(),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.core.Point]())
+      val out = src.toDF().toDF("event_id", "secs", "v1", "v2")
+        .withColumn("ets", timestamp_seconds(col("secs")))
+        .withWatermark("ets", "0 seconds")
+        .groupBy(window(col("ets"), "1 hour").as("w"))
+        .agg(skyAgg(col("event_id"), array(col("v1"), col("v2")), lit(-1)).as("sky"))
+        .select(col("w.start").cast("long").as("bucket_start"),
+          explode(col("sky")).as("p"))
+        .select(col("bucket_start"), col("p.id").as("event_id"),
+          element_at(col("p.values"), 1).as("v1"),
+          element_at(col("p.values"), 2).as("v2"))
+      val name = s"wsky_${System.nanoTime()}"
+      val ckpt = java.nio.file.Files.createTempDirectory("wsky").toString
+      val q = out.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try {
+        src.addData(rows.toIndexedSeq)
+        q.processAllAvailable()
+        src.addData(Seq((-1L, maxSecs + 7200, 0.0, 0.0)))
+        q.processAllAvailable()
+        src.addData(Seq((-2L, maxSecs + 14400, 0.0, 0.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val sunk = s.table(name).where(col("event_id") >= 0)
+      val schema = sunk.schema
+      val collected = sunk.collect()
+      s.catalog.dropTempView(name)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      s.createDataFrame(java.util.Arrays.asList(collected: _*), schema)
+        .orderBy("bucket_start", "event_id")
+    }),
     // The injected SQL function surface end to end: hash60, shingles,
     // MR-Angle and cosine all usable from plain Spark SQL, hash-matched
     // against the DuckDB formulations of the same math.
@@ -164,6 +219,17 @@ object PipelineQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // identical to the batch sky_windowed_events oracle: the streaming
+    // window/watermark path must reproduce the per-hour frontiers exactly
+    "stream_windowed_sky" ->
+      """WITH pts AS (SELECT (epoch_ns(ts) // 1000000000) // 3600 * 3600
+        |AS bucket_start, event_id, CAST(value AS DOUBLE) AS v1,
+        |CAST(json_extract_string(props, '$.k') AS DOUBLE) AS v2 FROM events)
+        |SELECT t.bucket_start, t.event_id, t.v1, t.v2 FROM pts t
+        |WHERE NOT EXISTS (SELECT 1 FROM pts u
+        |  WHERE u.bucket_start = t.bucket_start
+        |  AND u.v1 <= t.v1 AND u.v2 <= t.v2 AND (u.v1 < t.v1 OR u.v2 < t.v2))
+        |ORDER BY t.bucket_start, t.event_id""".stripMargin.replace("\n", " "),
     "stream_sky2d" ->
       s"""WITH pts AS (${SkylineQueries.partPointsSql})
          |SELECT t.id, t.v1, t.v2 FROM pts t WHERE NOT EXISTS (

@@ -213,6 +213,26 @@ object RelationalQueries {
           col("event_id_asof").as("next_error_id"), col("value_asof"))
         .orderBy("event_id")
     }),
+    // interval (range) join: every (error, purchase) pair for the same user
+    // within ±10 minutes — bucketed equi-join, not a per-key cartesian.
+    // Times are truncated to MICROSECONDS first (ts div 1000) because DuckDB
+    // reads the ns-precision parquet timestamps at µs precision — filtering
+    // and dt must derive from the same truncated values on both engines.
+    "interval_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"),
+          col("value"))
+      graft.operators.IntervalJoin.join(errors, purchases,
+          keyCols = Seq("user_id"), leftTime = "tus", rightTime = "tus",
+          delta = 600L * 1000000L, payload = Seq("event_id", "value"))
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("event_id_r").as("purchase_id"), col("value_r"),
+          (col("tus") - col("tus_r")).as("dt_us"))
+        .orderBy("error_id", "purchase_id")
+    }),
     // hopping (sliding) event-time windows: 1h size, 30min slide — each
     // event lands in two windows (explode over the two candidate starts)
     "events_hopping" -> ((s, dir) => {
@@ -428,6 +448,14 @@ object RelationalQueries {
         |  WHERE u.bucket_start = t.bucket_start
         |  AND u.v1 <= t.v1 AND u.v2 <= t.v2 AND (u.v1 < t.v1 OR u.v2 < t.v2))
         |ORDER BY t.bucket_start, t.event_id""".stripMargin.replace("\n", " "),
+    "interval_join" ->
+      """SELECT l.event_id AS error_id, l.user_id, r.event_id AS purchase_id,
+        |r.value AS value_r, epoch_us(l.ts) - epoch_us(r.ts) AS dt_us
+        |FROM (SELECT * FROM events WHERE event_type = 'error') l
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |ON l.user_id = r.user_id
+        |AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 600000000
+        |ORDER BY error_id, purchase_id""".stripMargin.replace("\n", " "),
     "asof_purchase" ->
       """SELECT l.event_id, l.user_id, r.value AS value_asof,
         |r.event_id AS prior_purchase_id

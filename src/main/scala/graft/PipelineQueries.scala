@@ -140,6 +140,55 @@ object PipelineQueries {
       s.createDataFrame(java.util.Arrays.asList(collected: _*), schema)
         .orderBy("bucket_start", "event_id")
     }),
+    // Event-time SESSION windows in streaming: per-user sessions split at a
+    // 30-minute inactivity gap (session_window merges an event into the
+    // session when its time is strictly inside last + gap), aggregated in
+    // append mode and flushed by the same sentinel-watermark march. The
+    // oracle is the classic gap-and-islands SQL with the matching >= split
+    // rule — note the batch events_sessionize uses strict >, so the two
+    // formulations are intentionally distinct at exactly-1800s gaps.
+    "stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rows = s.read.parquet(s"$dir/events.parquet").select(
+          col("user_id"),
+          expr("ts div 1000000000").as("secs"),
+          col("value").cast("double").as("value"))
+        .as[(Long, Long, Double)].collect()
+      val maxSecs = rows.map(_._2).max
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Double)]
+      val out = src.toDF().toDF("user_id", "secs", "value")
+        .withColumn("ets", timestamp_seconds(col("secs")))
+        .withWatermark("ets", "0 seconds")
+        .groupBy(session_window(col("ets"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,3)")).cast("double").as("sum_value"))
+        .select(col("user_id"), col("w.start").cast("long").as("session_start"),
+          col("n_events"), col("sum_value"))
+      val name = s"sses_${System.nanoTime()}"
+      val ckpt = java.nio.file.Files.createTempDirectory("sses").toString
+      val q = out.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try {
+        src.addData(rows.toIndexedSeq)
+        q.processAllAvailable()
+        src.addData(Seq((-1L, maxSecs + 7200, 0.0)))
+        q.processAllAvailable()
+        src.addData(Seq((-2L, maxSecs + 14400, 0.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val sunk = s.table(name).where(col("user_id") >= 0)
+      val schema = sunk.schema
+      val collected = sunk.collect()
+      s.catalog.dropTempView(name)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      s.createDataFrame(java.util.Arrays.asList(collected: _*), schema)
+        .orderBy("user_id", "session_start")
+    }),
     // The injected SQL function surface end to end: hash60, shingles,
     // MR-Angle and cosine all usable from plain Spark SQL, hash-matched
     // against the DuckDB formulations of the same math.
@@ -219,6 +268,22 @@ object PipelineQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // gap-and-islands with the session_window >= split rule (see the query
+    // comment); equal-sec ties are gap 0 so tie order cannot change sessions
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec, value
+        |  FROM events),
+        |g AS (SELECT user_id, sec, value,
+        |  CASE WHEN LAG(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
+        |    OR sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec) >= 1800
+        |    THEN 1 ELSE 0 END AS ns FROM e),
+        |s AS (SELECT user_id, sec, value, SUM(ns) OVER (PARTITION BY user_id
+        |  ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT user_id, MIN(sec) AS session_start,
+        |COUNT(*) AS n_events,
+        |CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin.replace("\n", " "),
     // identical to the batch sky_windowed_events oracle: the streaming
     // window/watermark path must reproduce the per-hour frontiers exactly
     "stream_windowed_sky" ->

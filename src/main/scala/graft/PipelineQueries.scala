@@ -13,6 +13,33 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Drive a streaming frame through a memory sink to completion and return
+    * the sunk rows as a static frame. `feed` pushes source batches and calls
+    * `processAllAvailable`. The memory-sink temp view and the checkpoint
+    * temp dir are removed even when the query fails — these queries run in
+    * repeated bench/verify sweeps, so any leak here accumulates driver
+    * tables and /tmp dirs. */
+  private def runAppendStream(s: SparkSession, out: DataFrame, prefix: String)
+      (feed: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
+    val name = s"${prefix}_${System.nanoTime()}"
+    val ckpt = java.nio.file.Files.createTempDirectory(prefix).toString
+    try {
+      val q = out.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try feed(q) finally q.stop()
+      val sunk = s.table(name)
+      val schema = sunk.schema
+      val rows = sunk.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally {
+      s.catalog.dropTempView(name) // no-op (false) if start() failed early
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Full streaming protocol (S→P1/F1→B1→C1→A1/A2→A3 merge) over the same
     // 2-D point set as sky2d_global; the oracle is the same skyline SQL, so
@@ -54,28 +81,13 @@ object PipelineQueries {
             SkylineStream.broadcastTrigger(p, n, 0L)))
         // one micro-batch carries data + trigger; stepLocal orders
         // data-before-triggers within a batch, so the bare barrier fires
-        val name = s"tws_q_${System.nanoTime()}"
-        val ckpt = java.nio.file.Files.createTempDirectory("tws_q").toString
         dataIn.addData(lines.toIndexedSeq)
         trigIn.addData("collect,0")
-        val q = graft.streaming.SkylineStreamTWS.topologyPoints(env, n)
-          .writeStream.format("memory").queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append").start()
-        try { q.processAllAvailable() } finally q.stop()
-        // the 2-D skyline is tiny: collect it, then drop the memory-sink
-        // table and the RocksDB checkpoint dir so repeated invocations
-        // (bench/verify sweeps) don't accumulate driver tables and /tmp dirs
-        val sunk = s.table(name)
+        runAppendStream(s,
+            graft.streaming.SkylineStreamTWS.topologyPoints(env, n).toDF(),
+            "tws_q")(_.processAllAvailable())
           .select(col("id"), element_at(col("values"), 1).as("v1"),
             element_at(col("values"), 2).as("v2"))
-        val schema = sunk.schema
-        val rows = sunk.collect()
-        s.catalog.dropTempView(name)
-        java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
           .orderBy("id")
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", priorShuffle)
@@ -118,35 +130,22 @@ object PipelineQueries {
         .select(col("bucket_start"), col("p.id").as("event_id"),
           element_at(col("p.values"), 1).as("v1"),
           element_at(col("p.values"), 2).as("v2"))
-      val name = s"wsky_${System.nanoTime()}"
-      val ckpt = java.nio.file.Files.createTempDirectory("wsky").toString
-      val q = out.writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", ckpt).outputMode("append").start()
-      try {
+      runAppendStream(s, out, "wsky") { q =>
         src.addData(rows.toIndexedSeq)
         q.processAllAvailable()
         src.addData(Seq((-1L, maxSecs + 7200, 0.0, 0.0)))
         q.processAllAvailable()
         src.addData(Seq((-2L, maxSecs + 14400, 0.0, 0.0)))
         q.processAllAvailable()
-      } finally q.stop()
-      val sunk = s.table(name).where(col("event_id") >= 0)
-      val schema = sunk.schema
-      val collected = sunk.collect()
-      s.catalog.dropTempView(name)
-      java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      s.createDataFrame(java.util.Arrays.asList(collected: _*), schema)
+      }.where(col("event_id") >= 0)
         .orderBy("bucket_start", "event_id")
     }),
     // Event-time SESSION windows in streaming: per-user sessions split at a
-    // 30-minute inactivity gap (session_window merges an event into the
-    // session when its time is strictly inside last + gap), aggregated in
-    // append mode and flushed by the same sentinel-watermark march. The
-    // oracle is the classic gap-and-islands SQL with the matching >= split
-    // rule — note the batch events_sessionize uses strict >, so the two
-    // formulations are intentionally distinct at exactly-1800s gaps.
+    // 30-minute inactivity gap (session_window MERGES an event at exactly
+    // last + gap; a new session starts only when the gap is STRICTLY
+    // greater — same strict-> rule as the batch events_sessionize),
+    // aggregated in append mode, flushed by the sentinel-watermark march.
+    // Oracle = classic gap-and-islands SQL with the matching > split rule.
     "stream_sessionize" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
@@ -167,26 +166,14 @@ object PipelineQueries {
           sum(col("value").cast("decimal(18,3)")).cast("double").as("sum_value"))
         .select(col("user_id"), col("w.start").cast("long").as("session_start"),
           col("n_events"), col("sum_value"))
-      val name = s"sses_${System.nanoTime()}"
-      val ckpt = java.nio.file.Files.createTempDirectory("sses").toString
-      val q = out.writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", ckpt).outputMode("append").start()
-      try {
+      runAppendStream(s, out, "sses") { q =>
         src.addData(rows.toIndexedSeq)
         q.processAllAvailable()
         src.addData(Seq((-1L, maxSecs + 7200, 0.0)))
         q.processAllAvailable()
         src.addData(Seq((-2L, maxSecs + 14400, 0.0)))
         q.processAllAvailable()
-      } finally q.stop()
-      val sunk = s.table(name).where(col("user_id") >= 0)
-      val schema = sunk.schema
-      val collected = sunk.collect()
-      s.catalog.dropTempView(name)
-      java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      s.createDataFrame(java.util.Arrays.asList(collected: _*), schema)
+      }.where(col("user_id") >= 0)
         .orderBy("user_id", "session_start")
     }),
     // The injected SQL function surface end to end: hash60, shingles,
@@ -268,14 +255,15 @@ object PipelineQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
-    // gap-and-islands with the session_window >= split rule (see the query
-    // comment); equal-sec ties are gap 0 so tie order cannot change sessions
+    // gap-and-islands with session_window's STRICT > split rule (an event at
+    // exactly last + gap merges — verified against Spark 4.1.2 behavior);
+    // equal-sec ties are gap 0 so tie order cannot change sessions
     "stream_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec, value
         |  FROM events),
         |g AS (SELECT user_id, sec, value,
         |  CASE WHEN LAG(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
-        |    OR sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec) >= 1800
+        |    OR sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
         |    THEN 1 ELSE 0 END AS ns FROM e),
         |s AS (SELECT user_id, sec, value, SUM(ns) OVER (PARTITION BY user_id
         |  ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sid FROM g)

@@ -68,6 +68,13 @@ object Bench {
     // a failed workload records -1 instead of losing the whole JSON line
     def bench(name: String)(f: => Unit): Unit =
       results(name) = try time(f) catch { case _: Throwable => -1.0 }
+    // section boundary: the catalog sweep ends with streaming workloads whose
+    // state stores churn the heap; reclaim before the generator-heavy
+    // reference workloads or their timings inflate 5-15x from GC pressure
+    // (single-JVM bench artifact, not a real regression)
+    spark.catalog.clearCache()
+    System.gc()
+    Thread.sleep(2000)
     // reference-workload skylines (1M anti-correlated, domain [0,10000])
     bench("sky_1m_2d_anti") {
       SkylineOps.skylineViaStrategy(

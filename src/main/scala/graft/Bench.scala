@@ -32,7 +32,8 @@ object Bench {
     "csv_file_source", "json_file_source", "multimodal_features",
     "sky_dominance_score", "dedup_embedding_bucketed",
     "text_chunking", "domain_cap", "decontaminate", "text_repetition",
-    "stream_windowed_sky", "interval_join", "stream_sessionize")
+    "stream_windowed_sky", "interval_join", "stream_sessionize",
+    "stream_interval_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

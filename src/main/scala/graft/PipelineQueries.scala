@@ -176,6 +176,46 @@ object PipelineQueries {
       }.where(col("user_id") >= 0)
         .orderBy("user_id", "session_start")
     }),
+    // STREAM-STREAM interval join: errors and purchases arrive on two
+    // independent watermarked streams; the inner join carries an equi-key
+    // plus a symmetric time-range condition, which is exactly what lets
+    // Structured Streaming bound both join states (each side is evicted once
+    // the other side's watermark passes its time ± delta). Result must equal
+    // the batch interval_join — same oracle.
+    "stream_interval_join" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val errRows = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"))
+        .as[(Long, Long, Long)].collect()
+      val purRows = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"),
+          col("value").cast("double"))
+        .as[(Long, Long, Long, Double)].collect()
+      val errIn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val purIn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, Double)]
+      val l = errIn.toDF().toDF("error_id", "user_id", "l_tus")
+        .withColumn("l_ets", timestamp_micros(col("l_tus")))
+        .withWatermark("l_ets", "0 seconds")
+      val r = purIn.toDF().toDF("purchase_id", "r_user", "r_tus", "value_r")
+        .withColumn("r_ets", timestamp_micros(col("r_tus")))
+        .withWatermark("r_ets", "0 seconds")
+      val out = l.join(r,
+        col("user_id") === col("r_user") &&
+          col("r_ets") >= col("l_ets") - expr("INTERVAL 600 SECONDS") &&
+          col("r_ets") <= col("l_ets") + expr("INTERVAL 600 SECONDS"))
+        .select(col("error_id"), col("user_id"), col("purchase_id"),
+          col("value_r"), (col("l_tus") - col("r_tus")).as("dt_us"))
+      runAppendStream(s, out, "sij") { q =>
+        errIn.addData(errRows.toIndexedSeq)
+        purIn.addData(purRows.toIndexedSeq)
+        q.processAllAvailable()
+      }.orderBy("error_id", "purchase_id")
+    }),
     // The injected SQL function surface end to end: hash60, shingles,
     // MR-Angle and cosine all usable from plain Spark SQL, hash-matched
     // against the DuckDB formulations of the same math.
@@ -255,6 +295,8 @@ object PipelineQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the streaming join must reproduce the batch interval join exactly
+    "stream_interval_join" -> RelationalQueries.oracleSql("interval_join"),
     // gap-and-islands with session_window's STRICT > split rule (an event at
     // exactly last + gap merges — verified against Spark 4.1.2 behavior);
     // equal-sec ties are gap 0 so tie order cannot change sessions

@@ -33,7 +33,9 @@ object Bench {
     "sky_dominance_score", "dedup_embedding_bucketed",
     "text_chunking", "domain_cap", "decontaminate", "text_repetition",
     "stream_windowed_sky", "interval_join", "stream_sessionize",
-    "stream_interval_join")
+    "stream_interval_join", "events_funnel", "events_retention",
+    "events_latest", "events_zscore", "text_tfidf", "emb_quantize",
+    "emb_centroids")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -340,6 +340,81 @@ object RelationalQueries {
           sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
         .select(col("event_id"), col("user_id"), col("session_seq"))
         .orderBy("event_id")
+    }),
+    // funnel analysis: signup → view → click → purchase, each stage's event
+    // strictly after the user's first event of the previous stage. Staged
+    // conditional min-aggregation: every stage is a user_id-keyed groupBy
+    // joined to the previous stage's (user_id, t) — all joins share the one
+    // user_id hash partitioning and each stage frame only shrinks, so at
+    // scale this is a single co-partitioned exchange chain, no windows.
+    "events_funnel" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tus"))
+      def stage(typ: String, prev: DataFrame): DataFrame =
+        ev.where(col("event_type") === typ)
+          .join(prev, "user_id")
+          .where(col("tus") > col("t"))
+          .groupBy("user_id").agg(min(col("tus")).as("t"))
+      val s1 = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("tus")).as("t"))
+      val s2 = stage("view", s1)
+      val s3 = stage("click", s2)
+      val s4 = stage("purchase", s3)
+      Seq(("1_signup", s1), ("2_view", s2), ("3_click", s3), ("4_purchase", s4))
+        .map { case (nm, df) => df.agg(count(lit(1)).as("n_users"))
+          .select(lit(nm).as("stage"), col("n_users")) }
+        .reduce(_ unionAll _)
+        .orderBy("stage")
+    }),
+    // weekly cohort retention: cohort = week of a user's first active day,
+    // cell = distinct users active at each week offset. Two shuffles total
+    // (distinct day grid, then the user-keyed first-day join) — the classic
+    // retention matrix without any window function.
+    "events_retention" -> ((s, dir) => {
+      val days = events(s, dir).select(col("user_id"),
+        expr("(ts div 1000000000) div 86400").as("day")).distinct()
+      val firsts = days.groupBy("user_id").agg(min(col("day")).as("first_day"))
+      days.join(firsts, "user_id")
+        .select(col("user_id"), expr("first_day div 7").as("cohort_week"),
+          expr("(day - first_day) div 7").as("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+    // latest-record-per-key compaction (the CDC / SCD "current snapshot"
+    // primitive): one max_by aggregation with a composite (ts, event_id)
+    // order key — a single partial-aggregating shuffle, no window sort, and
+    // the map-side combine means only one row per (partition, user) moves.
+    "events_latest" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("event_id"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"))
+        .select(col("user_id"), col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"))
+        .orderBy("user_id")),
+    // per-user anomaly flags: z-score against decimal-exact moments. The
+    // sums (Σv, Σv²) accumulate in DECIMAL — exact, order-independent — and
+    // the mean/variance/z arithmetic is a fixed-order IEEE-double expression,
+    // so the surviving flags hash-match DuckDB bit for bit.
+    "events_zscore" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        col("value").cast("decimal(18,6)").as("dv"))
+      val stats = ev.groupBy("user_id").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("dv")).cast("double").as("sv"),
+        sum(col("dv") * col("dv")).cast("double").as("svv"))
+      val mean = col("sv") / col("n")
+      val variance = col("svv") / col("n") - mean * mean
+      ev.join(stats, "user_id")
+        .where(variance > lit(0.0))
+        .select(col("event_id"), col("user_id"),
+          round((col("dv").cast("double") - mean) / sqrt(variance), 6).as("z"))
+        .where(abs(col("z")) > lit(2.0))
+        .orderBy("event_id")
     })
   )
 
@@ -547,6 +622,54 @@ object RelationalQueries {
         |CAST(SUM(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END)
         |  OVER (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-        |FROM g ORDER BY event_id""".stripMargin.replace("\n", " ")
+        |FROM g ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "events_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus
+        |  FROM events),
+        |s1 AS (SELECT user_id, MIN(tus) AS t FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.tus) AS t FROM ev e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.tus > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.tus) AS t FROM ev e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'click' AND e.tus > s2.t GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, MIN(e.tus) AS t FROM ev e
+        |  JOIN s3 ON e.user_id = s3.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tus > s3.t GROUP BY e.user_id)
+        |SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM s1
+        |UNION ALL SELECT '2_view', COUNT(*) FROM s2
+        |UNION ALL SELECT '3_click', COUNT(*) FROM s3
+        |UNION ALL SELECT '4_purchase', COUNT(*) FROM s4
+        |ORDER BY stage""".stripMargin.replace("\n", " "),
+    "events_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |  (epoch_ns(ts) // 1000000000) // 86400 AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS first_day FROM days GROUP BY user_id),
+        |x AS (SELECT DISTINCT d.user_id, f.first_day // 7 AS cohort_week,
+        |  (d.day - f.first_day) // 7 AS week_offset
+        |  FROM days d JOIN f ON d.user_id = f.user_id)
+        |SELECT cohort_week, week_offset, COUNT(*) AS n_users FROM x
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin.replace("\n", " "),
+    "events_latest" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |value AS last_value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", " "),
+    "events_zscore" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |  CAST(value AS DECIMAL(18,6)) AS dv FROM events),
+        |st AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(dv) AS DOUBLE) AS sv, CAST(SUM(dv * dv) AS DOUBLE) AS svv
+        |  FROM ev GROUP BY user_id),
+        |z AS (SELECT ev.event_id, ev.user_id,
+        |  round((CAST(ev.dv AS DOUBLE) - st.sv / st.n) /
+        |    sqrt(st.svv / st.n - (st.sv / st.n) * (st.sv / st.n)), 6) AS z
+        |  FROM ev JOIN st ON ev.user_id = st.user_id
+        |  WHERE st.svv / st.n - (st.sv / st.n) * (st.sv / st.n) > 0.0)
+        |SELECT event_id, user_id, z FROM z WHERE abs(z) > 2.0
+        |ORDER BY event_id""".stripMargin.replace("\n", " ")
   )
 }

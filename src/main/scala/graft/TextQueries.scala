@@ -255,7 +255,75 @@ object TextQueries {
         .where(graft.functions.hash60(
           concat(lit("smpl#"), col("doc_id").cast("string"))) % 10 === 0)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // real-valued TF-IDF (complements the integer-only text_top_terms):
+    // score = tf · N/(1+df). Division-only idf — ln() is libm-dependent and
+    // would break bit parity with the oracle, and for fixed N the ranking is
+    // order-isomorphic to the log form. Scores are rounded BEFORE the window
+    // order so rank ties resolve on the same value in both engines. The df
+    // join is term-keyed (vocabulary-sized, shuffle co-partitioned with the
+    // tf agg); the top-k is a doc-keyed window — no driver-side state.
+    "text_tfidf" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+        .where(length(col("term")) >= 3)
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("tf").cast("double") *
+            (col("n_docs").cast("double") / (lit(1.0) + col("df").cast("double"))),
+            6).as("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+        .orderBy("doc_id", "rnk")
+    }),
+    // int8 scalar quantization of the embedding column (the storage-
+    // compression pass of an embedding pipeline): per-vector min/max affine
+    // map onto [0,255] with floor. All outputs are integer aggregates of the
+    // quantized codes, so the oracle is exact regardless of summation order.
+    "emb_quantize" -> ((s, dir) => {
+      val v = transform(col("embedding"), _.cast("double"))
+      emb(s, dir).select(col("vec_id"), v.as("v"),
+          array_min(v).as("mn"), array_max(v).as("mx"))
+        .select(col("vec_id"),
+          transform(col("v"), x =>
+            when(col("mx") === col("mn"), lit(0L)).otherwise(
+              least(floor((x - col("mn")) * lit(255.0) /
+                (col("mx") - col("mn"))), lit(255L)))).as("q"))
+        .select(col("vec_id"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"),
+          size(filter(col("q"), _ === 0L)).cast("long").as("n_zero"))
+        .orderBy("vec_id")
+    }),
+    // per-label embedding centroids: posexplode to (label, pos, e), then a
+    // Q30 fixed-point elementwise sum — floor(x·2³⁰) is exact in IEEE double
+    // (power-of-two multiply = exponent shift), integer sums are
+    // order-independent across partitions, and the decimal accumulator is
+    // overflow-safe at any corpus size. A double→DECIMAL cast would NOT
+    // work here: DuckDB rounds via a double multiply by 10^scale, which
+    // double-rounds differently from the JVM's exact BigDecimal conversion.
+    // The groupBy key space is |labels|·dims — tiny relative to the corpus —
+    // so this is one partial-aggregating shuffle at any scale.
+    "emb_centroids" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")))
+        .groupBy("label", "pos")
+        .agg(sum(floor(col("col").cast("double") * lit(1073741824.0))
+            .cast("decimal(28,0)")).as("sq"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          (col("sq").cast("double") / lit(1073741824.0) /
+            col("n").cast("double")).as("centroid"),
+          col("n"))
+        .orderBy("label", "pos"))
   )
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -598,6 +666,49 @@ object TextQueries {
          |    ORDER BY cosine DESC, nbr_id ASC) AS rank FROM scored)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, nbr_id, cosine
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+        .stripMargin.replace("\n", " ")
+
+    m += "text_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |  WHERE length(term) >= 3 GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  round(CAST(tf.tf AS DOUBLE) *
+        |    (CAST(n.n_docs AS DOUBLE) / (1.0 + CAST(df.df AS DOUBLE))), 6)
+        |    AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |  ORDER BY score DESC, term ASC) AS rnk FROM scored)
+        |SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"""
+        .stripMargin.replace("\n", " ")
+
+    m += "emb_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
+        |  list_min(CAST(embedding AS DOUBLE[])) AS mn,
+        |  list_max(CAST(embedding AS DOUBLE[])) AS mx FROM embeddings),
+        |q AS (SELECT vec_id,
+        |  CASE WHEN mx = mn THEN [CAST(0 AS BIGINT) for x in ve]
+        |  ELSE [CAST(least(floor((x - mn) * 255.0 / (mx - mn)), 255.0)
+        |    AS BIGINT) for x in ve] END AS qv FROM v)
+        |SELECT vec_id, CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |list_min(qv) AS q_min, list_max(qv) AS q_max,
+        |CAST(len(list_filter(qv, x -> x = 0)) AS BIGINT) AS n_zero
+        |FROM q ORDER BY vec_id""".stripMargin.replace("\n", " ")
+
+    m += "emb_centroids" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+        |  generate_subscripts(embedding, 1) - 1 AS pos,
+        |  unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings)
+        |SELECT label, CAST(pos AS BIGINT) AS pos,
+        |CAST(SUM(CAST(floor(x * 1073741824.0) AS BIGINT)) AS DOUBLE)
+        |  / 1073741824.0 / CAST(COUNT(*) AS DOUBLE) AS centroid,
+        |COUNT(*) AS n
+        |FROM e GROUP BY label, pos ORDER BY label, pos"""
         .stripMargin.replace("\n", " ")
 
     m.toMap

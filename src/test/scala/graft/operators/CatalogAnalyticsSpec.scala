@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the round-3 analytics additions (funnel, retention,
+  * latest-per-key, z-score, tf-idf, embedding quantization/centroids) over
+  * the sf0.001 fixture — the exact-value gate is the DuckDB oracle; these
+  * specs assert the structural laws that must hold regardless of data.
+  */
+class CatalogAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  test("events_funnel stages are monotonically non-increasing") {
+    val rows = run("events_funnel").collect()
+    assert(rows.length == 4)
+    val counts = rows.sortBy(_.getString(0)).map(_.getLong(1))
+    assert(counts.head > 0)
+    counts.sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+  }
+
+  test("events_latest equals the brute-force last record per user") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id", "ts", "event_id", "event_type", "value").collect()
+    val expect = ev.groupBy(_.getLong(0)).map { case (u, rs) =>
+      val last = rs.maxBy(r => (r.getLong(1), r.getLong(2)))
+      (u, last.getLong(2), last.getString(3), last.getDouble(4))
+    }.toSet
+    val got = run("events_latest").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(got == expect)
+  }
+
+  test("events_retention cell (cohort, 0) equals the cohort size") {
+    val rows = run("events_retention").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, off, n) => off >= 0 && n > 0 })
+    // at offset 0 every cohort member is active by definition, so the
+    // offset-0 cell must be the largest cell of its cohort row
+    rows.groupBy(_._1).foreach { case (_, cells) =>
+      val zero = cells.find(_._2 == 0L).map(_._3)
+      assert(zero.isDefined)
+      assert(cells.map(_._3).max == zero.get)
+    }
+  }
+
+  test("events_zscore flags match a brute-force z computation") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = ev.groupBy(_._2).flatMap { case (_, rs) =>
+      val vs = rs.map(_._3)
+      val n = vs.length.toDouble
+      val mean = vs.sum / n
+      val variance = vs.map(v => v * v).sum / n - mean * mean
+      if (variance <= 0) Seq.empty[Long]
+      else rs.filter(r => math.abs((r._3 - mean) / math.sqrt(variance)) > 2.0)
+        .map(_._1).toSeq
+    }.toSet
+    val got = run("events_zscore").collect().map(_.getLong(0)).toSet
+    // brute force sums doubles in row order while the query sums decimals —
+    // flags can only differ if a |z| sits within float noise of 2.0, which
+    // the fixture does not contain
+    assert(got == expect)
+  }
+
+  test("emb_quantize codes span exactly [0, 255] for non-constant vectors") {
+    val rows = run("emb_quantize").collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val (qMin, qMax, nZero) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(qMin == 0)            // the min element maps to 0
+      assert(qMax == 255)          // the max element maps to floor(255.0)
+      assert(nZero >= 1)
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 255L * 64)
+    }
+  }
+
+  test("emb_centroids matches the naive per-label mean within Q30 quantization") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("label").cast("long"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val got = run("emb_centroids").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getLong(3))))
+      .toMap
+    val byLabel = emb.groupBy(_._1)
+    byLabel.foreach { case (label, vecs) =>
+      val dims = vecs.head._2.length
+      (0 until dims).foreach { d =>
+        val xs = vecs.map(_._2(d).toDouble)
+        val naive = xs.sum / xs.length
+        val (centroid, n) = got((label, d.toLong))
+        assert(n == vecs.length)
+        // Q30 floor quantization biases each element by < 2^-30
+        assert(math.abs(centroid - naive) < 1e-8,
+          s"label=$label pos=$d got=$centroid naive=$naive")
+      }
+    }
+  }
+
+  test("text_tfidf emits at most 3 ranked terms per doc with consistent df") {
+    val rows = run("text_tfidf").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_._6).sorted.sameElements(1L to rs.length))
+      // ranks follow (score desc, term asc)
+      val sorted = rs.sortBy(_._6)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 > b._5 || (a._5 == b._5 && a._2 < b._2))
+        case _ => ()
+      }
+    }
+    // df is global: the same term must carry the same df everywhere
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._4).distinct.length == 1)
+    }
+  }
+}

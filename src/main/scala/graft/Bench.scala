@@ -25,17 +25,21 @@ object Bench {
     "dedup_exact", "dedup_minhash_sig", "dedup_minhash_pairs", "dedup_simhash",
     "dedup_embedding", "dedup_salted", "ann_topk", "ann_ivf", "ann_lsh",
     "multimodal_meta", "asof_purchase", "events_tumbling", "events_ranks",
-    "sky4d_lineitem", "sky2d_plan", "stream_sky2d", "stream_tws_sky2d",
+    "sky4d_lineitem", "sky2d_plan",
     "text_pii_scrub", "text_top_terms", "sample_stratified",
     "events_quantiles", "q_cube", "sky_skyband", "asof_next_error",
     "events_hopping", "q_grouping_sets", "events_pivot", "sql_functions",
     "csv_file_source", "json_file_source", "multimodal_features",
     "sky_dominance_score", "dedup_embedding_bucketed",
     "text_chunking", "domain_cap", "decontaminate", "text_repetition",
-    "stream_windowed_sky", "interval_join", "stream_sessionize",
-    "stream_interval_join", "events_funnel", "events_retention",
+    "interval_join", "events_funnel", "events_retention",
     "events_latest", "events_zscore", "text_tfidf", "emb_quantize",
-    "emb_centroids")
+    "emb_centroids",
+    // streaming workloads LAST: their state-store churn and driver-side
+    // MemoryStream replay pressure the heap; anything timed after them
+    // reads 5-20x slow (single-JVM artifact)
+    "stream_sky2d", "stream_tws_sky2d", "stream_windowed_sky",
+    "stream_sessionize", "stream_interval_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,24 +64,24 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     SkylineOps.skyline(Generators.generate(spark, "uniform", 10000, 2)).count()
 
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run to named workloads — for
+    // isolating a single timing in a quiet JVM (bench-order heap pressure
+    // inflates tail workloads 5-20x; never diagnose a regression from a
+    // full-sweep number). Unset (driver runs) = everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
+
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    headline.foreach { name =>
-      SparkEntry.queries.get(name).foreach { fn =>
-        results(name) =
-          try time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-          catch { case _: Throwable => -1.0 }
-      }
-    }
     // a failed workload records -1 instead of losing the whole JSON line
     def bench(name: String)(f: => Unit): Unit =
-      results(name) = try time(f) catch { case _: Throwable => -1.0 }
-    // section boundary: the catalog sweep ends with streaming workloads whose
-    // state stores churn the heap; reclaim before the generator-heavy
-    // reference workloads or their timings inflate 5-15x from GC pressure
-    // (single-JVM bench artifact, not a real regression)
-    spark.catalog.clearCache()
-    System.gc()
-    Thread.sleep(2000)
+      if (wanted(name))
+        results(name) = try time(f) catch { case _: Throwable => -1.0 }
+    // The generator-heavy reference workloads run FIRST: they are the
+    // BASELINE.md comparison and the most GC-sensitive (tight codegen loops
+    // over generated rows). Run after the catalog — whose tail is streaming
+    // state-store churn — they read 5-15x slow even across a System.gc()
+    // boundary (single-JVM artifact, not a real regression).
     // reference-workload skylines (1M anti-correlated, domain [0,10000])
     bench("sky_1m_2d_anti") {
       SkylineOps.skylineViaStrategy(
@@ -133,6 +137,19 @@ object Bench {
       SkylineOps.skylineBroadcastFilter(
         Generators.generate(spark, "anti-correlated", 500000L, 4),
         maxBroadcastPoints = 20000).count()
+    }
+
+    // section boundary: drop generator caches before the catalog sweep
+    spark.catalog.clearCache()
+    System.gc()
+    Thread.sleep(2000)
+
+    headline.filter(wanted).foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        results(name) =
+          try time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+          catch { case _: Throwable => -1.0 }
+      }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -34,7 +34,7 @@ object Bench {
     "text_chunking", "domain_cap", "decontaminate", "text_repetition",
     "interval_join", "events_funnel", "events_retention",
     "events_latest", "events_zscore", "text_tfidf", "emb_quantize",
-    "emb_centroids",
+    "emb_centroids", "basket_pairs",
     // streaming workloads LAST: their state-store churn and driver-side
     // MemoryStream replay pressure the heap; anything timed after them
     // reads 5-20x slow (single-JVM artifact)

@@ -415,6 +415,24 @@ object RelationalQueries {
           round((col("dv").cast("double") - mean) / sqrt(variance), 6).as("z"))
         .where(abs(col("z")) > lit(2.0))
         .orderBy("event_id")
+    }),
+    // market-basket co-occurrence mining: distinct items per order, then a
+    // self-join on the order key. Pair fan-out is k²/2 per order where k is
+    // the order size — bounded by the data model (≤7 here), NOT by corpus
+    // size, so the join never goes quadratic in rows; the groupBy then
+    // shuffles only the surviving pairs. (A pathological mega-basket would
+    // need a per-key item cap first — same guard as the hot-shingle df-cap
+    // in ngramJaccardPairs.)
+    "basket_pairs" -> ((s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = items.select(col("ok"), col("pk").as("p1"))
+      val b = items.select(col("ok"), col("pk").as("p2"))
+      a.join(b, Seq("ok")).where(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+        .where(col("support") >= 2)
+        .orderBy("p1", "p2")
     })
   )
 
@@ -670,6 +688,13 @@ object RelationalQueries {
         |  FROM ev JOIN st ON ev.user_id = st.user_id
         |  WHERE st.svv / st.n - (st.sv / st.n) * (st.sv / st.n) > 0.0)
         |SELECT event_id, user_id, z FROM z WHERE abs(z) > 2.0
-        |ORDER BY event_id""".stripMargin.replace("\n", " ")
+        |ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem)
+        |SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS support
+        |FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2
+        |ORDER BY p1, p2""".stripMargin.replace("\n", " ")
   )
 }

@@ -106,6 +106,21 @@ class CatalogAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("basket_pairs matches brute-force co-occurrence counting") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val expect = li.groupBy(_._1).values.flatMap { items =>
+      val pks = items.map(_._2).sorted
+      for (i <- pks.indices; j <- i + 1 until pks.length if pks(i) != pks(j))
+        yield (pks(i), pks(j))
+    }.groupBy(identity).map { case (p, o) => (p._1, p._2, o.size.toLong) }
+      .filter(_._3 >= 2).toSet
+    val got = run("basket_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
+
   test("text_tfidf emits at most 3 ranked terms per doc with consistent df") {
     val rows = run("text_tfidf").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),

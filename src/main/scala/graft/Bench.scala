@@ -34,7 +34,8 @@ object Bench {
     "text_chunking", "domain_cap", "decontaminate", "text_repetition",
     "interval_join", "events_funnel", "events_retention",
     "events_latest", "events_zscore", "text_tfidf", "emb_quantize",
-    "emb_centroids", "basket_pairs",
+    "emb_centroids", "basket_pairs", "events_rolling_7d",
+    "part_above_brand_avg", "nation_revenue_share",
     // streaming workloads LAST: their state-store churn and driver-side
     // MemoryStream replay pressure the heap; anything timed after them
     // reads 5-20x slow (single-JVM artifact)

@@ -433,6 +433,57 @@ object RelationalQueries {
         .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
         .where(col("support") >= 2)
         .orderBy("p1", "p2")
+    }),
+    // RANGE-interval window frame: per-user 7-day rolling sum/count keyed by
+    // event-time VALUE (all equal-second rows enter the frame together —
+    // the semantic rows-frames cannot express). Decimal-exact rolling sum.
+    "events_rolling_7d" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-604800L, 0L)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000000000").as("sec"),
+          col("value").cast("decimal(18,3)").as("dv"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("dv")).over(w).cast("double").as("rolling_sum"),
+          count(lit(1)).over(w).as("n_7d"))
+        .orderBy("event_id")
+    }),
+    // decorrelated scalar subquery: parts priced above their brand average.
+    // The per-brand average frame is |brands| rows — broadcast — so the
+    // "correlated subquery" is a broadcast join + filter, not a re-executed
+    // subquery per row (what Catalyst's decorrelation does for the SQL form).
+    "part_above_brand_avg" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val brandAvg = part.groupBy(col("p_brand"))
+        .agg((sum(col("p_retailprice").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("brand_avg"))
+      part.join(broadcast(brandAvg), "p_brand")
+        .where(col("p_retailprice") > col("brand_avg"))
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+          col("brand_avg"))
+        .orderBy("p_partkey")
+    }),
+    // percent-of-total: nation revenue share against the global total carried
+    // as a broadcast 1-row frame (NOT a partition-less window, which would
+    // funnel every row through one task). The division happens on the exact
+    // decimal sums cast to double — bit-identical on both engines.
+    "nation_revenue_share" -> ((s, dir) => {
+      val revenue = sum((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+      val rev = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(revenue.as("rev_dec"))
+      val total = rev.agg(sum(col("rev_dec")).as("total_dec"))
+      rev.crossJoin(broadcast(total))
+        .select(col("n_name"), col("rev_dec").cast("double").as("revenue"),
+          (col("rev_dec").cast("double") / col("total_dec").cast("double"))
+            .as("share"))
+        .orderBy("n_name")
     })
   )
 
@@ -695,6 +746,38 @@ object RelationalQueries {
         |SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS support
         |FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
         |GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2
-        |ORDER BY p1, p2""".stripMargin.replace("\n", " ")
+        |ORDER BY p1, p2""".stripMargin.replace("\n", " "),
+    "events_rolling_7d" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |  epoch_ns(ts) // 1000000000 AS sec,
+        |  CAST(value AS DECIMAL(18,3)) AS dv FROM events)
+        |SELECT event_id, user_id,
+        |CAST(SUM(dv) OVER w AS DOUBLE) AS rolling_sum,
+        |COUNT(*) OVER w AS n_7d
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin.replace("\n", " "),
+    "part_above_brand_avg" ->
+      """WITH b AS (SELECT p_brand,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS brand_avg
+        |  FROM part GROUP BY p_brand)
+        |SELECT p_partkey, p.p_brand, p_retailprice, brand_avg
+        |FROM part p JOIN b ON p.p_brand = b.p_brand
+        |WHERE p_retailprice > brand_avg
+        |ORDER BY p_partkey""".stripMargin.replace("\n", " "),
+    "nation_revenue_share" ->
+      """WITH rev AS (SELECT n_name,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS rev_dec
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |t AS (SELECT SUM(rev_dec) AS total_dec FROM rev)
+        |SELECT n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+        |CAST(rev_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) AS share
+        |FROM rev CROSS JOIN t ORDER BY n_name""".stripMargin.replace("\n", " ")
   )
 }

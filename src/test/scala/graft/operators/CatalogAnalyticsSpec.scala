@@ -121,6 +121,48 @@ class CatalogAnalyticsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("events_rolling_7d frame matches a brute-force range scan") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) / 1000000000L,
+        BigDecimal(r.getDouble(3)).setScale(3, BigDecimal.RoundingMode.HALF_UP)))
+    val got = run("events_rolling_7d").collect()
+      .map(r => (r.getLong(0), (r.getDouble(2), r.getLong(3)))).toMap
+    val byUser = ev.groupBy(_._2)
+    ev.foreach { case (id, u, sec, _) =>
+      val frame = byUser(u).filter(e => e._3 <= sec && e._3 >= sec - 604800L)
+      val (sumGot, nGot) = got(id)
+      assert(nGot == frame.length)
+      assert(math.abs(sumGot - frame.map(_._4).sum.toDouble) < 1e-6)
+    }
+  }
+
+  test("nation_revenue_share sums to 1 and is consistent with revenue") {
+    val rows = run("nation_revenue_share").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9)
+    val total = rows.map(_._2).sum
+    rows.foreach { case (_, rev, share) =>
+      assert(math.abs(share - rev / total) < 1e-9)
+    }
+  }
+
+  test("part_above_brand_avg keeps exactly the strictly-above-average parts") {
+    val parts = spark.read.parquet(s"$dir/part.parquet")
+      .select("p_partkey", "p_brand", "p_retailprice").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val avg = parts.groupBy(_._2).map { case (b, ps) =>
+      (b, ps.map(p => BigDecimal(p._3).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / ps.length)
+    }
+    val expect = parts.filter { case (_, b, price) => price > avg(b) }
+      .map(_._1).toSet
+    val got = run("part_above_brand_avg").collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+  }
+
   test("text_tfidf emits at most 3 ranked terms per doc with consistent df") {
     val rows = run("text_tfidf").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),

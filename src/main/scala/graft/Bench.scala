@@ -35,7 +35,8 @@ object Bench {
     "interval_join", "events_funnel", "events_retention",
     "events_latest", "events_zscore", "text_tfidf", "emb_quantize",
     "emb_centroids", "basket_pairs", "events_rolling_7d",
-    "part_above_brand_avg", "nation_revenue_share",
+    "part_above_brand_avg", "nation_revenue_share", "cms_sketch",
+    "cms_estimate",
     // streaming workloads LAST: their state-store churn and driver-side
     // MemoryStream replay pressure the heap; anything timed after them
     // reads 5-20x slow (single-JVM artifact)

@@ -302,6 +302,54 @@ object TextQueries {
           size(filter(col("q"), _ === 0L)).cast("long").as("n_zero"))
         .orderBy("vec_id")
     }),
+    // count-min sketch over document terms: depth 4 × width 1024, the
+    // md5-portable hash60 family as the row hashes. The exact per-term counts
+    // aggregate FIRST (term-keyed shuffle, map-side combine), then each term
+    // fans out to its 4 cells — the sketch itself is |depth·width| cells no
+    // matter the corpus, i.e. a mergeable constant-size summary (the same
+    // partial/final contract a distributed sketch needs at 100 TB).
+    "cms_sketch" -> ((s, dir) => {
+      val tf = docs(s, dir).select(
+          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+        .where(length(col("term")) >= 3)
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      tf.select(explode(sequence(lit(0), lit(3))).as("r"),
+          col("term"), col("cnt"))
+        .select(col("r").cast("long").as("sk_row"),
+          pmod(graft.functions.hash60(
+            concat(lit("cms"), col("sk_row").cast("string"), lit("#"), col("term"))),
+            lit(1024L)).as("sk_col"),
+          col("cnt"))
+        .groupBy("sk_row", "sk_col").agg(sum(col("cnt")).as("cnt"))
+        .orderBy("sk_row", "sk_col")
+    }),
+    // count-min point lookup for the 20 hottest terms: estimate = min over
+    // the 4 row cells; the overestimate law est >= exact is spec-asserted
+    "cms_estimate" -> ((s, dir) => {
+      val tf = docs(s, dir).select(
+          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+        .where(length(col("term")) >= 3)
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val cells = tf.select(explode(sequence(lit(0), lit(3))).as("r"),
+          col("term"), col("cnt"))
+        .select(col("r").cast("long").as("sk_row"),
+          pmod(graft.functions.hash60(
+            concat(lit("cms"), col("sk_row").cast("string"), lit("#"), col("term"))),
+            lit(1024L)).as("sk_col"),
+          col("cnt"))
+        .groupBy("sk_row", "sk_col").agg(sum(col("cnt")).as("cell_cnt"))
+      val probes = tf.orderBy(col("cnt").desc, col("term").asc).limit(20)
+      probes.select(col("term"), col("cnt").as("exact"),
+          explode(sequence(lit(0), lit(3))).as("r"))
+        .select(col("term"), col("exact"), col("r").cast("long").as("sk_row"),
+          pmod(graft.functions.hash60(
+            concat(lit("cms"), col("sk_row").cast("string"), lit("#"), col("term"))),
+            lit(1024L)).as("sk_col"))
+        .join(cells, Seq("sk_row", "sk_col"))
+        .groupBy("term").agg(max(col("exact")).as("exact"),
+          min(col("cell_cnt")).as("est"))
+        .orderBy("term")
+    }),
     // per-label embedding centroids: posexplode to (label, pos, e), then a
     // Q30 fixed-point elementwise sum — floor(x·2³⁰) is exact in IEEE double
     // (power-of-two multiply = exponent shift), integer sums are
@@ -710,6 +758,41 @@ object TextQueries {
         |COUNT(*) AS n
         |FROM e GROUP BY label, pos ORDER BY label, pos"""
         .stripMargin.replace("\n", " ")
+
+    m += "cms_sketch" ->
+      s"""WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+         |  AS term FROM documents),
+         |tf AS (SELECT term, COUNT(*) AS cnt FROM toks
+         |  WHERE length(term) >= 3 GROUP BY term),
+         |cells AS (SELECT CAST(r AS BIGINT) AS sk_row,
+         |  ${hash60Sql("concat('cms', CAST(r AS VARCHAR), '#', term)")} % 1024
+         |    AS sk_col, cnt
+         |  FROM tf, range(0, 4) t(r))
+         |SELECT sk_row, sk_col, CAST(SUM(cnt) AS BIGINT) AS cnt
+         |FROM cells GROUP BY sk_row, sk_col
+         |ORDER BY sk_row, sk_col""".stripMargin.replace("\n", " ")
+
+    m += "cms_estimate" ->
+      s"""WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+         |  AS term FROM documents),
+         |tf AS (SELECT term, COUNT(*) AS cnt FROM toks
+         |  WHERE length(term) >= 3 GROUP BY term),
+         |cells AS (SELECT CAST(r AS BIGINT) AS sk_row,
+         |  ${hash60Sql("concat('cms', CAST(r AS VARCHAR), '#', term)")} % 1024
+         |    AS sk_col, cnt
+         |  FROM tf, range(0, 4) t(r)),
+         |cellsum AS (SELECT sk_row, sk_col, CAST(SUM(cnt) AS BIGINT)
+         |  AS cell_cnt FROM cells GROUP BY sk_row, sk_col),
+         |probes AS (SELECT term, cnt AS exact FROM tf
+         |  ORDER BY cnt DESC, term ASC LIMIT 20),
+         |pc AS (SELECT p.term, p.exact, CAST(t.r AS BIGINT) AS sk_row,
+         |  ${hash60Sql("concat('cms', CAST(t.r AS VARCHAR), '#', p.term)")} % 1024
+         |    AS sk_col
+         |  FROM probes p, range(0, 4) t(r))
+         |SELECT pc.term, MAX(pc.exact) AS exact, MIN(cs.cell_cnt) AS est
+         |FROM pc JOIN cellsum cs
+         |  ON pc.sk_row = cs.sk_row AND pc.sk_col = cs.sk_col
+         |GROUP BY pc.term ORDER BY pc.term""".stripMargin.replace("\n", " ")
 
     m.toMap
   }

@@ -163,6 +163,26 @@ class CatalogAnalyticsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("cms_sketch rows each conserve the total term mass") {
+    val rows = run("cms_sketch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).distinct.sorted.sameElements(0L to 3L))
+    // every depth row hashes the same multiset of terms, so per-row sums
+    // must agree (total number of counted tokens)
+    val perRow = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).values.toSet
+    assert(perRow.size == 1)
+    assert(rows.forall(_._2 >= 0) && rows.forall(_._2 < 1024))
+  }
+
+  test("cms_estimate never underestimates (count-min law)") {
+    val rows = run("cms_estimate").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    rows.foreach { case (term, exact, est) =>
+      assert(est >= exact, s"$term est=$est < exact=$exact")
+    }
+  }
+
   test("text_tfidf emits at most 3 ranked terms per doc with consistent df") {
     val rows = run("text_tfidf").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),

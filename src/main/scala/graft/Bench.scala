@@ -70,8 +70,15 @@ object Bench {
     // isolating a single timing in a quiet JVM (bench-order heap pressure
     // inflates tail workloads 5-20x; never diagnose a regression from a
     // full-sweep number). Unset (driver runs) = everything.
+    val refWorkloads = Set("sky_1m_2d_anti", "sky_1m_2d_sort",
+      "sky_1m_3d_anti", "sky_10m_2d_sort", "sky_500k_4d_bcast",
+      "sky_1m_4d_bcast", "sky_500k_4d_xfilter")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail fast on a typo'd name — a silent no-op would masquerade as a
+    // real (vacuous) timing result (same guard as Verify's name filter)
+    val unknown = only.getOrElse(Set.empty) -- headline.toSet -- refWorkloads
+    require(unknown.isEmpty, s"unknown workloads: ${unknown.mkString(", ")}")
     def wanted(name: String): Boolean = only.forall(_.contains(name))
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()

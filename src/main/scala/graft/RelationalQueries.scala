@@ -398,8 +398,12 @@ object RelationalQueries {
         .orderBy("user_id")),
     // per-user anomaly flags: z-score against decimal-exact moments. The
     // sums (Σv, Σv²) accumulate in DECIMAL — exact, order-independent — and
-    // the mean/variance/z arithmetic is a fixed-order IEEE-double expression,
-    // so the surviving flags hash-match DuckDB bit for bit.
+    // the mean/variance/z arithmetic is a fixed-order IEEE-double expression.
+    // z is quantized with floor(z·10⁶)/10⁶, NOT round(z, 6): every floor
+    // input is the same IEEE double on both engines so the quantization is
+    // deterministic by construction, whereas Spark's BigDecimal-HALF_UP
+    // round() and DuckDB's round() disagree on .5-boundary doubles — and a
+    // divergent z would change the flagged-row SET, not just a digit.
     "events_zscore" -> ((s, dir) => {
       val ev = events(s, dir).select(col("event_id"), col("user_id"),
         col("value").cast("decimal(18,6)").as("dv"))
@@ -409,10 +413,11 @@ object RelationalQueries {
         sum(col("dv") * col("dv")).cast("double").as("svv"))
       val mean = col("sv") / col("n")
       val variance = col("svv") / col("n") - mean * mean
+      val zRaw = (col("dv").cast("double") - mean) / sqrt(variance)
       ev.join(stats, "user_id")
         .where(variance > lit(0.0))
         .select(col("event_id"), col("user_id"),
-          round((col("dv").cast("double") - mean) / sqrt(variance), 6).as("z"))
+          (floor(zRaw * lit(1000000.0)) / lit(1000000.0)).as("z"))
         .where(abs(col("z")) > lit(2.0))
         .orderBy("event_id")
     }),
@@ -734,8 +739,9 @@ object RelationalQueries {
         |  CAST(SUM(dv) AS DOUBLE) AS sv, CAST(SUM(dv * dv) AS DOUBLE) AS svv
         |  FROM ev GROUP BY user_id),
         |z AS (SELECT ev.event_id, ev.user_id,
-        |  round((CAST(ev.dv AS DOUBLE) - st.sv / st.n) /
-        |    sqrt(st.svv / st.n - (st.sv / st.n) * (st.sv / st.n)), 6) AS z
+        |  floor(((CAST(ev.dv AS DOUBLE) - st.sv / st.n) /
+        |    sqrt(st.svv / st.n - (st.sv / st.n) * (st.sv / st.n)))
+        |    * 1000000.0) / 1000000.0 AS z
         |  FROM ev JOIN st ON ev.user_id = st.user_id
         |  WHERE st.svv / st.n - (st.sv / st.n) * (st.sv / st.n) > 0.0)
         |SELECT event_id, user_id, z FROM z WHERE abs(z) > 2.0

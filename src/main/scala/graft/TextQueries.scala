@@ -46,6 +46,36 @@ object TextQueries {
   private val NUM_HASHES = 8
   private val BANDS = 4
 
+  // --- count-min sketch geometry (single source of truth for cms_sketch /
+  // cms_estimate AND their SQL oracles — the cell hash must never drift) ---
+  private val CmsDepth = 4
+  private val CmsWidth = 1024L
+  /** exact per-term counts over all documents (≥3-letter lowercase runs) */
+  private def cmsTermCounts(d: DataFrame): DataFrame =
+    d.select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+      .where(length(col("term")) >= 3)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+  /** fan each (term, payload) row out to its depth cells (sk_row, sk_col) */
+  private def cmsFanout(tf: DataFrame, payload: String = "cnt"): DataFrame =
+    tf.select(explode(sequence(lit(0), lit(CmsDepth - 1))).as("r"),
+        col("term"), col(payload))
+      .select(col("term"), col("r").cast("long").as("sk_row"),
+        pmod(graft.functions.hash60(concat(lit("cms"),
+            col("r").cast("string"), lit("#"), col("term"))),
+          lit(CmsWidth)).as("sk_col"),
+        col(payload))
+  /** the same tf aggregation as [[cmsTermCounts]], DuckDB form */
+  private val cmsTfSql =
+    """SELECT term, COUNT(*) AS cnt FROM (SELECT
+      |unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      |FROM documents) WHERE length(term) >= 3 GROUP BY term"""
+      .stripMargin.replace("\n", " ")
+  /** the same cell hash as [[cmsFanout]], DuckDB form */
+  private def cmsColSql(rRef: String, termRef: String): String =
+    s"${hash60Sql(s"concat('cms', CAST($rRef AS VARCHAR), '#', $termRef)")}" +
+      s" % $CmsWidth"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting
     "text_tokens" -> ((s, dir) =>
@@ -259,10 +289,13 @@ object TextQueries {
     // real-valued TF-IDF (complements the integer-only text_top_terms):
     // score = tf · N/(1+df). Division-only idf — ln() is libm-dependent and
     // would break bit parity with the oracle, and for fixed N the ranking is
-    // order-isomorphic to the log form. Scores are rounded BEFORE the window
-    // order so rank ties resolve on the same value in both engines. The df
-    // join is term-keyed (vocabulary-sized, shuffle co-partitioned with the
-    // tf agg); the top-k is a doc-keyed window — no driver-side state.
+    // order-isomorphic to the log form. Scores are quantized with
+    // floor(s·10⁶)/10⁶ BEFORE the window order — floor of the same IEEE
+    // double is deterministic on both engines (round() is not: Spark
+    // HALF_UP vs DuckDB disagree on .5-boundary doubles, which here could
+    // flip which terms make the top-3, not just a digit). The df join is
+    // term-keyed (vocabulary-sized, shuffle co-partitioned with the tf agg);
+    // the top-k is a doc-keyed window — no driver-side state.
     "text_tfidf" -> ((s, dir) => {
       val toks = docs(s, dir).select(col("doc_id"),
           explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
@@ -274,9 +307,9 @@ object TextQueries {
         .orderBy(col("score").desc, col("term").asc)
       tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
-          round(col("tf").cast("double") *
-            (col("n_docs").cast("double") / (lit(1.0) + col("df").cast("double"))),
-            6).as("score"))
+          (floor(col("tf").cast("double") *
+            (col("n_docs").cast("double") / (lit(1.0) + col("df").cast("double")))
+            * lit(1000000.0)) / lit(1000000.0)).as("score"))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .where(col("rnk") <= 3)
         .select("doc_id", "term", "tf", "df", "score", "rnk")
@@ -302,49 +335,26 @@ object TextQueries {
           size(filter(col("q"), _ === 0L)).cast("long").as("n_zero"))
         .orderBy("vec_id")
     }),
-    // count-min sketch over document terms: depth 4 × width 1024, the
-    // md5-portable hash60 family as the row hashes. The exact per-term counts
-    // aggregate FIRST (term-keyed shuffle, map-side combine), then each term
-    // fans out to its 4 cells — the sketch itself is |depth·width| cells no
-    // matter the corpus, i.e. a mergeable constant-size summary (the same
-    // partial/final contract a distributed sketch needs at 100 TB).
-    "cms_sketch" -> ((s, dir) => {
-      val tf = docs(s, dir).select(
-          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
-        .where(length(col("term")) >= 3)
-        .groupBy("term").agg(count(lit(1)).as("cnt"))
-      tf.select(explode(sequence(lit(0), lit(3))).as("r"),
-          col("term"), col("cnt"))
-        .select(col("r").cast("long").as("sk_row"),
-          pmod(graft.functions.hash60(
-            concat(lit("cms"), col("sk_row").cast("string"), lit("#"), col("term"))),
-            lit(1024L)).as("sk_col"),
-          col("cnt"))
+    // count-min sketch over document terms: depth × width cells with the
+    // md5-portable hash60 family as the row hashes (geometry + cell hash
+    // factored in cmsTermCounts/cmsFanout so the sketch and its point-lookup
+    // can never drift apart). The exact per-term counts aggregate FIRST
+    // (term-keyed shuffle, map-side combine), then each term fans out to its
+    // depth cells — the sketch itself is |depth·width| cells no matter the
+    // corpus, i.e. a mergeable constant-size summary (the same partial/final
+    // contract a distributed sketch needs at 100 TB).
+    "cms_sketch" -> ((s, dir) =>
+      cmsFanout(cmsTermCounts(docs(s, dir)))
         .groupBy("sk_row", "sk_col").agg(sum(col("cnt")).as("cnt"))
-        .orderBy("sk_row", "sk_col")
-    }),
+        .orderBy("sk_row", "sk_col")),
     // count-min point lookup for the 20 hottest terms: estimate = min over
-    // the 4 row cells; the overestimate law est >= exact is spec-asserted
+    // the depth row cells; the overestimate law est >= exact is spec-asserted
     "cms_estimate" -> ((s, dir) => {
-      val tf = docs(s, dir).select(
-          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
-        .where(length(col("term")) >= 3)
-        .groupBy("term").agg(count(lit(1)).as("cnt"))
-      val cells = tf.select(explode(sequence(lit(0), lit(3))).as("r"),
-          col("term"), col("cnt"))
-        .select(col("r").cast("long").as("sk_row"),
-          pmod(graft.functions.hash60(
-            concat(lit("cms"), col("sk_row").cast("string"), lit("#"), col("term"))),
-            lit(1024L)).as("sk_col"),
-          col("cnt"))
+      val tf = cmsTermCounts(docs(s, dir))
+      val cells = cmsFanout(tf)
         .groupBy("sk_row", "sk_col").agg(sum(col("cnt")).as("cell_cnt"))
       val probes = tf.orderBy(col("cnt").desc, col("term").asc).limit(20)
-      probes.select(col("term"), col("cnt").as("exact"),
-          explode(sequence(lit(0), lit(3))).as("r"))
-        .select(col("term"), col("exact"), col("r").cast("long").as("sk_row"),
-          pmod(graft.functions.hash60(
-            concat(lit("cms"), col("sk_row").cast("string"), lit("#"), col("term"))),
-            lit(1024L)).as("sk_col"))
+      cmsFanout(probes.withColumnRenamed("cnt", "exact"), "exact")
         .join(cells, Seq("sk_row", "sk_col"))
         .groupBy("term").agg(max(col("exact")).as("exact"),
           min(col("cell_cnt")).as("est"))
@@ -725,9 +735,9 @@ object TextQueries {
         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
         |scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
-        |  round(CAST(tf.tf AS DOUBLE) *
-        |    (CAST(n.n_docs AS DOUBLE) / (1.0 + CAST(df.df AS DOUBLE))), 6)
-        |    AS score
+        |  floor(CAST(tf.tf AS DOUBLE) *
+        |    (CAST(n.n_docs AS DOUBLE) / (1.0 + CAST(df.df AS DOUBLE)))
+        |    * 1000000.0) / 1000000.0 AS score
         |  FROM tf JOIN df USING (term) CROSS JOIN n),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
         |  ORDER BY score DESC, term ASC) AS rnk FROM scored)
@@ -760,35 +770,26 @@ object TextQueries {
         .stripMargin.replace("\n", " ")
 
     m += "cms_sketch" ->
-      s"""WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
-         |  AS term FROM documents),
-         |tf AS (SELECT term, COUNT(*) AS cnt FROM toks
-         |  WHERE length(term) >= 3 GROUP BY term),
+      s"""WITH tf AS ($cmsTfSql),
          |cells AS (SELECT CAST(r AS BIGINT) AS sk_row,
-         |  ${hash60Sql("concat('cms', CAST(r AS VARCHAR), '#', term)")} % 1024
-         |    AS sk_col, cnt
-         |  FROM tf, range(0, 4) t(r))
+         |  ${cmsColSql("r", "term")} AS sk_col, cnt
+         |  FROM tf, range(0, $CmsDepth) t(r))
          |SELECT sk_row, sk_col, CAST(SUM(cnt) AS BIGINT) AS cnt
          |FROM cells GROUP BY sk_row, sk_col
          |ORDER BY sk_row, sk_col""".stripMargin.replace("\n", " ")
 
     m += "cms_estimate" ->
-      s"""WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
-         |  AS term FROM documents),
-         |tf AS (SELECT term, COUNT(*) AS cnt FROM toks
-         |  WHERE length(term) >= 3 GROUP BY term),
+      s"""WITH tf AS ($cmsTfSql),
          |cells AS (SELECT CAST(r AS BIGINT) AS sk_row,
-         |  ${hash60Sql("concat('cms', CAST(r AS VARCHAR), '#', term)")} % 1024
-         |    AS sk_col, cnt
-         |  FROM tf, range(0, 4) t(r)),
+         |  ${cmsColSql("r", "term")} AS sk_col, cnt
+         |  FROM tf, range(0, $CmsDepth) t(r)),
          |cellsum AS (SELECT sk_row, sk_col, CAST(SUM(cnt) AS BIGINT)
          |  AS cell_cnt FROM cells GROUP BY sk_row, sk_col),
          |probes AS (SELECT term, cnt AS exact FROM tf
          |  ORDER BY cnt DESC, term ASC LIMIT 20),
          |pc AS (SELECT p.term, p.exact, CAST(t.r AS BIGINT) AS sk_row,
-         |  ${hash60Sql("concat('cms', CAST(t.r AS VARCHAR), '#', p.term)")} % 1024
-         |    AS sk_col
-         |  FROM probes p, range(0, 4) t(r))
+         |  ${cmsColSql("t.r", "p.term")} AS sk_col
+         |  FROM probes p, range(0, $CmsDepth) t(r))
          |SELECT pc.term, MAX(pc.exact) AS exact, MIN(cs.cell_cnt) AS est
          |FROM pc JOIN cellsum cs
          |  ON pc.sk_row = cs.sk_row AND pc.sk_col = cs.sk_col

@@ -469,6 +469,34 @@ object RelationalQueries {
           col("brand_avg"))
         .orderBy("p_partkey")
     }),
+    // MapType surface: parse the props JSON into a map column and explode it
+    // to (event_id, key, val) rows — the schema-on-read path for ragged
+    // metadata (keys unknown at write time). Pure per-row work, no shuffle.
+    "events_props_map" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))
+            .as("m"))
+        .select(col("event_id"), explode(col("m")))
+        .select(col("event_id"), col("key"), col("value").as("val"))
+        .orderBy("event_id", "key")),
+    // date-dimension aggregation with engine-portable weekday math: weekday
+    // derived as (epoch_days + 4) % 7 (1970-01-01 was a Thursday) — Spark's
+    // dayofweek() and DuckDB's dow() disagree on numbering, integer epoch
+    // arithmetic cannot.
+    "q_weekday_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(
+          expr("((CAST(CAST(l_shipdate AS TIMESTAMP) AS LONG) div 86400) + 4) % 7")
+            .as("weekday"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)"))).as("rev_dec"))
+        .groupBy("weekday")
+        .agg(sum(col("rev_dec")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("weekday")),
     // percent-of-total: nation revenue share against the global total carried
     // as a broadcast 1-row frame (NOT a partition-less window, which would
     // funnel every row through one task). The division happens on the exact
@@ -772,6 +800,19 @@ object RelationalQueries {
         |FROM part p JOIN b ON p.p_brand = b.p_brand
         |WHERE p_retailprice > brand_avg
         |ORDER BY p_partkey""".stripMargin.replace("\n", " "),
+    "events_props_map" ->
+      """SELECT event_id, k.key AS key,
+        |CAST(json_extract(props, '$.' || k.key) AS BIGINT) AS val
+        |FROM events, unnest(json_keys(props)) k(key)
+        |ORDER BY event_id, key""".stripMargin.replace("\n", " "),
+    "q_weekday_revenue" ->
+      """SELECT ((CAST(epoch(l_shipdate) AS BIGINT) // 86400) + 4) % 7 AS weekday,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |  AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_items
+        |FROM lineitem GROUP BY weekday ORDER BY weekday"""
+        .stripMargin.replace("\n", " "),
     "nation_revenue_share" ->
       """WITH rev AS (SELECT n_name,
         |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -469,6 +469,19 @@ object RelationalQueries {
           col("brand_avg"))
         .orderBy("p_partkey")
     }),
+    // iterative graph analytics: 3 PageRank rounds over the undirected
+    // customer–supplier bipartite graph (edges = distinct trade pairs via
+    // orders ⋈ lineitem). Q30 fixed-point contributions make the rank
+    // vector bit-identical to the unrolled SQL evaluation — an ITERATIVE
+    // float computation under the exact-hash gate, no tolerance.
+    "graph_pagerank" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey"))
+      val edges = graft.operators.Graph.undirectedBipartite(
+        pairs, "o_custkey", "l_suppkey")
+      graft.operators.Graph.pageRank(edges, iterations = 3).orderBy("id")
+    }),
     // MapType surface: parse the props JSON into a map column and explode it
     // to (event_id, key, val) rows — the schema-on-read path for ragged
     // metadata (keys unknown at write time). Pure per-row work, no shuffle.
@@ -800,6 +813,36 @@ object RelationalQueries {
         |FROM part p JOIN b ON p.p_brand = b.p_brand
         |WHERE p_retailprice > brand_avg
         |ORDER BY p_partkey""".stripMargin.replace("\n", " "),
+    "graph_pagerank" -> {
+      // one iteration = contribution CTE + rank CTE; generated from the same
+      // template per round so the unrolled oracle cannot drift between rounds.
+      // TRAP: DuckDB float literals are DECIMAL — a bare (1.0 - 0.85) is
+      // exact decimal 0.15, while the JVM computes the IEEE double
+      // 0.15000000000000002. Every literal that participates in double
+      // arithmetic must be CAST(... AS DOUBLE) first.
+      def iter(i: Int): String =
+        s"""c$i AS (SELECT e.dst,
+           |  CAST(floor(r.rank / d.deg * 1073741824.0) AS BIGINT) AS q
+           |  FROM edges e JOIN r${i - 1} r ON e.src = r.id
+           |  JOIN deg d ON e.src = d.src),
+           |r$i AS (SELECT c.dst AS id,
+           |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n +
+           |    CAST(0.85 AS DOUBLE) *
+           |    (CAST(SUM(c.q) AS DOUBLE) / 1073741824.0) AS rank
+           |  FROM c$i c, nn GROUP BY c.dst, nn.n)"""
+      s"""WITH p AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT a AS src, b AS dst FROM p
+         |  UNION ALL SELECT b, a FROM p),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+         |r0 AS (SELECT d.src AS id, 1.0 / nn.n AS rank FROM deg d, nn),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT r3.id, r3.rank, d.deg FROM r3 JOIN deg d ON r3.id = d.src
+         |ORDER BY id""".stripMargin.replace("\n", " ")
+    },
     "events_props_map" ->
       """SELECT event_id, k.key AS key,
         |CAST(json_extract(props, '$.' || k.key) AS BIGINT) AS val

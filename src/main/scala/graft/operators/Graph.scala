@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics as relational fixpoint rounds (joins +
+  * aggregations per iteration — the same shape as
+  * [[Dedup.clusterNearDups]]'s connected components).
+  *
+  * Cross-engine determinism: per-iteration neighbor contributions are
+  * quantized to Q30 fixed point BEFORE summation — `floor(x · 2³⁰)` of the
+  * same IEEE double is exact on any engine and integer sums are
+  * order-independent across partitions, so the rank vector after any number
+  * of iterations is bit-identical to an unrolled SQL evaluation (no
+  * "approximately equal" tolerance needed in the oracle).
+  *
+  * Scale shape: each iteration is one join of the edge list against the
+  * |V|-sized rank frame (broadcast when small, shuffle on `src` otherwise —
+  * the edge list's partitioning on `src` is reused across iterations) plus
+  * one `dst`-keyed partial+final aggregation. Work per iteration is O(|E|),
+  * state is O(|V|); nothing is ever collected to the driver except the
+  * node count.
+  */
+object Graph {
+
+  private val Q = 1073741824.0 // 2^30
+
+  /** Undirected expansion of a bipartite (a, b) edge set, with the two
+    * vertex classes mapped into one disjoint long id space (2a / 2b+1). */
+  def undirectedBipartite(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = pairs.select((col(aCol) * 2).as("a"), (col(bCol) * 2 + 1).as("b"))
+      .distinct()
+    e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** PageRank with damping `d` over a pre-expanded directed edge list.
+    * Every vertex must appear as a `src` (true for undirected expansions;
+    * for general digraphs add self-loops or handle dangling mass first).
+    *
+    * Returns (id, rank, deg) — `rank` is the value after `iterations`
+    * rounds from the uniform start, bit-reproducible per the Q30 contract.
+    */
+  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // |V| — the one driver-side scalar (needed inside the next literal)
+    val n = deg.count().toDouble
+    val base = (1.0 - damping) / n
+    var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = edges
+        .join(ranks, edges("src") === ranks("id"))
+        .join(deg, "src")
+        .select(col("dst"), floor(col("rank") / col("deg") * lit(Q)).as("q"))
+      ranks = contribs.groupBy("dst").agg(sum(col("q")).as("sq"))
+        .select(col("dst").as("id"),
+          (lit(base) + lit(damping) * (col("sq").cast("double") / lit(Q)))
+            .as("rank"))
+    }
+    ranks.join(deg, ranks("id") === deg("src"))
+      .select(col("id"), col("rank"), col("deg"))
+  }
+}

@@ -168,6 +168,21 @@ class CatalogAnalyticsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("graph_pagerank conserves rank mass and favors high-degree nodes") {
+    val rows = run("graph_pagerank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 > 0))
+    // total rank mass stays ~1 (Q30 floors leak < |E|·2^-30 per round)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-3)
+    // ranking follows degree on this near-regular bipartite graph: the
+    // top-decile-degree nodes must all outrank the bottom decile
+    val byDeg = rows.sortBy(_._3)
+    val lo = byDeg.take(rows.length / 10).map(_._2).max
+    val hi = byDeg.takeRight(rows.length / 10).map(_._2).min
+    assert(hi > lo)
+  }
+
   test("cms_sketch rows each conserve the total term mass") {
     val rows = run("cms_sketch").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -42,7 +42,7 @@ object Bench {
     // MemoryStream replay pressure the heap; anything timed after them
     // reads 5-20x slow (single-JVM artifact)
     "stream_sky2d", "stream_tws_sky2d", "stream_windowed_sky",
-    "stream_sessionize", "stream_interval_join")
+    "stream_sessionize", "stream_interval_join", "stream_term_counts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -19,13 +19,14 @@ object PipelineQueries {
     * temp dir are removed even when the query fails — these queries run in
     * repeated bench/verify sweeps, so any leak here accumulates driver
     * tables and /tmp dirs. */
-  private def runAppendStream(s: SparkSession, out: DataFrame, prefix: String)
+  private def runAppendStream(s: SparkSession, out: DataFrame, prefix: String,
+      mode: String = "append")
       (feed: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
     val name = s"${prefix}_${System.nanoTime()}"
     val ckpt = java.nio.file.Files.createTempDirectory(prefix).toString
     try {
       val q = out.writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", ckpt).outputMode("append").start()
+        .option("checkpointLocation", ckpt).outputMode(mode).start()
       try feed(q) finally q.stop()
       val sunk = s.table(name)
       val schema = sunk.schema
@@ -216,6 +217,26 @@ object PipelineQueries {
         q.processAllAvailable()
       }.orderBy("error_id", "purchase_id")
     }),
+    // COMPLETE output mode (append and update are covered elsewhere): a
+    // stateful streaming aggregation whose full state is rewritten to the
+    // sink every micro-batch. The corpus arrives in two batches; the final
+    // table must equal the batch term counts — the tf helper and oracle are
+    // shared with the CMS family, so streaming-equals-batch is checked
+    // against the exact same SQL.
+    "stream_term_counts" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val texts = docs(s, dir).select(col("text")).as[String].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+      val out = TextQueries.cmsTermCounts(src.toDF().toDF("text"))
+      val (h1, h2) = texts.splitAt(texts.length / 2)
+      runAppendStream(s, out, "stc", mode = "complete") { q =>
+        src.addData(h1.toIndexedSeq)
+        q.processAllAvailable()
+        src.addData(h2.toIndexedSeq)
+        q.processAllAvailable()
+      }.orderBy("term")
+    }),
     // The injected SQL function surface end to end: hash60, shingles,
     // MR-Angle and cosine all usable from plain Spark SQL, hash-matched
     // against the DuckDB formulations of the same math.
@@ -297,6 +318,9 @@ object PipelineQueries {
   def oracleSql: Map[String, String] = Map(
     // the streaming join must reproduce the batch interval join exactly
     "stream_interval_join" -> RelationalQueries.oracleSql("interval_join"),
+    // complete-mode streaming aggregation == the batch tf (same SQL as the
+    // CMS family's term-count base)
+    "stream_term_counts" -> (TextQueries.cmsTfSql + " ORDER BY term"),
     // gap-and-islands with session_window's STRICT > split rule (an event at
     // exactly last + gap merges — verified against Spark 4.1.2 behavior);
     // equal-sec ties are gap 0 so tie order cannot change sessions

@@ -51,7 +51,7 @@ object TextQueries {
   private val CmsDepth = 4
   private val CmsWidth = 1024L
   /** exact per-term counts over all documents (≥3-letter lowercase runs) */
-  private def cmsTermCounts(d: DataFrame): DataFrame =
+  private[graft] def cmsTermCounts(d: DataFrame): DataFrame =
     d.select(explode(
         expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
       .where(length(col("term")) >= 3)
@@ -66,7 +66,7 @@ object TextQueries {
           lit(CmsWidth)).as("sk_col"),
         col(payload))
   /** the same tf aggregation as [[cmsTermCounts]], DuckDB form */
-  private val cmsTfSql =
+  private[graft] val cmsTfSql =
     """SELECT term, COUNT(*) AS cnt FROM (SELECT
       |unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
       |FROM documents) WHERE length(term) >= 3 GROUP BY term"""

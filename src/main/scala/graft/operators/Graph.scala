@@ -42,22 +42,37 @@ object Graph {
     * rounds from the uniform start, bit-reproducible per the Q30 contract.
     */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    // |V| — the one driver-side scalar (needed inside the next literal)
-    val n = deg.count().toDouble
-    val base = (1.0 - damping) / n
-    var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("rank"))
-    for (_ <- 1 to iterations) {
-      val contribs = edges
-        .join(ranks, edges("src") === ranks("id"))
-        .join(deg, "src")
-        .select(col("dst"), floor(col("rank") / col("deg") * lit(Q)).as("q"))
-      ranks = contribs.groupBy("dst").agg(sum(col("q")).as("sq"))
-        .select(col("dst").as("id"),
-          (lit(base) + lit(damping) * (col("sq").cast("double") / lit(Q)))
-            .as("rank"))
-    }
-    ranks.join(deg, ranks("id") === deg("src"))
-      .select(col("id"), col("rank"), col("deg"))
+    // The per-src degree rides along WITH the edge list (one cached frame,
+    // partitioned on src) so each iteration is a single src-keyed join —
+    // and, critically, each iteration's rank frame is eagerly
+    // localCheckpoint'ed: without lineage truncation the plan re-derives
+    // the whole edge pipeline once PER ROUND and the lineage grows without
+    // bound (3 rounds is fine, 30 is not). The caches are freed before
+    // returning; the returned frame's own lineage is already cut.
+    val edgesD = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .cache()
+    try {
+      // |V| — the one driver-side scalar (needed inside the next literal)
+      val n = edgesD.select(col("src")).distinct().count().toDouble
+      val base = (1.0 - damping) / n
+      var ranks = edgesD.select(col("src").as("id")).distinct()
+        .select(col("id"), lit(1.0 / n).as("rank"))
+        .localCheckpoint(true)
+      for (_ <- 1 to iterations) {
+        val contribs = edgesD
+          .join(ranks, edgesD("src") === ranks("id"))
+          .select(col("dst"), floor(col("rank") / col("deg") * lit(Q)).as("q"))
+        ranks = contribs.groupBy("dst").agg(sum(col("q")).as("sq"))
+          .select(col("dst").as("id"),
+            (lit(base) + lit(damping) * (col("sq").cast("double") / lit(Q)))
+              .as("rank"))
+          .localCheckpoint(true)
+      }
+      ranks.join(edgesD.groupBy("src").agg(first(col("deg")).as("deg")),
+          ranks("id") === col("src"))
+        .select(col("id"), col("rank"), col("deg"))
+        .localCheckpoint(true)
+    } finally edgesD.unpersist()
   }
 }

@@ -217,6 +217,25 @@ object PipelineQueries {
         q.processAllAvailable()
       }.orderBy("error_id", "purchase_id")
     }),
+    // cross-batch streaming exact dedup (Dedup.streamingDedup): the corpus
+    // arrives in batch 1, then half of it AGAIN in batch 2 — dropDuplicates
+    // state must suppress every second-batch repeat, so the appended rows
+    // equal the batch distinct-fingerprint set.
+    "stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val texts = docs(s, dir).select(col("text")).as[String].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+      val out = graft.operators.Dedup
+        .streamingDedup(src.toDF().toDF("text"), "text")
+        .select("fingerprint")
+      runAppendStream(s, out, "sdd") { q =>
+        src.addData(texts.toIndexedSeq)
+        q.processAllAvailable()
+        src.addData(texts.take(texts.length / 2).toIndexedSeq)
+        q.processAllAvailable()
+      }.orderBy("fingerprint")
+    }),
     // COMPLETE output mode (append and update are covered elsewhere): a
     // stateful streaming aggregation whose full state is rewritten to the
     // sink every micro-batch. The corpus arrives in two batches; the final
@@ -321,6 +340,12 @@ object PipelineQueries {
     // complete-mode streaming aggregation == the batch tf (same SQL as the
     // CMS family's term-count base)
     "stream_term_counts" -> (TextQueries.cmsTfSql + " ORDER BY term"),
+    // streaming dedup == batch distinct fingerprints (same normalization as
+    // dedup_exact)
+    "stream_dedup" ->
+      """SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |AS fingerprint FROM documents ORDER BY fingerprint"""
+        .stripMargin.replace("\n", " "),
     // gap-and-islands with session_window's STRICT > split rule (an event at
     // exactly last + gap merges — verified against Spark 4.1.2 behavior);
     // equal-sec ties are gap 0 so tie order cannot change sessions

@@ -469,6 +469,28 @@ object RelationalQueries {
           col("brand_avg"))
         .orderBy("p_partkey")
     }),
+    // funnel conversion latency: per converting user, µs from first signup
+    // to first subsequent purchase (through the full s1→s4 chain), then
+    // exact percentiles over the integer latencies (same floor/percentile
+    // discipline as events_quantiles — interpolation on integers is exact)
+    "funnel_latency" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tus"))
+      def stage(typ: String, prev: DataFrame): DataFrame =
+        ev.where(col("event_type") === typ)
+          .join(prev.select(col("user_id"), col("t")), "user_id")
+          .where(col("tus") > col("t"))
+          .groupBy("user_id").agg(min(col("tus")).as("t"))
+      val s1 = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("tus")).as("t"))
+      val s4 = stage("purchase", stage("click", stage("view", s1)))
+      s4.select(col("user_id"), col("t").as("t4"))
+        .join(s1.select(col("user_id"), col("t").as("t1")), "user_id")
+        .select((col("t4") - col("t1")).as("lat_us"))
+        .agg(count(lit(1)).as("n_converted"),
+          percentile(col("lat_us"), lit(0.5)).as("p50_us"),
+          percentile(col("lat_us"), lit(0.9)).as("p90_us"))
+    }),
     // iterative graph analytics: 3 PageRank rounds over the undirected
     // customer–supplier bipartite graph (edges = distinct trade pairs via
     // orders ⋈ lineitem). Q30 fixed-point contributions make the rank
@@ -813,6 +835,26 @@ object RelationalQueries {
         |FROM part p JOIN b ON p.p_brand = b.p_brand
         |WHERE p_retailprice > brand_avg
         |ORDER BY p_partkey""".stripMargin.replace("\n", " "),
+    "funnel_latency" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus
+        |  FROM events),
+        |s1 AS (SELECT user_id, MIN(tus) AS t FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.tus) AS t FROM ev e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.tus > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.tus) AS t FROM ev e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'click' AND e.tus > s2.t GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, MIN(e.tus) AS t FROM ev e
+        |  JOIN s3 ON e.user_id = s3.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tus > s3.t GROUP BY e.user_id),
+        |lat AS (SELECT s4.t - s1.t AS lat_us FROM s4
+        |  JOIN s1 ON s4.user_id = s1.user_id)
+        |SELECT COUNT(*) AS n_converted,
+        |quantile_cont(lat_us, 0.5) AS p50_us,
+        |quantile_cont(lat_us, 0.9) AS p90_us FROM lat"""
+        .stripMargin.replace("\n", " "),
     "graph_pagerank" -> {
       // one iteration = contribution CTE + rank CTE; generated from the same
       // template per round so the unrolled oracle cannot drift between rounds.

@@ -469,6 +469,22 @@ object RelationalQueries {
           col("brand_avg"))
         .orderBy("p_partkey")
     }),
+    // linear-counting distinct sketch: per event type, occupied buckets of
+    // hash60 % 256 next to the exact distinct count. The sketch state is m
+    // bits per group regardless of cardinality (the mergeable-summary
+    // contract); the -m·ln(empty/m) estimate is asserted accurate in the
+    // spec — ln() stays OUT of the oracle (libm-dependent), so the gated
+    // columns are all integers.
+    "distinct_sketch" -> ((s, dir) =>
+      events(s, dir).select(col("event_type"), col("user_id"),
+          pmod(graft.functions.hash60(
+            concat(lit("lc#"), col("user_id").cast("string"))), lit(256L))
+            .as("bucket"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_exact"),
+          countDistinct(col("bucket")).as("n_occupied"))
+        .orderBy("event_type")),
     // funnel conversion latency: per converting user, µs from first signup
     // to first subsequent purchase (through the full s1→s4 chain), then
     // exact percentiles over the integer latencies (same floor/percentile
@@ -835,6 +851,14 @@ object RelationalQueries {
         |FROM part p JOIN b ON p.p_brand = b.p_brand
         |WHERE p_retailprice > brand_avg
         |ORDER BY p_partkey""".stripMargin.replace("\n", " "),
+    "distinct_sketch" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |COUNT(DISTINCT user_id) AS n_exact,
+        |COUNT(DISTINCT CAST(concat('0x', substr(md5(
+        |  concat('lc#', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 256)
+        |  AS n_occupied
+        |FROM events GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replace("\n", " "),
     "funnel_latency" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus
         |  FROM events),

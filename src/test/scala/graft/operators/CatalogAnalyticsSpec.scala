@@ -168,6 +168,19 @@ class CatalogAnalyticsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("distinct_sketch: linear-counting estimate tracks the exact count") {
+    val rows = run("distinct_sketch").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val m = 256.0
+    rows.foreach { case (typ, exact, occupied) =>
+      assert(occupied <= exact && occupied <= 256)
+      val est = -m * math.log((m - occupied) / m)
+      assert(math.abs(est - exact) / exact < 0.15,
+        s"$typ est=$est exact=$exact")
+    }
+  }
+
   test("graph_pagerank conserves rank mass and favors high-degree nodes") {
     val rows = run("graph_pagerank").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))

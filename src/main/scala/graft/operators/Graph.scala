@@ -41,38 +41,46 @@ object Graph {
     * Returns (id, rank, deg) — `rank` is the value after `iterations`
     * rounds from the uniform start, bit-reproducible per the Q30 contract.
     */
-  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
-    // The per-src degree rides along WITH the edge list (one cached frame,
-    // partitioned on src) so each iteration is a single src-keyed join —
-    // and, critically, each iteration's rank frame is eagerly
-    // localCheckpoint'ed: without lineage truncation the plan re-derives
-    // the whole edge pipeline once PER ROUND and the lineage grows without
-    // bound (3 rounds is fine, 30 is not). The caches are freed before
-    // returning; the returned frame's own lineage is already cut.
-    val edgesD = edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .cache()
+  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
+      maxBroadcastNodes: Long = 10000000L): DataFrame = {
+    // Three cached frames, each derived exactly once: the raw edge list
+    // (whatever join/distinct pipeline produced it would otherwise re-run
+    // for the degree frame, the edge⋈degree join AND the node count), the
+    // |V|-row degree frame, and the (edges ⋈ degree) iteration input.
+    // Each iteration's rank frame is eagerly localCheckpoint'ed — without
+    // lineage truncation the plan re-derives the whole pipeline once PER
+    // ROUND and lineage grows without bound (3 rounds is fine, 30 is not).
+    // Rank and degree frames are |V| rows: below maxBroadcastNodes they
+    // broadcast, so the cached edge list never re-shuffles across rounds;
+    // past the bound the joins fall back to src-keyed shuffles. All caches
+    // are freed before returning; the returned frame's lineage is cut.
+    val raw = edges.cache()
+    val deg = raw.groupBy("src").agg(count(lit(1)).as("deg")).cache()
     try {
       // |V| — the one driver-side scalar (needed inside the next literal)
-      val n = edgesD.select(col("src")).distinct().count().toDouble
+      val n = deg.count().toDouble
       val base = (1.0 - damping) / n
-      var ranks = edgesD.select(col("src").as("id")).distinct()
-        .select(col("id"), lit(1.0 / n).as("rank"))
-        .localCheckpoint(true)
-      for (_ <- 1 to iterations) {
-        val contribs = edgesD
-          .join(ranks, edgesD("src") === ranks("id"))
-          .select(col("dst"), floor(col("rank") / col("deg") * lit(Q)).as("q"))
-        ranks = contribs.groupBy("dst").agg(sum(col("q")).as("sq"))
-          .select(col("dst").as("id"),
-            (lit(base) + lit(damping) * (col("sq").cast("double") / lit(Q)))
-              .as("rank"))
+      val bcast = n <= maxBroadcastNodes.toDouble
+      def maybeBcast(df: DataFrame) = if (bcast) broadcast(df) else df
+      val edgesD = raw.join(maybeBcast(deg), "src").cache()
+      try {
+        var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("rank"))
           .localCheckpoint(true)
-      }
-      ranks.join(edgesD.groupBy("src").agg(first(col("deg")).as("deg")),
-          ranks("id") === col("src"))
-        .select(col("id"), col("rank"), col("deg"))
-        .localCheckpoint(true)
-    } finally edgesD.unpersist()
+        for (_ <- 1 to iterations) {
+          val contribs = edgesD
+            .join(maybeBcast(ranks), edgesD("src") === ranks("id"))
+            .select(col("dst"),
+              floor(col("rank") / col("deg") * lit(Q)).as("q"))
+          ranks = contribs.groupBy("dst").agg(sum(col("q")).as("sq"))
+            .select(col("dst").as("id"),
+              (lit(base) + lit(damping) * (col("sq").cast("double") / lit(Q)))
+                .as("rank"))
+            .localCheckpoint(true)
+        }
+        ranks.join(maybeBcast(deg), ranks("id") === deg("src"))
+          .select(col("id"), col("rank"), col("deg"))
+          .localCheckpoint(true)
+      } finally edgesD.unpersist()
+    } finally { deg.unpersist(); raw.unpersist() }
   }
 }

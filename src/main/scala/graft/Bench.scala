@@ -37,7 +37,7 @@ object Bench {
     "emb_centroids", "basket_pairs", "events_rolling_7d",
     "part_above_brand_avg", "nation_revenue_share", "cms_sketch",
     "cms_estimate", "events_props_map", "q_weekday_revenue",
-    "graph_pagerank", "funnel_latency", "distinct_sketch",
+    "graph_pagerank", "funnel_latency", "distinct_sketch", "events_dist_ranks",
     // streaming workloads LAST: their state-store churn and driver-side
     // MemoryStream replay pressure the heap; anything timed after them
     // reads 5-20x slow (single-JVM artifact)

@@ -469,6 +469,20 @@ object RelationalQueries {
           col("brand_avg"))
         .orderBy("p_partkey")
     }),
+    // distribution-rank analytics: percent_rank / cume_dist plus
+    // first_value / nth_value frames over a total (value, event_id) order —
+    // the ratios are single IEEE divisions of identical integers on both
+    // engines, so even these doubles hash exactly
+    "events_dist_ranks" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      events(s, dir).select(col("event_id"), col("event_type"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first(col("event_id")).over(w).as("fv"),
+          nth_value(col("event_id"), 2).over(w).as("nv2"))
+        .orderBy("event_id")
+    }),
     // linear-counting distinct sketch: per event type, occupied buckets of
     // hash60 % 256 next to the exact distinct count. The sketch state is m
     // bits per group regardless of cardinality (the mergeable-summary
@@ -851,6 +865,15 @@ object RelationalQueries {
         |FROM part p JOIN b ON p.p_brand = b.p_brand
         |WHERE p_retailprice > brand_avg
         |ORDER BY p_partkey""".stripMargin.replace("\n", " "),
+    "events_dist_ranks" ->
+      """SELECT event_id, event_type,
+        |PERCENT_RANK() OVER w AS pr,
+        |CUME_DIST() OVER w AS cd,
+        |FIRST_VALUE(event_id) OVER w AS fv,
+        |NTH_VALUE(event_id, 2) OVER w AS nv2
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin.replace("\n", " "),
     "distinct_sketch" ->
       """SELECT event_type, COUNT(*) AS n_rows,
         |COUNT(DISTINCT user_id) AS n_exact,

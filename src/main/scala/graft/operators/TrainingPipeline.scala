@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * library's shuffle-bounded operators, so the whole chain scales the same
   * way its parts do; each stage's row counts are reported for auditability.
   *
-  *   raw docs → quality filter → language filter → exact dedup →
+  *   raw docs → quality filter → repetition filter (Gopher) →
+  *   language filter → exact dedup →
   *   near-dup clustering (keep cluster canonical) → deterministic sample →
   *   sharded hive-partitioned export
   */
 object TrainingPipeline {
 
-  case class StageCounts(raw: Long, quality: Long, language: Long,
-                         exactDedup: Long, nearDedup: Long, sampled: Long)
+  case class StageCounts(raw: Long, quality: Long, repetition: Long,
+                         language: Long, exactDedup: Long, nearDedup: Long,
+                         sampled: Long)
 
   /** Run the full chain; returns the surviving rows and per-stage counts.
     * `sampleMod` keeps ~1/sampleMod of rows (hash-deterministic; 1 = keep
@@ -32,11 +34,18 @@ object TrainingPipeline {
       .select(docs.columns.toIndexedSeq.map(col): _*)
     val nQuality = quality.count()
 
-    // 2. language allowlist
-    val lang = quality.where(col(langCol).isin(keepLangs.toSeq: _*))
+    // 2. repetition filter: Gopher-style duplicate-word/-trigram and
+    // top-bigram coverage gates (boilerplate and degenerate generations)
+    val repetition = TextAnalysis.withRepetitionStats(quality, idCol, textCol)
+      .where(col("repetition_ok"))
+      .select(docs.columns.toIndexedSeq.map(col): _*)
+    val nRepetition = repetition.count()
+
+    // 3. language allowlist
+    val lang = repetition.where(col(langCol).isin(keepLangs.toSeq: _*))
     val nLang = lang.count()
 
-    // 3. exact dedup: keep the lowest-id row per normalized fingerprint.
+    // 4. exact dedup: keep the lowest-id row per normalized fingerprint.
     // Cached: the near-dup stage below (shingle join + iterative clustering)
     // is the dominant cost and reads `exact` several times — without the
     // cache every downstream count() replays stages 1-3 too.
@@ -45,7 +54,7 @@ object TrainingPipeline {
     val exact = lang.join(keeperIds, Seq(idCol), "left_semi").cache()
     val nExact = exact.count()
     try {
-      // 4. near-dup clustering: connected components over jaccard>=t pairs;
+      // 5. near-dup clustering: connected components over jaccard>=t pairs;
       // keep each cluster's canonical (minimum-id) member. The hot-shingle
       // df cap keeps boilerplate shingles from making any join group
       // quadratic in corpus size.
@@ -60,17 +69,17 @@ object TrainingPipeline {
       try {
         val nNear = near.count()
 
-        // 5. deterministic hash sample (stratified by construction)
+        // 6. deterministic hash sample (stratified by construction)
         val sampled = if (sampleMod <= 1) near else near.where(
           graft.functions.hash60(concat(lit("smpl#"), col(idCol).cast("string")))
             % sampleMod === 0)
         val nSampled = sampled.count()
 
-        // 6. sharded export
+        // 7. sharded export
         if (outDir.nonEmpty)
           OutputLayout.writeSharded(sampled, outDir, idCol, Seq(langCol), nShards)
 
-        (sampled, StageCounts(raw, nQuality, nLang, nExact, nNear, nSampled))
+        (sampled, StageCounts(raw, nQuality, nRepetition, nLang, nExact, nNear, nSampled))
       } finally near.unpersist(false)
     } finally exact.unpersist(false)
   }

@@ -16,7 +16,8 @@ class TrainingPipelineSpec extends AnyFunSuite {
       sampleMod = 2, outDir = out, nShards = 2)
 
     assert(c.raw == docs.count())
-    assert(c.quality <= c.raw && c.language <= c.quality)
+    assert(c.quality <= c.raw && c.repetition <= c.quality)
+    assert(c.language <= c.repetition)
     assert(c.exactDedup <= c.language && c.nearDedup <= c.exactDedup)
     assert(c.sampled <= c.nearDedup && c.sampled > 0)
     assert(result.count() == c.sampled)

@@ -343,8 +343,8 @@ object PipelineQueries {
     // streaming dedup == batch distinct fingerprints (same normalization as
     // dedup_exact)
     "stream_dedup" ->
-      """SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-        |AS fingerprint FROM documents ORDER BY fingerprint"""
+      s"""SELECT DISTINCT md5(${TextQueries.normSql})
+         |AS fingerprint FROM documents ORDER BY fingerprint"""
         .stripMargin.replace("\n", " "),
     // gap-and-islands with session_window's STRICT > split rule (an event at
     // exactly last + gap merges — verified against Spark 4.1.2 behavior);

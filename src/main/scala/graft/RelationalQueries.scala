@@ -659,9 +659,9 @@ object RelationalQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin.replace("\n", " "),
     "dedup_salted" ->
-      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-        |AS fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
-        |FROM documents GROUP BY 1 ORDER BY doc_id"""
+      s"""SELECT md5(${TextQueries.normSql})
+         |AS fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+         |FROM documents GROUP BY 1 ORDER BY doc_id"""
         .stripMargin.replace("\n", " "),
     "events_ranks" ->
       """SELECT event_id, event_type,
@@ -875,12 +875,12 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
         |ORDER BY event_id""".stripMargin.replace("\n", " "),
     "distinct_sketch" ->
-      """SELECT event_type, COUNT(*) AS n_rows,
-        |COUNT(DISTINCT user_id) AS n_exact,
-        |COUNT(DISTINCT CAST(concat('0x', substr(md5(
-        |  concat('lc#', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 256)
-        |  AS n_occupied
-        |FROM events GROUP BY event_type ORDER BY event_type"""
+      s"""SELECT event_type, COUNT(*) AS n_rows,
+         |COUNT(DISTINCT user_id) AS n_exact,
+         |COUNT(DISTINCT
+         |  ${TextQueries.hash60Sql("concat('lc#', CAST(user_id AS VARCHAR))")}
+         |  % 256) AS n_occupied
+         |FROM events GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replace("\n", " "),
     "funnel_latency" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus
@@ -934,7 +934,7 @@ object RelationalQueries {
     },
     "events_props_map" ->
       """SELECT event_id, k.key AS key,
-        |CAST(json_extract(props, '$.' || k.key) AS BIGINT) AS val
+        |CAST(json_extract(props, '$."' || k.key || '"') AS BIGINT) AS val
         |FROM events, unnest(json_keys(props)) k(key)
         |ORDER BY event_id, key""".stripMargin.replace("\n", " "),
     "q_weekday_revenue" ->

@@ -17,7 +17,7 @@ object TextQueries {
     s.read.parquet(s"$dir/embeddings.parquet")
 
   // SQL fragments mirroring graft.functions exactly
-  private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private[graft] val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
   private def occSql(hay: String, needle: String): String =
     s"CAST((length($hay) - length(replace($hay, '$needle', ''))) / ${needle.length} AS BIGINT)"
   /** DuckDB form of [[operators.Similarity.lshBucket]]: the md5-derived
@@ -34,7 +34,7 @@ object TextQueries {
       s"(CASE WHEN $dot >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  private def hash60Sql(e: String): String =
+  private[graft] def hash60Sql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
   // distinct 5-gram shingles of the normalized text, as (doc_id, shingle) rows
   private val shinglesSql =

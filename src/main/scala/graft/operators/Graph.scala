@@ -25,6 +25,19 @@ object Graph {
 
   private val Q = 1073741824.0 // 2^30
 
+  /** Materialize `df` into a persisted Row RDD and rebuild a frame over it:
+    * lineage truncation (like localCheckpoint) but with an explicit handle
+    * to free the storage — a localCheckpoint's blocks can only be reclaimed
+    * by driver GC, which pins iterations × |V| rows for an unbounded time
+    * in long sweeps. Row round-trips preserve long/double bit-exactly. */
+  private def pin(df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = df.sparkSession.createDataFrame(rdd, df.schema)
+    out.count() // materialize now, under the caller's control
+    (out, rdd)
+  }
+
   /** Undirected expansion of a bipartite (a, b) edge set, with the two
     * vertex classes mapped into one disjoint long id space (2a / 2b+1). */
   def undirectedBipartite(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
@@ -64,22 +77,31 @@ object Graph {
       def maybeBcast(df: DataFrame) = if (bcast) broadcast(df) else df
       val edgesD = raw.join(maybeBcast(deg), "src").cache()
       try {
-        var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("rank"))
-          .localCheckpoint(true)
+        var (ranks, pinned) = pin(
+          deg.select(col("src").as("id"), lit(1.0 / n).as("rank")))
         for (_ <- 1 to iterations) {
           val contribs = edgesD
             .join(maybeBcast(ranks), edgesD("src") === ranks("id"))
             .select(col("dst"),
               floor(col("rank") / col("deg") * lit(Q)).as("q"))
-          ranks = contribs.groupBy("dst").agg(sum(col("q")).as("sq"))
-            .select(col("dst").as("id"),
-              (lit(base) + lit(damping) * (col("sq").cast("double") / lit(Q)))
-                .as("rank"))
-            .localCheckpoint(true)
+          val (next, nextPin) = pin(
+            contribs.groupBy("dst").agg(sum(col("q")).as("sq"))
+              .select(col("dst").as("id"),
+                (lit(base) +
+                  lit(damping) * (col("sq").cast("double") / lit(Q)))
+                  .as("rank")))
+          pinned.unpersist(false) // previous round, no longer referenced
+          ranks = next
+          pinned = nextPin
         }
-        ranks.join(maybeBcast(deg), ranks("id") === deg("src"))
-          .select(col("id"), col("rank"), col("deg"))
-          .localCheckpoint(true)
+        // the returned frame stays pinned (one |V|-row block set) so the
+        // caller never re-derives the freed caches below; it is released
+        // by the ContextCleaner once the caller drops the frame
+        val (result, _) = pin(
+          ranks.join(maybeBcast(deg), ranks("id") === deg("src"))
+            .select(col("id"), col("rank"), col("deg")))
+        pinned.unpersist(false)
+        result
       } finally edgesD.unpersist()
     } finally { deg.unpersist(); raw.unpersist() }
   }

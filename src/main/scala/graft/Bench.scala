@@ -38,11 +38,13 @@ object Bench {
     "part_above_brand_avg", "nation_revenue_share", "cms_sketch",
     "cms_estimate", "events_props_map", "q_weekday_revenue",
     "graph_pagerank", "funnel_latency", "distinct_sketch", "events_dist_ranks",
+    "q_not_in_nulls",
     // streaming workloads LAST: their state-store churn and driver-side
     // MemoryStream replay pressure the heap; anything timed after them
     // reads 5-20x slow (single-JVM artifact)
     "stream_sky2d", "stream_tws_sky2d", "stream_windowed_sky",
-    "stream_sessionize", "stream_interval_join", "stream_term_counts", "stream_dedup")
+    "stream_sessionize", "stream_interval_join", "stream_term_counts", "stream_dedup",
+    "stream_late_drop")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -236,6 +236,44 @@ object PipelineQueries {
         q.processAllAvailable()
       }.orderBy("fingerprint")
     }),
+    // Watermark LATE-DATA DROP semantics: batch 1 delivers every event, so
+    // the 0-second watermark advances to the corpus max; batch 2 then
+    // replays the 100 earliest events — all now behind the watermark, their
+    // windows already closed and evicted, so they MUST be discarded. If the
+    // engine double-counted them the per-window totals would differ from
+    // the batch oracle (which counts each event exactly once).
+    "stream_late_drop" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rows = s.read.parquet(s"$dir/events.parquet").select(
+          col("event_id"), expr("ts div 1000000000").as("secs"),
+          col("value").cast("double"))
+        .as[(Long, Long, Double)].collect()
+      val maxSecs = rows.map(_._2).max
+      val late = rows.sortBy(r => (r._2, r._1)).take(100)
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Double)]
+      val out = src.toDF().toDF("event_id", "secs", "value")
+        .withColumn("ets", timestamp_seconds(col("secs")))
+        .withWatermark("ets", "0 seconds")
+        .groupBy(window(col("ets"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,3)")).cast("double").as("sum_value"))
+        .select(col("w.start").cast("long").as("bucket_start"),
+          col("n"), col("sum_value"))
+      runAppendStream(s, out, "late") { q =>
+        src.addData(rows.toIndexedSeq)
+        q.processAllAvailable()
+        src.addData(late.toIndexedSeq) // every row behind the watermark
+        q.processAllAvailable()
+        src.addData(Seq((-1L, maxSecs + 7200, 0.0)))
+        q.processAllAvailable()
+        src.addData(Seq((-2L, maxSecs + 14400, 0.0)))
+        q.processAllAvailable()
+      }.where(col("bucket_start") <= maxSecs)
+        .orderBy("bucket_start")
+    }),
     // COMPLETE output mode (append and update are covered elsewhere): a
     // stateful streaming aggregation whose full state is rewritten to the
     // sink every micro-batch. The corpus arrives in two batches; the final
@@ -340,6 +378,14 @@ object PipelineQueries {
     // complete-mode streaming aggregation == the batch tf (same SQL as the
     // CMS family's term-count base)
     "stream_term_counts" -> (TextQueries.cmsTfSql + " ORDER BY term"),
+    // late replays dropped ⇒ every event counted exactly once, like batch
+    "stream_late_drop" ->
+      """WITH e AS (SELECT (epoch_ns(ts) // 1000000000) // 3600 * 3600
+        |  AS bucket_start, value FROM events)
+        |SELECT bucket_start, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY bucket_start ORDER BY bucket_start"""
+        .stripMargin.replace("\n", " "),
     // streaming dedup == batch distinct fingerprints (same normalization as
     // dedup_exact)
     "stream_dedup" ->

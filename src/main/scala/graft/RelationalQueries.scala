@@ -469,6 +469,24 @@ object RelationalQueries {
           col("brand_avg"))
         .orderBy("p_partkey")
     }),
+    // three-valued-logic parity: NOT IN over a subquery containing a NULL
+    // matches nothing (the NULL poisons every comparison), while the
+    // NOT EXISTS decorrelation keeps its row-by-row semantics — both
+    // engines must agree on this classic SQL trap (nullif injects the NULL
+    // since the fixture is null-free)
+    "q_not_in_nulls" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_nin")
+      t(s, dir, "orders").createOrReplaceTempView("orders_nin")
+      s.sql(
+        """SELECT 'not_in_with_null' AS variant, COUNT(*) AS n
+          |FROM customer_nin
+          |WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders_nin)
+          |UNION ALL
+          |SELECT 'not_exists' AS variant, COUNT(*) AS n FROM customer_nin c
+          |WHERE NOT EXISTS (SELECT 1 FROM orders_nin o
+          |  WHERE nullif(o.o_custkey, 7) = c.c_custkey)
+          |ORDER BY variant""".stripMargin)
+    }),
     // distribution-rank analytics: percent_rank / cume_dist plus
     // first_value / nth_value frames over a total (value, event_id) order —
     // the ratios are single IEEE divisions of identical integers on both
@@ -865,6 +883,14 @@ object RelationalQueries {
         |FROM part p JOIN b ON p.p_brand = b.p_brand
         |WHERE p_retailprice > brand_avg
         |ORDER BY p_partkey""".stripMargin.replace("\n", " "),
+    "q_not_in_nulls" ->
+      """SELECT 'not_in_with_null' AS variant, COUNT(*) AS n FROM customer
+        |WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders)
+        |UNION ALL
+        |SELECT 'not_exists' AS variant, COUNT(*) AS n FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE nullif(o.o_custkey, 7) = c.c_custkey)
+        |ORDER BY variant""".stripMargin.replace("\n", " "),
     "events_dist_ranks" ->
       """SELECT event_id, event_type,
         |PERCENT_RANK() OVER w AS pr,

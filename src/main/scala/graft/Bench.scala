@@ -38,7 +38,8 @@ object Bench {
     "part_above_brand_avg", "nation_revenue_share", "cms_sketch",
     "cms_estimate", "events_props_map", "q_weekday_revenue",
     "graph_pagerank", "funnel_latency", "distinct_sketch", "events_dist_ranks",
-    "q_not_in_nulls",
+    "q_not_in_nulls", "bloom_semi_join", "hll_distinct", "zorder_layout",
+    "events_topk_users",
     // streaming workloads LAST: their state-store churn and driver-side
     // MemoryStream replay pressure the heap; anything timed after them
     // reads 5-20x slow (single-JVM artifact)

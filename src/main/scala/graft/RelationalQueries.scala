@@ -600,8 +600,126 @@ object RelationalQueries {
           (col("rev_dec").cast("double") / col("total_dec").cast("double"))
             .as("share"))
         .orderBy("n_name")
+    }),
+    // Bloom-filter runtime semi-join: prune the fact side against a bit set
+    // built from a selective dimension predicate BEFORE any fact shuffle
+    // (the explicit form of Spark's runtime bloom filter, made md5-portable
+    // so the oracle reproduces the exact bit set — false positives and all).
+    // m=64/k=2 is deliberately undersized so the FP path is exercised:
+    // is_member separates true EUROPE suppliers from Bloom false positives.
+    "bloom_semi_join" -> ((s, dir) => {
+      val eu = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "EUROPE")
+        .select(col("s_suppkey"))
+      val bits = graft.operators.RuntimeFilters.bloomBits(eu, "s_suppkey",
+        m = BloomM, k = BloomK)
+      val probe = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_rows"))
+      graft.operators.RuntimeFilters
+        .bloomProbe(probe, "l_suppkey", bits, m = BloomM, k = BloomK)
+        .join(broadcast(eu).withColumn("is_member", lit(1L)),
+          col("l_suppkey") === col("s_suppkey"), "left")
+        .select(col("l_suppkey"),
+          coalesce(col("is_member"), lit(0L)).as("is_member"), col("n_rows"))
+        .orderBy("l_suppkey")
+    }),
+    // HyperLogLog distinct estimate, m=64 registers: register = low 6 bits
+    // of hash60, rank = leading-zero count of the remaining 54 bits + 1
+    // (computed portably as 55 - length(bin(w)) — both engines' bin() is
+    // minimal-width). The register-wise MAX is the mergeable-summary
+    // contract (union = elementwise max). The harmonic mean is computed on
+    // EXACT integers — sum of 2^(55-rank) as BIGINT — so the only float ops
+    // are one literal product and one division, bit-identical across
+    // engines; no tolerance needed even for the double estimate column.
+    "hll_distinct" -> ((s, dir) => {
+      val h = graft.functions.hash60(
+        concat(lit("hll#"), col("o_custkey").cast("string")))
+      val b = t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_custkey"), h.as("h"))
+      val regs = b.select(col("o_orderpriority"),
+          pmod(col("h"), lit(64L)).as("reg"),
+          when(shiftright(col("h"), 6) === 0, lit(55))
+            .otherwise(lit(55) - length(bin(shiftright(col("h"), 6))))
+            .as("rank"))
+        .groupBy("o_orderpriority", "reg").agg(max("rank").as("mr"))
+      val sketch = regs.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_occupied"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mr AS INT))"))
+            .as("s"))
+        .select(col("o_orderpriority"), col("n_occupied"),
+          expr(HllEstSql).as("est_hll"))
+      val exact = b.groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      exact.join(sketch, "o_orderpriority")
+        .select(col("o_orderpriority"), col("n_exact"), col("n_occupied"),
+          col("est_hll"))
+        .orderBy("o_orderpriority")
+    }),
+    // Z-order (Morton) data-layout clustering: interleave the customer and
+    // order-day coordinates, bucket by the high z bits into "files", and
+    // report per-file min/max of BOTH dimensions — the statistics a scan
+    // planner would use for 2-D data skipping. A z-sorted layout bounds
+    // both ranges per file; a 1-D sort would bound only one.
+    "zorder_layout" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400")
+            .as("day"))
+        .select(col("o_custkey"), col("day"),
+          graft.functions.zorder16(col("o_custkey"), col("day")).as("z"))
+        .groupBy(shiftright(col("z"), 18).as("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
+          min("day").as("min_day"), max("day").as("max_day"))
+        .orderBy("file_id")),
+    // bounded top-k per group via a typed Aggregator: map-side partial
+    // aggregation reduces each mapper's slice of a group to ≤ k entries
+    // before the shuffle (O(k) state), where the row_number() window
+    // formulation would shuffle and sort every row of the group. The
+    // (n desc, user_id asc) total order makes the result unique → exact
+    // hash gate vs. the window oracle.
+    "events_topk_users" -> ((s, dir) => {
+      val counts = events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val topk = udaf(new graft.operators.TopKAgg(5),
+        graft.operators.TopK.inputEncoder)
+      counts.groupBy("event_type")
+        .agg(topk(col("n"), col("user_id")).as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
+          col("col.id").as("user_id"), col("col.v").as("n"))
+        .orderBy("event_type", "rk")
     })
   )
+
+  // --- bloom geometry (single source of truth for bloom_semi_join and its
+  // oracle — the bit positions must never drift between engines) ---
+  private val BloomM = 64
+  private val BloomK = 2
+  private def bloomPosSql(keyRef: String, seed: Int): String =
+    s"${TextQueries.hash60Sql(s"concat(CAST($keyRef AS VARCHAR), '#$seed')")} % $BloomM"
+
+  /** HLL estimate from (n_occupied, s): alpha_64 * m^2 * 2^55 / scaled sum,
+    * where empty registers contribute 2^55 each. The fragment is valid in
+    * BOTH Spark SQL and DuckDB — literals are cast to DOUBLE explicitly
+    * because both engines parse bare decimal literals as DECIMAL. */
+  private val HllEstSql =
+    "CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * " +
+      "CAST(36028797018963968 AS DOUBLE) / " +
+      "CAST(s + (64 - n_occupied) * 36028797018963968 AS DOUBLE)"
+
+  /** The 32-term Morton interleave as portable SQL (mirror of
+    * [[graft.functions.zorder16]]). */
+  private def zorderSql(x: String, y: String): String =
+    (0 until 16).flatMap(i => Seq(
+      s"(((($x) & 65535) >> $i) & 1) << ${2 * i}",
+      s"(((($y) & 65535) >> $i) & 1) << ${2 * i + 1}"))
+      .map(t => s"($t)").mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
     "csv_roundtrip" ->
@@ -983,6 +1101,57 @@ object RelationalQueries {
         |t AS (SELECT SUM(rev_dec) AS total_dec FROM rev)
         |SELECT n_name, CAST(rev_dec AS DOUBLE) AS revenue,
         |CAST(rev_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) AS share
-        |FROM rev CROSS JOIN t ORDER BY n_name""".stripMargin.replace("\n", " ")
+        |FROM rev CROSS JOIN t ORDER BY n_name""".stripMargin.replace("\n", " "),
+    "bloom_semi_join" ->
+      s"""WITH eu AS (SELECT s_suppkey FROM supplier
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+         |bits AS (SELECT DISTINCT unnest([
+         |  ${bloomPosSql("s_suppkey", 0)},
+         |  ${bloomPosSql("s_suppkey", 1)}]) AS pos FROM eu),
+         |probe AS (SELECT l_suppkey, COUNT(*) AS n_rows FROM lineitem
+         |  GROUP BY l_suppkey)
+         |SELECT p.l_suppkey,
+         |CASE WHEN p.l_suppkey IN (SELECT s_suppkey FROM eu)
+         |  THEN 1::BIGINT ELSE 0::BIGINT END AS is_member,
+         |p.n_rows FROM probe p
+         |WHERE ${bloomPosSql("p.l_suppkey", 0)} IN (SELECT pos FROM bits)
+         |AND ${bloomPosSql("p.l_suppkey", 1)} IN (SELECT pos FROM bits)
+         |ORDER BY l_suppkey""".stripMargin.replace("\n", " "),
+    "hll_distinct" -> {
+      val h = TextQueries.hash60Sql(
+        "concat('hll#', CAST(o_custkey AS VARCHAR))")
+      s"""WITH b AS (SELECT o_orderpriority, o_custkey, $h AS h FROM orders),
+         |regs AS (SELECT o_orderpriority, h % 64 AS reg,
+         |  MAX(CASE WHEN (h >> 6) = 0 THEN 55
+         |    ELSE 55 - length(bin(h >> 6)) END) AS mr
+         |  FROM b GROUP BY o_orderpriority, reg),
+         |sk AS (SELECT o_orderpriority, COUNT(*) AS n_occupied,
+         |  CAST(SUM(1::BIGINT << CAST(55 - mr AS INT)) AS BIGINT) AS s
+         |  FROM regs GROUP BY o_orderpriority),
+         |ex AS (SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact
+         |  FROM b GROUP BY o_orderpriority)
+         |SELECT ex.o_orderpriority, ex.n_exact, sk.n_occupied,
+         |$HllEstSql AS est_hll
+         |FROM ex JOIN sk ON ex.o_orderpriority = sk.o_orderpriority
+         |ORDER BY ex.o_orderpriority""".stripMargin.replace("\n", " ")
+    },
+    "zorder_layout" ->
+      s"""WITH pts AS (SELECT o_custkey,
+         |  CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day FROM orders),
+         |z AS (SELECT o_custkey, day,
+         |  (${zorderSql("o_custkey", "day")}) AS z FROM pts)
+         |SELECT z >> 18 AS file_id, COUNT(*) AS n_rows,
+         |MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+         |MIN(day) AS min_day, MAX(day) AS max_day
+         |FROM z GROUP BY file_id ORDER BY file_id"""
+        .stripMargin.replace("\n", " "),
+    "events_topk_users" ->
+      """WITH c AS (SELECT event_type, user_id, COUNT(*) AS n FROM events
+        |  GROUP BY event_type, user_id),
+        |r AS (SELECT event_type, user_id, n, ROW_NUMBER() OVER (
+        |  PARTITION BY event_type ORDER BY n DESC, user_id) AS rk FROM c)
+        |SELECT event_type, rk, user_id, n FROM r WHERE rk <= 5
+        |ORDER BY event_type, rk""".stripMargin.replace("\n", " ")
   )
 }

@@ -89,4 +89,22 @@ package object functions {
 
   def minhashHash(shingle: Column, k: Int): Column =
     (lit(minhashA(k)) * (hash60(shingle) % MinhashP) + lit(minhashB(k))) % MinhashP
+
+  /** Z-order (Morton) interleave of the low 16 bits of two non-negative
+    * longs: bit i of `x` lands at output position 2i, bit i of `y` at 2i+1.
+    * Inputs are masked to 16 bits (callers must pre-scale coordinates into
+    * [0, 65535]); the result fits in 32 bits. Pure shift/and/add — stays in
+    * whole-stage codegen, and the identical 32-term sum is expressible in
+    * ANSI SQL for the oracle (see RelationalQueries.zorderSql). Used for
+    * data-layout clustering: sorting by z-value co-locates rows that are
+    * close in BOTH dimensions, which turns per-file min/max statistics into
+    * effective two-dimensional data skipping at scan time. */
+  def zorder16(x: Column, y: Column): Column = {
+    val xm = x.bitwiseAND(lit(65535L))
+    val ym = y.bitwiseAND(lit(65535L))
+    (0 until 16).flatMap { i =>
+      Seq(shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ + _)
+  }
 }

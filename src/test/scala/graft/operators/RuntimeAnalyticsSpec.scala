@@ -98,6 +98,23 @@ class RuntimeAnalyticsSpec extends AnyFunSuite {
     assert(got.toSeq == expect)
   }
 
+  test("bloom probe plan: k broadcast LEFT SEMI joins, probe never widens") {
+    val phys = run("bloom_semi_join").queryExecution.executedPlan.toString
+    val semis = "BroadcastHashJoin .*LeftSemi".r.findAllIn(phys).size
+    assert(semis == 2, s"expected 2 broadcast semi-joins, plan:\n$phys")
+    // the bit set is broadcast — no shuffle of the probe side for the filter
+    assert(!phys.contains("SortMergeJoin"))
+  }
+
+  test("topk plan: partial ObjectHashAggregate before the exchange") {
+    val phys = run("events_topk_users").queryExecution.executedPlan.toString
+    assert(phys.contains("ObjectHashAggregate"))
+    // map-side partial aggregation must sit below the group exchange
+    val firstAgg = phys.indexOf("ObjectHashAggregate")
+    assert(firstAgg >= 0 && phys.indexOf("ObjectHashAggregate", firstAgg + 1) > 0,
+      "expected partial+final aggregate pair")
+  }
+
   test("TopKAgg merge respects the bound and the total order") {
     val agg = new TopKAgg(3)
     val a = Seq(Ranked(9, 2), Ranked(7, 1), Ranked(5, 5))

@@ -39,7 +39,8 @@ object Bench {
     "cms_estimate", "events_props_map", "q_weekday_revenue",
     "graph_pagerank", "funnel_latency", "distinct_sketch", "events_dist_ranks",
     "q_not_in_nulls", "bloom_semi_join", "hll_distinct", "zorder_layout",
-    "events_topk_users",
+    "events_topk_users", "dataset_split", "text_length_buckets",
+    "events_gapfill",
     // streaming workloads LAST: their state-store churn and driver-side
     // MemoryStream replay pressure the heap; anything timed after them
     // reads 5-20x slow (single-JVM artifact)

@@ -381,7 +381,48 @@ object TextQueries {
           (col("sq").cast("double") / lit(1073741824.0) /
             col("n").cast("double")).as("centroid"),
           col("n"))
-        .orderBy("label", "pos"))
+        .orderBy("label", "pos")),
+    // deterministic train/validation/test split: hash60 of the doc id mod
+    // 100 → 90/5/5. Hash-based (not random) so the assignment is stable
+    // under re-runs, repartitioning, and incremental appends — the property
+    // a training pipeline needs for reproducible experiments. One scan, one
+    // 3-key aggregation.
+    "dataset_split" -> ((s, dir) =>
+      docs(s, dir)
+        .select(
+          pmod(graft.functions.hash60(
+            concat(lit("split#"), col("doc_id").cast("string"))), lit(100L))
+            .as("b"),
+          graft.functions.tokenCount(col("text")).as("tok"))
+        .select(when(col("b") < 90, "train")
+          .when(col("b") < 95, "validation")
+          .otherwise("test").as("split"), col("tok"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+        .orderBy("split")),
+    // curriculum length-bucketing via quantile CUTPOINTS, not ntile: the
+    // three quartile boundaries are one 1-row aggregate broadcast to the
+    // scan — every doc buckets itself with three comparisons. An
+    // ntile() window would funnel the whole corpus through one
+    // partition-less sort; this shape scans once and shuffles 4 keys.
+    // (percentile interpolation on integer token counts is exact on both
+    // engines — same discipline as events_quantiles.)
+    "text_length_buckets" -> ((s, dir) => {
+      val tk = docs(s, dir).select(col("doc_id"),
+        graft.functions.tokenCount(col("text")).as("tok"))
+      val cuts = tk.agg(percentile(col("tok"), lit(0.25)).as("c1"),
+        percentile(col("tok"), lit(0.5)).as("c2"),
+        percentile(col("tok"), lit(0.75)).as("c3"))
+      tk.crossJoin(broadcast(cuts))
+        .select(when(col("tok") <= col("c1"), "q1")
+          .when(col("tok") <= col("c2"), "q2")
+          .when(col("tok") <= col("c3"), "q3")
+          .otherwise("q4").as("bucket"), col("tok"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("tok").as("min_tok"), max("tok").as("max_tok"))
+        .orderBy("bucket")
+    })
   )
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -794,6 +835,28 @@ object TextQueries {
          |FROM pc JOIN cellsum cs
          |  ON pc.sk_row = cs.sk_row AND pc.sk_col = cs.sk_col
          |GROUP BY pc.term ORDER BY pc.term""".stripMargin.replace("\n", " ")
+
+    val tokCase =
+      s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST($toks AS BIGINT) END"
+    m += "dataset_split" ->
+      s"""WITH d AS (SELECT
+         |  ${hash60Sql("concat('split#', CAST(doc_id AS VARCHAR))")} % 100 AS b,
+         |  $tokCase AS tok FROM documents)
+         |SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'validation'
+         |  ELSE 'test' END AS split,
+         |COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
+         |FROM d GROUP BY split ORDER BY split""".stripMargin.replace("\n", " ")
+
+    m += "text_length_buckets" ->
+      s"""WITH tk AS (SELECT doc_id, $tokCase AS tok FROM documents),
+         |c AS (SELECT quantile_cont(tok, 0.25) AS c1,
+         |  quantile_cont(tok, 0.5) AS c2, quantile_cont(tok, 0.75) AS c3
+         |  FROM tk)
+         |SELECT CASE WHEN tok <= c1 THEN 'q1' WHEN tok <= c2 THEN 'q2'
+         |  WHEN tok <= c3 THEN 'q3' ELSE 'q4' END AS bucket,
+         |COUNT(*) AS n_docs, MIN(tok) AS min_tok, MAX(tok) AS max_tok
+         |FROM tk CROSS JOIN c GROUP BY bucket ORDER BY bucket"""
+        .stripMargin.replace("\n", " ")
 
     m.toMap
   }

@@ -122,4 +122,37 @@ class RuntimeAnalyticsSpec extends AnyFunSuite {
     val merged = agg.merge(a, b)
     assert(merged == Seq(Ranked(9, 1), Ranked(9, 2), Ranked(8, 4)))
   }
+
+  test("dataset_split partitions every document exactly once, ~90/5/5") {
+    val rows = run("dataset_split").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = rows.values.sum
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(total == nDocs, "split must cover each doc exactly once")
+    assert(rows("train").toDouble / total > 0.8)
+    assert(rows.keySet == Set("train", "validation", "test"))
+  }
+
+  test("length buckets cover the corpus with non-overlapping token ranges") {
+    val rows = run("text_length_buckets").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_._2).sum == nDocs)
+    // q1.max <= q2.min ... (cutpoints are quantiles, so ranges cannot overlap)
+    rows.sliding(2).foreach { w => assert(w(0)._4 <= w(1)._3) }
+  }
+
+  test("gap-filled series is dense: every (type, day) cell exists") {
+    val rows = run("events_gapfill").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val types = rows.map(_._1).distinct
+    val days = rows.map(_._2)
+    val span = days.max - days.min + 1
+    assert(rows.length == types.length * span, "grid must be complete")
+    // zero-filling must not change the total
+    val total = rows.map(_._3).sum
+    val raw = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(total == raw)
+  }
 }

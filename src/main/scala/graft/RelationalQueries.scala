@@ -694,6 +694,42 @@ object RelationalQueries {
         .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
           col("col.id").as("user_id"), col("col.v").as("n"))
         .orderBy("event_type", "rk")
+    }),
+    // time-series gap filling: daily counts per event type, zero-filled over
+    // the table's full [min_day, max_day] span. The day spine is generated
+    // from a 1-row bounds aggregate (sequence+explode — no driver loop), the
+    // (type × day) scaffold is a broadcast cross join of two tiny frames,
+    // and the observed counts LEFT JOIN onto it. sequence() descends when
+    // hi < lo, so the spine derives from one global min/max — never from
+    // per-group bounds that could be empty.
+    "events_gapfill" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_type"),
+        expr("ts div 86400000000000").as("day"))
+      val counts = e.groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val days = e.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      e.select("event_type").distinct()
+        .crossJoin(broadcast(days))
+        .join(counts, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("event_type", "day")
+    }),
+    // SCD-2 history build: turn a change log into validity intervals —
+    // each user's event opens an interval that the NEXT event closes
+    // (lead() over the per-user order; the final interval stays open as
+    // NULL). The window is user-partitioned, so the sort is distributed;
+    // timestamps are µs-truncated on both engines (DuckDB reads
+    // TIMESTAMP_NS parquet at µs precision).
+    "events_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("valid_from_us"))
+        .withColumn("valid_to_us",
+          lead(col("valid_from_us"), 1).over(w))
+        .orderBy("user_id", "valid_from_us", "event_id")
     })
   )
 
@@ -1152,6 +1188,18 @@ object RelationalQueries {
         |r AS (SELECT event_type, user_id, n, ROW_NUMBER() OVER (
         |  PARTITION BY event_type ORDER BY n DESC, user_id) AS rk FROM c)
         |SELECT event_type, rk, user_id, n FROM r WHERE rk <= 5
-        |ORDER BY event_type, rk""".stripMargin.replace("\n", " ")
+        |ORDER BY event_type, rk""".stripMargin.replace("\n", " "),
+    "events_gapfill" ->
+      """WITH e AS (SELECT event_type,
+        |  epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |c AS (SELECT event_type, day, COUNT(*) AS n FROM e
+        |  GROUP BY event_type, day),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
+        |days AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b),
+        |types AS (SELECT DISTINCT event_type FROM e)
+        |SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
+        |FROM types t CROSS JOIN days d
+        |LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day
+        |ORDER BY t.event_type, d.day""".stripMargin.replace("\n", " ")
   )
 }

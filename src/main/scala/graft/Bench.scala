@@ -40,7 +40,7 @@ object Bench {
     "graph_pagerank", "funnel_latency", "distinct_sketch", "events_dist_ranks",
     "q_not_in_nulls", "bloom_semi_join", "hll_distinct", "zorder_layout",
     "events_topk_users", "dataset_split", "text_length_buckets",
-    "events_gapfill",
+    "events_gapfill", "events_scd2",
     // streaming workloads LAST: their state-store churn and driver-side
     // MemoryStream replay pressure the heap; anything timed after them
     // reads 5-20x slow (single-JVM artifact)
@@ -166,14 +166,44 @@ object Bench {
       }
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // full-precision per-query results always land in BENCH_FULL.json (cwd =
+    // repo root under sbt) — the stdout line below is a trimmed view, because
+    // the harness captures only the last 2000 chars of output and a JSON line
+    // longer than that budget is silently unparseable (round 3 lost its whole
+    // bench to exactly this).
     val total = results.values.filter(_ >= 0).sum
-    // numeric sf parsed from the directory name (".../sf0.1" -> 0.1)
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+    val fullJson = results.map { case (k, v) => s"""  "$k": $v""" }
+      .mkString(s"""{\n  "total_sec": $total,\n  "sf": $sfNum,\n""", ",\n", "\n}\n")
+    val fw = new java.io.PrintWriter("BENCH_FULL.json")
+    try fw.write(fullJson) finally fw.close()
+
+    // 3-significant-figure seconds: enough to compare rounds, short enough
+    // to fit ~70 entries in the line budget
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else if (v >= 100) f"$v%.0f"
+      else if (v >= 10) f"$v%.1f"
+      else f"$v%.2f"
+    def render(keep: collection.Map[String, Double], omitted: Int): String = {
+      val qs = keep.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        s""""sf":$sfNum,"omitted":$omitted,"detail":"BENCH_FULL.json"}"""
+    }
+    // trim shortest catalog timings first (reference workloads are the
+    // BASELINE.md comparison and always stay) until the line fits
+    val MaxLine = 1800
+    val kept = collection.mutable.LinkedHashMap(results.toSeq: _*)
+    val droppable = results.toSeq
+      .filter { case (k, v) => !refWorkloads.contains(k) && v >= 0 }
+      .sortBy(_._2).map(_._1).iterator
+    var line = render(kept, results.size - kept.size)
+    while (line.length > MaxLine && droppable.hasNext) {
+      kept -= droppable.next()
+      line = render(kept, results.size - kept.size)
+    }
     // print ONCE, after Spark shutdown, so the single JSON result line is
     // also the last stdout line (no interleaved executor teardown output)
     spark.stop()

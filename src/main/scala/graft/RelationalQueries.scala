@@ -718,12 +718,14 @@ object RelationalQueries {
     // SCD-2 history build: turn a change log into validity intervals —
     // each user's event opens an interval that the NEXT event closes
     // (lead() over the per-user order; the final interval stays open as
-    // NULL). The window is user-partitioned, so the sort is distributed;
-    // timestamps are µs-truncated on both engines (DuckDB reads
-    // TIMESTAMP_NS parquet at µs precision).
+    // NULL). The window is user-partitioned, so the sort is distributed.
+    // Both the emitted bounds AND the window order use the µs-truncated
+    // timestamp (DuckDB reads TIMESTAMP_NS parquet at µs precision, so
+    // ordering by raw ns here could pair intervals differently on a
+    // same-µs collision; event_id breaks ties identically on both engines).
     "events_scd2" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
+        .orderBy(col("valid_from_us"), col("event_id"))
       events(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
           expr("ts div 1000").as("valid_from_us"))
@@ -991,6 +993,13 @@ object RelationalQueries {
         |SELECT cohort_week, week_offset, COUNT(*) AS n_users FROM x
         |GROUP BY cohort_week, week_offset
         |ORDER BY cohort_week, week_offset""".stripMargin.replace("\n", " "),
+    "events_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_ns(ts) // 1000 AS valid_from_us FROM events)
+        |SELECT user_id, event_id, event_type, valid_from_us,
+        |  LEAD(valid_from_us) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from_us, event_id) AS valid_to_us
+        |FROM e ORDER BY user_id, valid_from_us, event_id""".stripMargin.replace("\n", " "),
     "events_latest" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
         |value AS last_value FROM (

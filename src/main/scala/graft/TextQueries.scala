@@ -717,7 +717,10 @@ object TextQueries {
     // centroids = 16 corpus vectors with the smallest hash60('ivf#'||id),
     // argmax-cosine list assignment, 4 probed lists per query. Cosine values
     // are bit-equal between cosineSimNative and list_cosine_similarity, so
-    // the argmax/rank orders agree exactly.
+    // the argmax/rank orders agree exactly. The argmax maps a NaN cosine
+    // (zero-norm vector or centroid) to -infinity — mirrored in
+    // Similarity.ivfTopK's candidates() — so zero-norm candidates rank worst
+    // on both engines instead of first (NaN sorts largest in ORDER BY DESC).
     m += "ann_ivf" ->
       s"""WITH c AS (SELECT vec_id AS nbr_id, CAST(embedding AS DOUBLE[]) AS cvec
          |  FROM embeddings),
@@ -727,7 +730,9 @@ object TextQueries {
          |assigned AS (SELECT nbr_id, cvec, list_id FROM (
          |  SELECT c.nbr_id, c.cvec, cent.list_id,
          |    ROW_NUMBER() OVER (PARTITION BY c.nbr_id
-         |      ORDER BY list_cosine_similarity(c.cvec, cent.centroid) DESC,
+         |      ORDER BY (CASE WHEN isnan(list_cosine_similarity(c.cvec, cent.centroid))
+         |          THEN CAST('-infinity' AS DOUBLE)
+         |          ELSE list_cosine_similarity(c.cvec, cent.centroid) END) DESC,
          |        cent.list_id ASC) AS r
          |  FROM c CROSS JOIN cent) WHERE r = 1),
          |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
@@ -735,7 +740,9 @@ object TextQueries {
          |probes AS (SELECT query_id, qvec, list_id FROM (
          |  SELECT q.query_id, q.qvec, cent.list_id,
          |    ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |      ORDER BY list_cosine_similarity(q.qvec, cent.centroid) DESC,
+         |      ORDER BY (CASE WHEN isnan(list_cosine_similarity(q.qvec, cent.centroid))
+         |          THEN CAST('-infinity' AS DOUBLE)
+         |          ELSE list_cosine_similarity(q.qvec, cent.centroid) END) DESC,
          |        cent.list_id ASC) AS r
          |  FROM q CROSS JOIN cent) WHERE r <= 4),
          |scored AS (SELECT p.query_id, a.nbr_id,

@@ -20,10 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
+  /** Floor division as integer arithmetic: `div` truncates toward zero, so
+    * for a negative time a qualifying pair straddling 0 could land two
+    * buckets apart and be silently dropped (and diverge from DuckDB's
+    * floor `//`). `x - pmod(x, d)` is the largest multiple of d ≤ x, making
+    * the quotient a true floor for any sign. */
+  private def floorDiv(timeCol: String, delta: Long): String =
+    s"(CAST(`$timeCol` AS BIGINT) - pmod(CAST(`$timeCol` AS BIGINT), ${delta}L)) div ${delta}L"
+
   /** @param left      probe side (columns kept as-is)
     * @param right     build side (payload columns are suffixed `_r`)
     * @param keyCols   equi-key columns present on both sides
-    * @param leftTime  time column on `left` (integral, non-negative)
+    * @param leftTime  time column on `left` (integral; any sign)
     * @param rightTime time column on `right` (same unit as `leftTime`)
     * @param delta     max |leftTime - rightTime| (inclusive), > 0
     * @param payload   right columns to carry (beyond key/time)
@@ -32,16 +40,16 @@ object IntervalJoin {
            leftTime: String, rightTime: String, delta: Long,
            payload: Seq[String]): DataFrame = {
     require(delta > 0, "delta must be positive")
-    // integral `div`, NOT `/`: double division loses ulps past 2^53 — a
-    // nanosecond epoch is ~2^60, and one wrong bucket silently drops pairs
+    // integral floor division, NOT `/`: double division loses ulps past 2^53
+    // — a nanosecond epoch is ~2^60, and one wrong bucket silently drops pairs
     val l = left
-      .withColumn("_bl", expr(s"CAST(`$leftTime` AS BIGINT) div ${delta}L"))
+      .withColumn("_bl", expr(floorDiv(leftTime, delta)))
       .withColumn("_probe", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("_bucket", col("_bl") + col("_probe"))
     val r = right.select(
       (keyCols.map(col) :+
         col(rightTime).cast("long").as("_tr") :+
-        expr(s"CAST(`$rightTime` AS BIGINT) div ${delta}L").as("_bucket")) ++
+        expr(floorDiv(rightTime, delta)).as("_bucket")) ++
         payload.map(c => col(c).as(s"${c}_r")): _*)
     l.join(r, keyCols :+ "_bucket")
       .where(abs(col(leftTime).cast("long") - col("_tr")) <= delta)

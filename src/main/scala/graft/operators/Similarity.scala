@@ -99,11 +99,17 @@ object Similarity {
           lit(0.0).as("cosine"))
     // (negated cosine, list_id) structs sort ascending = cosine desc with
     // ties to the lower list id — the same argmax rule as a row_number over
-    // (cosine DESC, list_id ASC)
+    // (cosine DESC, list_id ASC). A NaN cosine (zero-norm vector or centroid)
+    // is mapped to -infinity FIRST: array_sort would rank a NaN-keyed struct
+    // last, but the oracle's ORDER BY cosine DESC ranks NaN first (NaN sorts
+    // largest on both engines), so without the guard a zero-norm centroid
+    // would capture every row on one engine and none on the other. With the
+    // guard both engines deterministically rank zero-norm candidates worst.
     def candidates(vec: Column): Column = array_sort(array(cents.toIndexedSeq.map {
       case (id, arr) =>
-        struct((-cosineSimNative(vec, typedLit(arr))).as("nc"),
-          lit(id).as("list_id"))
+        val cos = cosineSimNative(vec, typedLit(arr))
+        val guarded = when(isnan(cos), lit(Double.NegativeInfinity)).otherwise(cos)
+        struct((-guarded).as("nc"), lit(id).as("list_id"))
     }: _*))
     // corpus → nearest list: element 1 of the sorted candidate array
     val assigned = c.withColumn("list_id",

@@ -21,11 +21,16 @@ object TrainingPipeline {
 
   /** Run the full chain; returns the surviving rows and per-stage counts.
     * `sampleMod` keeps ~1/sampleMod of rows (hash-deterministic; 1 = keep
-    * all). Writes sharded parquet to `outDir` when non-empty. */
+    * all). Writes sharded parquet to `outDir` when non-empty.
+    * `maxClusterIters` bounds the near-dup label-propagation rounds
+    * (clusterNearDups throws rather than return partial labels — a corpus
+    * whose duplicate-cluster diameter exceeds the bound needs this raised,
+    * without forking the operator). */
   def prepare(docs: DataFrame, idCol: String, textCol: String, langCol: String,
               keepLangs: Set[String], jaccardThreshold: Double = 0.35,
               sampleMod: Int = 1, outDir: String = "",
-              nShards: Int = 8, maxShingleDocFreq: Int = 10000): (DataFrame, StageCounts) = {
+              nShards: Int = 8, maxShingleDocFreq: Int = 10000,
+              maxClusterIters: Int = 50): (DataFrame, StageCounts) = {
     val raw = docs.count()
 
     // 1. quality: token/stopword/punctuation heuristics
@@ -62,7 +67,7 @@ object TrainingPipeline {
         threshold = jaccardThreshold,
         maxDocFreq = maxShingleDocFreq).select(col("id_a"), col("id_b"))
       val clusters = Dedup.clusterNearDups(
-        exact.select(col(idCol).as("id")), pairs)
+        exact.select(col(idCol).as("id")), pairs, maxClusterIters)
       val canon = clusters.where(col("id") === col("cluster_id"))
         .select(col("id").as(idCol))
       val near = exact.join(canon, Seq(idCol), "left_semi").cache()

@@ -127,7 +127,11 @@ object SkylineStreamTWS {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       buf = getHandle.getListState[Point]("buf",
         Encoders.product[Point], TTLConfig.NONE)
-      arrived = getHandle.getValueState[ArrivedPids]("arrived",
+      // handle named 'arrived_pids', NOT 'arrived': the value encoding
+      // changed from Int to ArrivedPids, and reusing the old handle name
+      // would make a restart from a pre-change checkpoint fail on a
+      // state-schema mismatch instead of starting this state fresh
+      arrived = getHandle.getValueState[ArrivedPids]("arrived_pids",
         Encoders.product[ArrivedPids], TTLConfig.NONE)
     }
 

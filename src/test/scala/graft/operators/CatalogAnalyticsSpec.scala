@@ -72,6 +72,25 @@ class CatalogAnalyticsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("events_scd2 intervals tile each user's history exactly") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
+    val rows = run("events_scd2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(rows.length == nEvents) // one interval per change-log record
+    rows.groupBy(_._1).foreach { case (_, ivs) =>
+      val sorted = ivs.sortBy(i => (i._3, i._2))
+      // exactly the last interval is open-ended
+      assert(sorted.init.forall(_._4.isDefined) && sorted.last._4.isEmpty)
+      // each interval closes exactly where the next one opens
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._3))
+        case _ => ()
+      }
+    }
+  }
+
   test("emb_quantize codes span [0, 255] for non-constant vectors") {
     val dims = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(size(col("embedding"))).head().getInt(0)

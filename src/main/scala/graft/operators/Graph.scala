@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics as relational fixpoint rounds (joins +
@@ -31,7 +31,7 @@ object Graph {
     * by driver GC, which pins iterations × |V| rows for an unbounded time
     * in long sweeps. Row round-trips preserve long/double bit-exactly. */
   private def pin(df: DataFrame)
-      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      : (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
     val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = df.sparkSession.createDataFrame(rdd, df.schema)
     out.count() // materialize now, under the caller's control
@@ -39,12 +39,17 @@ object Graph {
   }
 
   /** Undirected expansion of a bipartite (a, b) edge set, with the two
-    * vertex classes mapped into one disjoint long id space (2a / 2b+1). */
+    * vertex classes mapped into one disjoint long id space (2a / 2b+1).
+    * One pass: each distinct pair explodes into its two directions —
+    * NOT a self-union, whose two branches would each carry a copy of the
+    * (join + distinct) subplan feeding this. */
   def undirectedBipartite(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val e = pairs.select((col(aCol) * 2).as("a"), (col(bCol) * 2 + 1).as("b"))
+    pairs.select((col(aCol) * 2).as("a"), (col(bCol) * 2 + 1).as("b"))
       .distinct()
-    e.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   /** PageRank with damping `d` over a pre-expanded directed edge list.
@@ -53,16 +58,23 @@ object Graph {
     *
     * Returns (id, rank, deg) — `rank` is the value after `iterations`
     * rounds from the uniform start, bit-reproducible per the Q30 contract.
+    *
+    * `pinEvery` controls how often the rank frame is materialized to cut
+    * lineage: rounds in between stay ONE composed plan — the |V|-row rank
+    * frames broadcast level by level inside a single job, so a short sweep
+    * (the common case) costs one action instead of a job + Row-RDD
+    * round-trip + fresh codegen per round. Unbounded composition is not an
+    * option either — plan depth grows per round and analysis/codegen time
+    * with it — so every `pinEvery` rounds the frame is pinned and the chain
+    * restarts from the materialized rows.
     */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
-      maxBroadcastNodes: Long = 10000000L): DataFrame = {
+      maxBroadcastNodes: Long = 10000000L, pinEvery: Int = 8): DataFrame = {
+    require(pinEvery > 0, "pinEvery must be positive")
     // Three cached frames, each derived exactly once: the raw edge list
     // (whatever join/distinct pipeline produced it would otherwise re-run
     // for the degree frame, the edge⋈degree join AND the node count), the
     // |V|-row degree frame, and the (edges ⋈ degree) iteration input.
-    // Each iteration's rank frame is eagerly localCheckpoint'ed — without
-    // lineage truncation the plan re-derives the whole pipeline once PER
-    // ROUND and lineage grows without bound (3 rounds is fine, 30 is not).
     // Rank and degree frames are |V| rows: below maxBroadcastNodes they
     // broadcast, so the cached edge list never re-shuffles across rounds;
     // past the bound the joins fall back to src-keyed shuffles. All caches
@@ -77,22 +89,24 @@ object Graph {
       def maybeBcast(df: DataFrame) = if (bcast) broadcast(df) else df
       val edgesD = raw.join(maybeBcast(deg), "src").cache()
       try {
-        var (ranks, pinned) = pin(
-          deg.select(col("src").as("id"), lit(1.0 / n).as("rank")))
-        for (_ <- 1 to iterations) {
+        var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("rank"))
+        var pinned: Option[org.apache.spark.rdd.RDD[Row]] = None
+        for (i <- 1 to iterations) {
           val contribs = edgesD
             .join(maybeBcast(ranks), edgesD("src") === ranks("id"))
             .select(col("dst"),
               floor(col("rank") / col("deg") * lit(Q)).as("q"))
-          val (next, nextPin) = pin(
-            contribs.groupBy("dst").agg(sum(col("q")).as("sq"))
-              .select(col("dst").as("id"),
-                (lit(base) +
-                  lit(damping) * (col("sq").cast("double") / lit(Q)))
-                  .as("rank")))
-          pinned.unpersist(false) // previous round, no longer referenced
-          ranks = next
-          pinned = nextPin
+          val next = contribs.groupBy("dst").agg(sum(col("q")).as("sq"))
+            .select(col("dst").as("id"),
+              (lit(base) +
+                lit(damping) * (col("sq").cast("double") / lit(Q)))
+                .as("rank"))
+          if (i % pinEvery == 0 && i < iterations) {
+            val (p, handle) = pin(next)
+            pinned.foreach(_.unpersist(false)) // previous pin, unreferenced
+            pinned = Some(handle)
+            ranks = p
+          } else ranks = next
         }
         // the returned frame stays pinned (one |V|-row block set) so the
         // caller never re-derives the freed caches below; it is released
@@ -100,7 +114,7 @@ object Graph {
         val (result, _) = pin(
           ranks.join(maybeBcast(deg), ranks("id") === deg("src"))
             .select(col("id"), col("rank"), col("deg")))
-        pinned.unpersist(false)
+        pinned.foreach(_.unpersist(false))
         result
       } finally edgesD.unpersist()
     } finally { deg.unpersist(); raw.unpersist() }

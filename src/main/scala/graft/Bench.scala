@@ -30,7 +30,7 @@ object Bench {
     "events_quantiles", "q_cube", "sky_skyband", "asof_next_error",
     "events_hopping", "q_grouping_sets", "events_pivot", "sql_functions",
     "csv_file_source", "json_file_source", "multimodal_features",
-    "sky_dominance_score", "dedup_embedding_bucketed",
+    "sky_dominance_score", "dedup_embedding_bucketed", "dedup_semantic",
     "text_chunking", "domain_cap", "decontaminate", "text_repetition",
     "interval_join", "events_funnel", "events_retention",
     "events_latest", "events_zscore", "text_tfidf", "emb_quantize",

@@ -168,6 +168,21 @@ object TextQueries {
           "embedding", 0.90)
         .orderBy("id_a", "id_b")
     }),
+    // SemDeDup-style semantic dedup: IVF-assign every vector to its nearest
+    // deterministic centroid (literal argmax, no shuffle), exact cosine
+    // within clusters only, drop any vector with a lower-id cluster-mate at
+    // cosine >= 0.90. Same base ∪ perturbed corpus as the bucketed query, so
+    // each base vector has one near-dup partner the operator must drop.
+    "dedup_semantic" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val pert = base.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * when(i % 2 === 0, lit(1.1)).otherwise(lit(0.9))).as("embedding"))
+      Dedup.semanticDedup(base.unionAll(pert), "vec_id", "embedding",
+          nClusters = 16, threshold = 0.90)
+        .orderBy("id")
+    }),
     // document chunking: fixed-size character windows with overlap
     // (size 200, stride 150) — the standard long-document split for LLM
     // context packing. Pure expression work (sequence + explode + substr):
@@ -634,6 +649,34 @@ object TextQueries {
            |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.90
            |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
     }
+
+    // semantic dedup oracle: same corpus construction as the bucketed oracle,
+    // centroid rule and NaN->-infinity argmax guard as ann_ivf, keep rule =
+    // no lower-id cluster-mate at cosine >= 0.90
+    m += "dedup_semantic" ->
+      s"""WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+         |  FROM embeddings),
+         |pert AS (SELECT id + 1000000 AS id,
+         |  [vec[i] * (CASE WHEN (i - 1) % 2 = 0 THEN 1.1 ELSE 0.9 END)
+         |    for i in range(1, 65)] AS vec FROM base),
+         |c AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+         |cent AS (SELECT id AS list_id, vec AS centroid FROM c
+         |  ORDER BY ${hash60Sql("concat('sem#', CAST(id AS VARCHAR))")} ASC,
+         |    id ASC LIMIT 16),
+         |assigned AS (SELECT id, vec, list_id AS cluster_id FROM (
+         |  SELECT c.id, c.vec, cent.list_id,
+         |    ROW_NUMBER() OVER (PARTITION BY c.id
+         |      ORDER BY (CASE WHEN isnan(list_cosine_similarity(c.vec, cent.centroid))
+         |          THEN CAST('-infinity' AS DOUBLE)
+         |          ELSE list_cosine_similarity(c.vec, cent.centroid) END) DESC,
+         |        cent.list_id ASC) AS r
+         |  FROM c CROSS JOIN cent) WHERE r = 1),
+         |dups AS (SELECT DISTINCT b.id AS dup_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cluster_id = b.cluster_id AND a.id < b.id
+         |  WHERE list_cosine_similarity(a.vec, b.vec) >= 0.90)
+         |SELECT id, cluster_id, (id NOT IN (SELECT dup_id FROM dups)) AS kept
+         |FROM assigned ORDER BY id""".stripMargin.replace("\n", " ")
 
     val contactSql = "concat(text, ' contact user', CAST(doc_id AS VARCHAR), " +
       "'@example.com or +1-5550-', CAST(doc_id AS VARCHAR))"

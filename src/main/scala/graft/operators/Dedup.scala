@@ -243,6 +243,46 @@ object Dedup {
       .where(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup: vectors are clustered to their nearest
+    * of `nClusters` deterministic coarse centroids (the IVF assignment —
+    * hash-sampled centroid vectors inlined as literals, so clustering is a
+    * pure per-row expression with no shuffle), then exact cosine runs WITHIN
+    * each cluster only; a vector is dropped when a lower-id vector in its
+    * cluster sits at cosine >= threshold ("keep the first occurrence" — one
+    * anti-join, no iterative group resolution). Returns every input id with
+    * its cluster and a `kept` verdict.
+    *
+    * Scale shape: the only shuffle is the within-cluster self-join, keyed by
+    * cluster_id — per-cluster work is O((|corpus|/nClusters)²), so
+    * nClusters scales with the corpus (√|corpus| keeps total work linear in
+    * corpus size per added unit of |corpus|/nClusters). Like all
+    * cluster-pruned dedup, cross-cluster near-dups are missed by
+    * construction (the centroid quantization boundary) — the recall/cost
+    * trade the SemDeDup construction accepts. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    nClusters: Int, threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val cents = Similarity.deterministicCentroids(v, "id", "vec", nClusters, "sem")
+    if (cents.isEmpty)
+      return v.limit(0).select(col("id"), lit(0L).as("cluster_id"),
+        lit(true).as("kept"))
+    val assigned = v.withColumn("cluster_id",
+        element_at(Similarity.nearestCentroids(col("vec"), cents), 1)
+          .getField("list_id"))
+      .withColumn("nrm", sqrt(VectorExpressions.sqNormNative(col("vec"))))
+    val dups = assigned.select(col("cluster_id"), col("id").as("id_a"),
+        col("vec").as("va"), col("nrm").as("na"))
+      .join(assigned.select(col("cluster_id"), col("id").as("id_b"),
+        col("vec").as("vb"), col("nrm").as("nb")), Seq("cluster_id"))
+      .where(col("id_a") < col("id_b"))
+      .where(cosineFromNorms(VectorExpressions.dotNative(col("va"), col("vb")),
+        col("na"), col("nb")) >= threshold)
+      .select(col("id_b").as("dup_id")).distinct()
+    assigned.join(dups, assigned("id") === dups("dup_id"), "left")
+      .select(col("id"), col("cluster_id"), col("dup_id").isNull.as("kept"))
+  }
+
   /** Continuous-ingestion exact dedup: a STREAMING frame deduplicated on the
     * normalized-text fingerprint across micro-batches — the first document
     * with a given fingerprint passes, every later arrival (same batch or any

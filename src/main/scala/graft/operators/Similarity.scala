@@ -64,61 +64,69 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Deterministic coarse centroids: the `nLists` corpus vectors with the
+    * smallest hash60(prefix#id) — a seedless uniform sample of the corpus,
+    * reproducible on any engine (no k-means RNG). The selection is a
+    * distributed top-k (TakeOrderedAndProject), never a global sort or
+    * single-partition window; the winners are collected (nLists rows) and
+    * inlined as literals by [[nearestCentroids]]. */
+  private[graft] def deterministicCentroids(corpus: DataFrame, idC: String,
+      vecC: String, nLists: Int, prefix: String): Array[(Long, Array[Double])] =
+    corpus
+      .orderBy(hash60(concat(lit(s"$prefix#"), col(idC).cast("string"))).asc,
+        col(idC).asc)
+      .limit(nLists)
+      .select(col(idC).cast("long"), asDouble(col(vecC)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  /** Candidate list for a vector against literal centroids: (negated cosine,
+    * list_id) structs sorted ascending = cosine desc with ties to the lower
+    * list id — the same argmax rule as a row_number over (cosine DESC,
+    * list_id ASC). A NaN cosine (zero-norm vector or centroid) is mapped to
+    * -infinity FIRST: array_sort would rank a NaN-keyed struct last, but the
+    * oracle's ORDER BY cosine DESC ranks NaN first (NaN sorts largest on
+    * both engines), so without the guard a zero-norm centroid would capture
+    * every row on one engine and none on the other. With the guard both
+    * engines deterministically rank zero-norm candidates worst. */
+  private[graft] def nearestCentroids(vec: Column,
+      cents: Array[(Long, Array[Double])]): Column =
+    array_sort(array(cents.toIndexedSeq.map { case (id, arr) =>
+      val cos = cosineSimNative(vec, typedLit(arr))
+      val guarded = when(isnan(cos), lit(Double.NegativeInfinity)).otherwise(cos)
+      struct((-guarded).as("nc"), lit(id).as("list_id"))
+    }: _*))
+
   /** IVF-style ANN: corpus vectors are assigned to their nearest of `nLists`
     * coarse centroids (deterministic: the centroids are the corpus vectors
     * with the smallest md5-derived id hash — a reproducible pseudo-random
     * sample, no k-means RNG); a query probes its `nProbe` closest lists and
     * ranks exact cosine inside them only. The inverted-list join bounds work
     * to |corpus|/nLists · nProbe per query — the scale path when sign-bucket
-    * LSH recall is insufficient. Centroid selection is a distributed top-k
-    * (TakeOrderedAndProject), never a global sort or single-partition
-    * window. */
+    * LSH recall is insufficient. */
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, nLists: Int, nProbe: Int): DataFrame = {
     val c = corpus.select(col(corpusId).as("nbr_id"), asDouble(col(corpusVec)).as("cvec"))
     val q = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("qvec"))
-    // deterministic coarse centroids: nLists corpus vectors with the
-    // smallest hash60(id) — a seedless uniform sample of the corpus. The
-    // selection is a distributed top-k (TakeOrderedAndProject); the nLists
-    // winners are collected and inlined as literals so list assignment below
-    // is a pure per-row expression — no crossJoin, no Exchange, no Window
-    // ever touches the corpus side.
-    val cents: Array[(Long, Array[Double])] = c
-      .orderBy(hash60(concat(lit("ivf#"), col("nbr_id").cast("string"))).asc,
-        col("nbr_id").asc)
-      .limit(nLists)
-      .select(col("nbr_id").as("list_id"), col("cvec").as("centroid"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // centroids inlined as literals so list assignment below is a pure
+    // per-row expression — no crossJoin, no Exchange, no Window ever touches
+    // the corpus side
+    val cents = deterministicCentroids(c, "nbr_id", "cvec", nLists, "ivf")
     // empty corpus -> no centroids -> an empty zero-element array() would
     // type as array<void> and fail analysis; the result is empty either way
     if (cents.isEmpty)
       return q.limit(0).crossJoin(c.limit(0).select(col("nbr_id")))
         .select(col("query_id"), lit(0L).as("rank"), col("nbr_id"),
           lit(0.0).as("cosine"))
-    // (negated cosine, list_id) structs sort ascending = cosine desc with
-    // ties to the lower list id — the same argmax rule as a row_number over
-    // (cosine DESC, list_id ASC). A NaN cosine (zero-norm vector or centroid)
-    // is mapped to -infinity FIRST: array_sort would rank a NaN-keyed struct
-    // last, but the oracle's ORDER BY cosine DESC ranks NaN first (NaN sorts
-    // largest on both engines), so without the guard a zero-norm centroid
-    // would capture every row on one engine and none on the other. With the
-    // guard both engines deterministically rank zero-norm candidates worst.
-    def candidates(vec: Column): Column = array_sort(array(cents.toIndexedSeq.map {
-      case (id, arr) =>
-        val cos = cosineSimNative(vec, typedLit(arr))
-        val guarded = when(isnan(cos), lit(Double.NegativeInfinity)).otherwise(cos)
-        struct((-guarded).as("nc"), lit(id).as("list_id"))
-    }: _*))
     // corpus → nearest list: element 1 of the sorted candidate array
     val assigned = c.withColumn("list_id",
-      element_at(candidates(col("cvec")), 1).getField("list_id"))
+      element_at(nearestCentroids(col("cvec"), cents), 1).getField("list_id"))
       .select(col("nbr_id"), col("cvec"), col("list_id"))
     // query → nProbe nearest lists: first nProbe of the sorted candidates
     val probes = q
       .select(col("query_id"), col("qvec"),
-        explode(slice(candidates(col("qvec")), 1, nProbe)).as("_p"))
+        explode(slice(nearestCentroids(col("qvec"), cents), 1, nProbe)).as("_p"))
       .select(col("query_id"), col("qvec"), col("_p.list_id").as("list_id"))
     val scored = assigned.join(broadcast(probes), Seq("list_id"))
       .select(col("query_id"), col("nbr_id"),

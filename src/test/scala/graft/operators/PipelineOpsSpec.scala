@@ -102,6 +102,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert((bucketed & plantedPairs).size >= 8, s"recall ${(bucketed & plantedPairs).size}/10")
   }
 
+  test("semantic dedup drops exactly the lower-id-partnered cluster-mates") {
+    import spark.implicits._
+    val rng = new scala.util.Random(77)
+    val base = Seq.tabulate(120)(i => (i.toLong, Array.fill(32)(rng.nextGaussian().toFloat)))
+    // plant near-dups: ids 1000+i = tiny perturbation of vector i (i < 15)
+    val planted = base.take(15).map { case (id, v) =>
+      (1000L + id, v.map(x => x + 0.01f * rng.nextGaussian().toFloat))
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding",
+        nClusters = 8, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2))))
+    assert(out.length == 135) // verdict for every input
+    val cluster = out.toMap.view.mapValues(_._1).toMap
+    val kept = out.toMap.view.mapValues(_._2).toMap
+    // brute-force the rule: dropped <=> exists lower-id same-cluster vector
+    // at cosine >= threshold
+    val vecs = (base ++ planted).toMap.view.mapValues(_.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    ids.foreach { b =>
+      val expectDropped = ids.exists(a => a < b &&
+        cluster(a) == cluster(b) && cos(vecs(a), vecs(b)) >= 0.95)
+      assert(kept(b) == !expectDropped, s"id $b kept=${kept(b)}")
+    }
+    // the construction actually exercises the drop path: planted partners
+    // that share their base vector's cluster must be dropped
+    val droppedCount = kept.count(!_._2)
+    assert(droppedCount > 0, "no vector was dropped — test corpus too easy")
+  }
+
   test("byte-histogram features are normalized and identical for dup payloads") {
     val bin = Multimodal.asBinary(docsDF, "doc_id", "text")
     val feats = Multimodal.byteHistogramFeatures(bin)

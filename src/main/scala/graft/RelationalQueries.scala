@@ -48,7 +48,11 @@ object RelationalQueries {
       val malformed = s.createDataset(
         Seq("garbage", "1,notanumber,3", "42"))(
         org.apache.spark.sql.Encoders.STRING).toDF("line")
-      parseCsvTuples(csv.unionAll(malformed), "line", dims = 2).orderBy("id")
+      // id alone is ambiguous — (orderkey, linenumber) duplicates exist in
+      // the synthetic lineitem, so ties need the value columns to be
+      // deterministic
+      parseCsvTuples(csv.unionAll(malformed), "line", dims = 2)
+        .orderBy("id", "v1", "v2")
     }),
     // B1: query trigger broadcast — one trigger becomes N copies, one per
     // target partition, like the reference flatMap (`FlinkSkyline.java:145-157`)
@@ -772,7 +776,7 @@ object RelationalQueries {
         |  TRY_CAST(string_split(line, ',')[3] AS DOUBLE) AS v2 FROM raw)
         |SELECT id, v1, v2 FROM parsed
         |WHERE id IS NOT NULL AND v1 IS NOT NULL AND v2 IS NOT NULL
-        |ORDER BY id""".stripMargin.replace("\n", " "),
+        |ORDER BY id, v1, v2""".stripMargin.replace("\n", " "),
     "query_broadcast" ->
       """SELECT o_orderkey AS query_id, o_orderkey * 1000 AS required_count,
         |CAST(p AS BIGINT) AS target_partition

@@ -59,7 +59,10 @@ object SkylineQueries {
           col("l_quantity").cast("double").as("v1"),
           col("l_extendedprice").cast("double").as("v2"),
           col("l_discount").cast("double").as("v3"))
-      SkylineOps.skylineDF(pts, "id", Seq("v1", "v2", "v3")).orderBy("id")
+      // id carries duplicates in the synthetic lineitem ((orderkey, linenumber)
+      // is not unique), so the deterministic order needs all columns
+      SkylineOps.skylineDF(pts, "id", Seq("v1", "v2", "v3"))
+        .orderBy("id", "v1", "v2", "v3")
     }),
     // 4-D skyline (the reference's curse-of-dimensionality dimensionality)
     "sky4d_lineitem" -> ((s, dir) => {
@@ -70,7 +73,8 @@ object SkylineQueries {
           col("l_extendedprice").cast("double").as("v2"),
           col("l_discount").cast("double").as("v3"),
           col("l_tax").cast("double").as("v4"))
-      SkylineOps.skylineDF(pts, "id", Seq("v1", "v2", "v3", "v4")).orderBy("id")
+      SkylineOps.skylineDF(pts, "id", Seq("v1", "v2", "v3", "v4"))
+        .orderBy("id", "v1", "v2", "v3", "v4") // duplicate-id ties, as in 3-D
     }),
     // K1: MR-Dim partition-id assignment (pure Column arithmetic)
     "part_mrdim" -> ((s, dir) =>
@@ -169,8 +173,8 @@ object SkylineQueries {
         |CAST(l_discount AS DOUBLE) AS v3 FROM lineitem WHERE l_orderkey % 20 = 0)
         |SELECT t.id, t.v1, t.v2, t.v3 FROM pts t WHERE NOT EXISTS (
         |SELECT 1 FROM pts u WHERE u.v1 <= t.v1 AND u.v2 <= t.v2 AND u.v3 <= t.v3
-        |AND (u.v1 < t.v1 OR u.v2 < t.v2 OR u.v3 < t.v3)) ORDER BY t.id"""
-        .stripMargin.replace("\n", " "),
+        |AND (u.v1 < t.v1 OR u.v2 < t.v2 OR u.v3 < t.v3))
+        |ORDER BY t.id, t.v1, t.v2, t.v3""".stripMargin.replace("\n", " "),
     "sky4d_lineitem" ->
       """WITH pts AS (SELECT l_orderkey * 10 + l_linenumber AS id,
         |CAST(l_quantity AS DOUBLE) AS v1, CAST(l_extendedprice AS DOUBLE) AS v2,
@@ -180,7 +184,7 @@ object SkylineQueries {
         |SELECT 1 FROM pts u WHERE u.v1 <= t.v1 AND u.v2 <= t.v2
         |AND u.v3 <= t.v3 AND u.v4 <= t.v4
         |AND (u.v1 < t.v1 OR u.v2 < t.v2 OR u.v3 < t.v3 OR u.v4 < t.v4))
-        |ORDER BY t.id""".stripMargin.replace("\n", " "),
+        |ORDER BY t.id, t.v1, t.v2, t.v3, t.v4""".stripMargin.replace("\n", " "),
     "part_mrdim" ->
       s"""WITH pts AS ($partPointsSql) SELECT id, CAST(LEAST(GREATEST(
          |CAST(FLOOR(v1 / ${DOMAIN / N}) AS INT), 0), ${N - 1}) AS BIGINT) AS pid

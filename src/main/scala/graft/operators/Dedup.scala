@@ -267,10 +267,23 @@ object Dedup {
     if (cents.isEmpty)
       return v.limit(0).select(col("id"), lit(0L).as("cluster_id"),
         lit(true).as("kept"))
-    val assigned = v.withColumn("cluster_id",
-        element_at(Similarity.nearestCentroids(col("vec"), cents), 1)
-          .getField("list_id"))
+    // The assignment frame feeds THREE plan sites (both self-join sides and
+    // the verdict join); left lazy, each site re-analyzes and re-codegens
+    // the wide literal-centroid argmax — measured 8x slower than the join
+    // itself. Materialize it once into a persisted Row RDD (lineage cut,
+    // values bit-preserved); the blocks are reclaimed by the ContextCleaner
+    // when the caller drops the returned frame, and MEMORY_AND_DISK spills
+    // rather than OOMs at corpus scale. This makes the operator eager (it
+    // runs a job), like the other pipeline stages that report counts.
+    val lazyAssigned = v
       .withColumn("nrm", sqrt(VectorExpressions.sqNormNative(col("vec"))))
+      .withColumn("cluster_id",
+        element_at(Similarity.nearestCentroids(col("vec"), col("nrm"), cents), 1)
+          .getField("list_id"))
+    val pinnedRdd = lazyAssigned.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = df.sparkSession.createDataFrame(pinnedRdd, lazyAssigned.schema)
+    assigned.count()
     val dups = assigned.select(col("cluster_id"), col("id").as("id_a"),
         col("vec").as("va"), col("nrm").as("na"))
       .join(assigned.select(col("cluster_id"), col("id").as("id_b"),

@@ -88,11 +88,21 @@ object Similarity {
     * oracle's ORDER BY cosine DESC ranks NaN first (NaN sorts largest on
     * both engines), so without the guard a zero-norm centroid would capture
     * every row on one engine and none on the other. With the guard both
-    * engines deterministically rank zero-norm candidates worst. */
-  private[graft] def nearestCentroids(vec: Column,
+    * engines deterministically rank zero-norm candidates worst.
+    *
+    * `vecNorm` is the caller's precomputed `sqrt(sqNorm(vec))` column —
+    * shared across all nCents candidates instead of re-derived per
+    * candidate; each centroid's norm folds to a Scala constant (same
+    * left-to-right sum as SqNormExpr, so the cosine stays bit-identical to
+    * `cosineSimNative`/`list_cosine_similarity`). Keeps the argmax
+    * expression tree ~3× smaller — Janino compile time is the dominant cost
+    * of wide literal-centroid plans, not row throughput. */
+  private[graft] def nearestCentroids(vec: Column, vecNorm: Column,
       cents: Array[(Long, Array[Double])]): Column =
     array_sort(array(cents.toIndexedSeq.map { case (id, arr) =>
-      val cos = cosineSimNative(vec, typedLit(arr))
+      val centNorm = math.sqrt(arr.map(x => x * x).sum)
+      val cos = cosineFromNorms(VectorExpressions.dotNative(vec, typedLit(arr)),
+        vecNorm, lit(centNorm))
       val guarded = when(isnan(cos), lit(Double.NegativeInfinity)).otherwise(cos)
       struct((-guarded).as("nc"), lit(id).as("list_id"))
     }: _*))
@@ -119,18 +129,27 @@ object Similarity {
       return q.limit(0).crossJoin(c.limit(0).select(col("nbr_id")))
         .select(col("query_id"), lit(0L).as("rank"), col("nbr_id"),
           lit(0.0).as("cosine"))
-    // corpus → nearest list: element 1 of the sorted candidate array
-    val assigned = c.withColumn("list_id",
-      element_at(nearestCentroids(col("cvec"), cents), 1).getField("list_id"))
-      .select(col("nbr_id"), col("cvec"), col("list_id"))
+    // corpus → nearest list: element 1 of the sorted candidate array; the
+    // per-vector norm is computed once and shared by the argmax AND the
+    // exact scoring join below (norms per row, not per pair)
+    val assigned = c
+      .withColumn("cnrm", sqrt(VectorExpressions.sqNormNative(col("cvec"))))
+      .withColumn("list_id",
+        element_at(nearestCentroids(col("cvec"), col("cnrm"), cents), 1)
+          .getField("list_id"))
+      .select(col("nbr_id"), col("cvec"), col("cnrm"), col("list_id"))
     // query → nProbe nearest lists: first nProbe of the sorted candidates
     val probes = q
-      .select(col("query_id"), col("qvec"),
-        explode(slice(nearestCentroids(col("qvec"), cents), 1, nProbe)).as("_p"))
-      .select(col("query_id"), col("qvec"), col("_p.list_id").as("list_id"))
+      .withColumn("qnrm", sqrt(VectorExpressions.sqNormNative(col("qvec"))))
+      .select(col("query_id"), col("qvec"), col("qnrm"),
+        explode(slice(nearestCentroids(col("qvec"), col("qnrm"), cents),
+          1, nProbe)).as("_p"))
+      .select(col("query_id"), col("qvec"), col("qnrm"),
+        col("_p.list_id").as("list_id"))
     val scored = assigned.join(broadcast(probes), Seq("list_id"))
       .select(col("query_id"), col("nbr_id"),
-        cosineSimNative(col("qvec"), col("cvec")).as("cosine"))
+        cosineFromNorms(VectorExpressions.dotNative(col("qvec"), col("cvec")),
+          col("qnrm"), col("cnrm")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -72,6 +72,13 @@ object Graft {
               queries: DataFrame, k: Int): DataFrame =
     Similarity.bruteForceTopK(corpus, id, vec, queries, id, vec, k)
 
+  /** SemDeDup-style semantic dedup: exact cosine confined to deterministic
+    * IVF centroid clusters; returns (id, cluster_id, kept). Eager — runs a
+    * job to pin the cluster assignment. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    nClusters: Int, threshold: Double = 0.9): DataFrame =
+    Dedup.semanticDedup(df, idCol, vecCol, nClusters, threshold)
+
   def textQuality(df: DataFrame, textCol: String): DataFrame =
     TextAnalysis.withQualityScore(df, textCol)
 

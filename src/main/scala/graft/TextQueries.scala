@@ -183,6 +183,35 @@ object TextQueries {
           nClusters = 16, threshold = 0.90)
         .orderBy("id")
     }),
+    // domain-mix planner: the data-mixture step before training. Per source:
+    // corpus share by chars, temperature-flattened share (T = 2, i.e.
+    // sqrt-of-share renormalized — the multilingual-sampling rule), and the
+    // per-source sampling rate that hits a 50%-of-corpus token budget at
+    // that mix. Float discipline: weights are floor(sqrt(share)·1e6) BIGINTs
+    // so the renormalizing sum is exact integer math on both engines; the
+    // remaining ops are single IEEE divisions/multiplications in a fixed
+    // fold order. Scale shape: one partial+final per-source aggregate and
+    // two 1-row broadcasts — scan-bound.
+    "mix_weights" -> ((s, dir) => {
+      val per = docs(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+      val tot = per.agg(sum("chars").as("total_chars"))
+      val sh = per.crossJoin(broadcast(tot))
+        .withColumn("share",
+          col("chars").cast("double") / col("total_chars").cast("double"))
+        .withColumn("w",
+          floor(sqrt(col("share")) * lit(1000000.0)).cast("long"))
+      val wt = sh.agg(sum("w").as("w_total"))
+      sh.crossJoin(broadcast(wt))
+        .select(col("source"), col("n_docs"), col("chars"), col("share"),
+          (col("w").cast("double") / col("w_total").cast("double"))
+            .as("temp_share"),
+          least(lit(1.0),
+            col("w").cast("double") / col("w_total").cast("double") *
+              col("total_chars").cast("double") * lit(0.5) /
+              col("chars").cast("double")).as("sampling_rate"))
+        .orderBy("source")
+    }),
     // document chunking: fixed-size character windows with overlap
     // (size 200, stride 150) — the standard long-document split for LLM
     // context packing. Pure expression work (sequence + explode + substr):
@@ -677,6 +706,24 @@ object TextQueries {
          |  WHERE list_cosine_similarity(a.vec, b.vec) >= 0.90)
          |SELECT id, cluster_id, (id NOT IN (SELECT dup_id FROM dups)) AS kept
          |FROM assigned ORDER BY id""".stripMargin.replace("\n", " ")
+
+    m += "mix_weights" ->
+      """WITH per AS (SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT SUM(chars) AS total_chars FROM per),
+        |sh AS (SELECT p.source, p.n_docs, p.chars, t.total_chars,
+        |  CAST(p.chars AS DOUBLE) / CAST(t.total_chars AS DOUBLE) AS share,
+        |  CAST(floor(sqrt(CAST(p.chars AS DOUBLE) / CAST(t.total_chars AS DOUBLE))
+        |    * 1000000.0) AS BIGINT) AS w
+        |  FROM per p CROSS JOIN tot t),
+        |wt AS (SELECT SUM(w) AS w_total FROM sh)
+        |SELECT s.source, s.n_docs, s.chars, s.share,
+        |  CAST(s.w AS DOUBLE) / CAST(wt.w_total AS DOUBLE) AS temp_share,
+        |  least(CAST(1.0 AS DOUBLE),
+        |    CAST(s.w AS DOUBLE) / CAST(wt.w_total AS DOUBLE)
+        |      * CAST(s.total_chars AS DOUBLE) * CAST(0.5 AS DOUBLE)
+        |      / CAST(s.chars AS DOUBLE)) AS sampling_rate
+        |FROM sh s CROSS JOIN wt ORDER BY s.source""".stripMargin.replace("\n", " ")
 
     val contactSql = "concat(text, ' contact user', CAST(doc_id AS VARCHAR), " +
       "'@example.com or +1-5550-', CAST(doc_id AS VARCHAR))"

@@ -72,6 +72,22 @@ class CatalogAnalyticsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("mix_weights: temperature flattens shares toward uniform, rates cap at 1") {
+    val rows = run("mix_weights").collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-9) // raw shares sum to 1
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4) // temp shares too (quantized)
+    // sqrt-temperature moves every share TOWARD the mean: above-average
+    // sources shrink, below-average sources grow
+    val mean = 1.0 / rows.length
+    rows.foreach { case (src, share, temp, rate) =>
+      if (share > mean + 1e-6) assert(temp < share, s"$src should shrink")
+      if (share < mean - 1e-6) assert(temp > share, s"$src should grow")
+      assert(rate > 0 && rate <= 1.0)
+    }
+  }
+
   test("events_scd2 intervals tile each user's history exactly") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val nEvents = spark.read.parquet(s"$dir/events.parquet").count()

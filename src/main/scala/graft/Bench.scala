@@ -27,7 +27,8 @@ object Bench {
     "multimodal_meta", "asof_purchase", "events_tumbling", "events_ranks",
     "sky4d_lineitem", "sky2d_plan",
     "text_pii_scrub", "text_top_terms", "sample_stratified",
-    "events_quantiles", "q_cube", "sky_skyband", "asof_next_error",
+    "events_quantiles", "hist_quantiles", "q_cube", "sky_skyband",
+    "asof_next_error",
     "events_hopping", "q_grouping_sets", "events_pivot", "sql_functions",
     "csv_file_source", "json_file_source", "multimodal_features",
     "sky_dominance_score", "dedup_embedding_bucketed", "dedup_semantic",

@@ -310,6 +310,42 @@ object RelationalQueries {
           percentile(floor(col("value")), lit(0.75)).as("p75"),
           count(lit(1)).as("n"))
         .orderBy("event_type")),
+    // mergeable quantile SKETCH: fixed-width histogram (512 bins over the
+    // global [min, max]) + lower-bin-edge quantile estimates from the
+    // cumulative counts. The scale path next to events_quantiles' exact
+    // percentile: bucket counts are one partial+final aggregate with state
+    // bounded at 512 rows per group (mergeable by addition across any
+    // partitioning — no per-group sort of raw values), and the estimate is
+    // off by at most one bin width. All arithmetic is a fixed IEEE fold
+    // (bin width, edges) or exact integer logic (cumulative counts,
+    // ceil(q·n) ranks) — hash-exact across engines.
+    "hist_quantiles" -> ((s, dir) => {
+      val B = 512
+      val e = events(s, dir)
+        .select(col("event_type"), col("value").cast("double").as("v"))
+      val bounds = e.agg(min("v").as("lo"), max("v").as("hi"))
+      val binned = e.crossJoin(broadcast(bounds))
+        .withColumn("bin",
+          when(col("hi") === col("lo"), lit(0L)).otherwise(
+            least(lit(B - 1L), floor((col("v") - col("lo")) /
+              ((col("hi") - col("lo")) / lit(B.toDouble))).cast("long"))))
+      val hist = binned.groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy("event_type").orderBy("bin")
+      val wtot = Window.partitionBy("event_type")
+      val cum = hist.withColumn("cum", sum("c").over(wcum))
+        .withColumn("n", sum("c").over(wtot))
+      def binAt(q: Double) =
+        min(when(col("cum") >= ceil(lit(q) * col("n")), col("bin")))
+      val picked = cum.groupBy("event_type").agg(max(col("n")).as("n"),
+        binAt(0.5).as("b50"), binAt(0.9).as("b90"), binAt(0.99).as("b99"))
+      def edge(b: org.apache.spark.sql.Column) =
+        when(col("hi") === col("lo"), col("lo")).otherwise(
+        col("lo") + b.cast("double") * ((col("hi") - col("lo")) / lit(B.toDouble)))
+      picked.crossJoin(broadcast(bounds))
+        .select(col("event_type"), col("n"), edge(col("b50")).as("p50_est"),
+          edge(col("b90")).as("p90_est"), edge(col("b99")).as("p99_est"))
+        .orderBy("event_type")
+    }),
     // set operations: INTERSECT / EXCEPT over key sets
     "set_ops_building" -> ((s, dir) => {
       val building = t(s, dir, "customer")
@@ -934,6 +970,32 @@ object RelationalQueries {
         |COUNT(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+        .stripMargin.replace("\n", " "),
+    "hist_quantiles" ->
+      """WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+        |b AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM e),
+        |binned AS (SELECT e.event_type,
+        |  CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+        |    ELSE least(CAST(511 AS BIGINT), CAST(floor((e.v - b.lo) /
+        |      ((b.hi - b.lo) / CAST(512 AS DOUBLE))) AS BIGINT)) END AS bin
+        |  FROM e CROSS JOIN b),
+        |hist AS (SELECT event_type, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+        |cum AS (SELECT event_type, bin,
+        |  CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+        |  CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM hist),
+        |picked AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  MIN(CASE WHEN cum >= ceil(CAST(0.5 AS DOUBLE) * n) THEN bin END) AS b50,
+        |  MIN(CASE WHEN cum >= ceil(CAST(0.9 AS DOUBLE) * n) THEN bin END) AS b90,
+        |  MIN(CASE WHEN cum >= ceil(CAST(0.99 AS DOUBLE) * n) THEN bin END) AS b99
+        |  FROM cum GROUP BY event_type)
+        |SELECT p.event_type, p.n,
+        |  CASE WHEN b.hi = b.lo THEN b.lo ELSE b.lo + CAST(p.b50 AS DOUBLE) *
+        |    ((b.hi - b.lo) / CAST(512 AS DOUBLE)) END AS p50_est,
+        |  CASE WHEN b.hi = b.lo THEN b.lo ELSE b.lo + CAST(p.b90 AS DOUBLE) *
+        |    ((b.hi - b.lo) / CAST(512 AS DOUBLE)) END AS p90_est,
+        |  CASE WHEN b.hi = b.lo THEN b.lo ELSE b.lo + CAST(p.b99 AS DOUBLE) *
+        |    ((b.hi - b.lo) / CAST(512 AS DOUBLE)) END AS p99_est
+        |FROM picked p CROSS JOIN b ORDER BY p.event_type"""
         .stripMargin.replace("\n", " "),
     "events_quantiles" ->
       """SELECT event_type,

@@ -72,6 +72,31 @@ class CatalogAnalyticsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("hist_quantiles estimates sit within one bin width of exact percentiles") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val vals = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val lo = vals.map(_._2).min
+    val hi = vals.map(_._2).max
+    val width = (hi - lo) / 512.0
+    val got = run("hist_quantiles").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    vals.groupBy(_._1).foreach { case (typ, rs) =>
+      val sorted = rs.map(_._2).sorted
+      val (n, p50, p90, p99) = got(typ)
+      assert(n == rs.length)
+      // lower-bin-edge estimate: within one bin width below the exact rank
+      // value (and never above it by more than a width)
+      Seq(0.5 -> p50, 0.9 -> p90, 0.99 -> p99).foreach { case (q, est) =>
+        val exact = sorted(math.ceil(q * sorted.length).toInt - 1)
+        assert(est <= exact + width && est >= exact - width,
+          s"$typ q=$q est=$est exact=$exact width=$width")
+      }
+    }
+  }
+
   test("mix_weights: temperature flattens shares toward uniform, rates cap at 1") {
     val rows = run("mix_weights").collect()
       .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4), r.getDouble(5)))

@@ -115,6 +115,40 @@ class RuntimeAnalyticsSpec extends AnyFunSuite {
       "expected partial+final aggregate pair")
   }
 
+  test("hist_quantiles plan: partial+final histogram agg, no sort of raw rows") {
+    val plan = run("hist_quantiles").queryExecution.executedPlan.toString
+    // the (type, bin) histogram must be a partial+final HashAggregate pair
+    val firstAgg = plan.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && plan.indexOf("HashAggregate", firstAgg + 1) > 0,
+      s"expected partial+final aggregate pair, plan:\n$plan")
+    // exact-quantile paths sort every raw row; the sketch must not — the
+    // only sorts allowed are over the <=512-bins-per-group frames (window
+    // + final ORDER BY), which AQE plans AFTER the histogram exchange
+    val rawSort = plan.indexOf("Sort ")
+    val histAgg = plan.lastIndexOf("HashAggregate")
+    assert(rawSort == -1 || rawSort < histAgg,
+      s"a Sort sits below the histogram aggregate, plan:\n$plan")
+  }
+
+  test("semantic dedup assignment plan has no shuffle on the corpus side") {
+    import spark.implicits._
+    val df = Seq.tabulate(60)(i =>
+      (i.toLong, Array.fill(8)((i % 7).toFloat + 1f))).toDF("vec_id", "embedding")
+    val v = df.select(col("vec_id").cast("long").as("id"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val cents = Similarity.deterministicCentroids(v, "id", "vec", 4, "sem")
+    val assigned = v.withColumn("nrm",
+        sqrt(graft.functions.VectorExpressions.sqNormNative(col("vec"))))
+      .withColumn("cluster_id", element_at(
+        Similarity.nearestCentroids(col("vec"), col("nrm"), cents), 1)
+        .getField("list_id"))
+    val plan = assigned.queryExecution.executedPlan.toString
+    // literal-centroid argmax = pure per-row projection: no Exchange,
+    // Window, or join may appear below the assignment
+    Seq("Exchange", "Window", "Join").foreach(op =>
+      assert(!plan.contains(op), s"$op in assignment plan:\n$plan"))
+  }
+
   test("TopKAgg merge respects the bound and the total order") {
     val agg = new TopKAgg(3)
     val a = Seq(Ranked(9, 2), Ranked(7, 1), Ranked(5, 5))

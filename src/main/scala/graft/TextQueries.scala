@@ -183,6 +183,24 @@ object TextQueries {
           nClusters = 16, threshold = 0.90)
         .orderBy("id")
     }),
+    // sequence packing: assign each document a contiguous token span in its
+    // language's training stream (docs in doc_id order, 2048-token
+    // sequences; documents straddle boundaries like real context packing).
+    // start offset = exclusive prefix sum of whitespace token counts within
+    // the lang partition — the window partitions by lang, so the prefix sum
+    // is distributed (per-stream packing, the standard sharded form).
+    // Integer-only math end to end — hash-exact across engines.
+    "pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir).select(col("doc_id"), col("lang"),
+          graft.functions.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .withColumn("seq_id", expr("start_off div 2048"))
+        .withColumn("off_in_seq", expr("start_off % 2048"))
+        .orderBy("lang", "doc_id")
+    }),
     // domain-mix planner: the data-mixture step before training. Per source:
     // corpus share by chars, temperature-flattened share (T = 2, i.e.
     // sqrt-of-share renormalized — the multilingual-sampling rule), and the
@@ -706,6 +724,18 @@ object TextQueries {
          |  WHERE list_cosine_similarity(a.vec, b.vec) >= 0.90)
          |SELECT id, cluster_id, (id NOT IN (SELECT dup_id FROM dups)) AS kept
          |FROM assigned ORDER BY id""".stripMargin.replace("\n", " ")
+
+    m += "pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |    ELSE CAST($toks AS BIGINT) END AS n_tokens FROM documents),
+         |p AS (SELECT doc_id, lang, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+         |  FROM d)
+         |SELECT doc_id, lang, n_tokens, start_off,
+         |  start_off // 2048 AS seq_id, start_off % 2048 AS off_in_seq
+         |FROM p ORDER BY lang, doc_id""".stripMargin.replace("\n", " ")
 
     m += "mix_weights" ->
       """WITH per AS (SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS chars

@@ -72,6 +72,28 @@ class CatalogAnalyticsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("pack_sequences tiles each language stream without gaps or overlaps") {
+    val rows = run("pack_sequences").collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val ordered = docs.sortBy(_._2)
+      assert(ordered.head._4 == 0L) // first doc starts the stream
+      // each document starts exactly where the previous one ended
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._4 + a._3)
+        case _ => ()
+      }
+      // seq assignment is consistent with the start offset
+      ordered.foreach { case (_, _, _, start, seq, off) =>
+        assert(seq == start / 2048 && off == start % 2048)
+      }
+    }
+    // the corpus actually spans multiple sequences per language
+    assert(rows.groupBy(_._1).values.forall(_.map(_._5).distinct.length > 1))
+  }
+
   test("hist_quantiles estimates sit within one bin width of exact percentiles") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val vals = spark.read.parquet(s"$dir/events.parquet")

@@ -136,6 +136,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(droppedCount > 0, "no vector was dropped — test corpus too easy")
   }
 
+  test("semantic dedup verdicts are invariant to input partitioning and order") {
+    import spark.implicits._
+    val rng = new scala.util.Random(91)
+    val vecs = Seq.tabulate(80)(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat))) ++
+      Seq.tabulate(10)(i => (500L + i, Array.fill(16)(0.01f * rng.nextGaussian().toFloat)))
+    def runOn(df: org.apache.spark.sql.DataFrame) =
+      Dedup.semanticDedup(df, "vec_id", "embedding", nClusters = 6, threshold = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+    val base = vecs.toDF("vec_id", "embedding")
+    val a = runOn(base.repartition(1))
+    val b = runOn(base.repartition(13))
+    val c = runOn(vecs.reverse.toDF("vec_id", "embedding").repartition(5))
+    assert(a == b && b == c,
+      "cluster assignment or verdicts changed under repartitioning")
+  }
+
   test("byte-histogram features are normalized and identical for dup payloads") {
     val bin = Multimodal.asBinary(docsDF, "doc_id", "text")
     val feats = Multimodal.byteHistogramFeatures(bin)

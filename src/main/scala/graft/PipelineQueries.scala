@@ -24,6 +24,15 @@ object PipelineQueries {
       (feed: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
     val name = s"${prefix}_${System.nanoTime()}"
     val ckpt = java.nio.file.Files.createTempDirectory(prefix).toString
+    // Stateful stages spin up one state-store instance PER shuffle
+    // partition per micro-batch; at the batch session default (32) that is
+    // pure setup overhead for these bounded feeds. 8 partitions keeps the
+    // stores (and their checkpoint fan-out) proportionate — results are
+    // partition-count invariant (aggregations + deterministic ORDER BY),
+    // which the oracle gate re-proves on every sweep. Scoped set/restore,
+    // same pattern as stream_tws_sky2d's N-partition override.
+    val priorShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val q = out.writeStream.format("memory").queryName(name)
         .option("checkpointLocation", ckpt).outputMode(mode).start()
@@ -33,6 +42,7 @@ object PipelineQueries {
       val rows = sunk.collect()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     } finally {
+      s.conf.set("spark.sql.shuffle.partitions", priorShuffle)
       s.catalog.dropTempView(name) // no-op (false) if start() failed early
       val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
       try walk.sorted(java.util.Comparator.reverseOrder())

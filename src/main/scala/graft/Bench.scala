@@ -29,7 +29,8 @@ object Bench {
     "text_pii_scrub", "text_top_terms", "sample_stratified",
     "events_quantiles", "hist_quantiles", "q_cube", "sky_skyband",
     "asof_next_error",
-    "events_hopping", "q_grouping_sets", "events_pivot", "sql_functions",
+    "events_hopping", "q_grouping_sets", "events_pivot", "events_unpivot",
+    "sql_functions",
     "csv_file_source", "json_file_source", "multimodal_features",
     "sky_dominance_score", "dedup_embedding_bucketed", "dedup_semantic",
     "text_chunking", "domain_cap", "decontaminate", "text_repetition",

@@ -278,6 +278,23 @@ object RelationalQueries {
         .count()
         .na.fill(0L)
         .orderBy("user_decile")),
+    // unpivot (stack): the wide pivot frame back to long form — the
+    // roundtrip law unpivot(pivot(x)) == groupBy(x) is exactly what the
+    // oracle checks (the SQL side never pivots at all). stack() is pure
+    // per-row expression work over the 10-row wide frame; zero-count cells
+    // are dropped to match the groupBy image.
+    "events_unpivot" -> ((s, dir) =>
+      events(s, dir)
+        .select((col("user_id") % 10).as("user_decile"), col("event_type"))
+        .groupBy(col("user_decile"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .selectExpr("user_decile",
+          "stack(5, 'click', click, 'error', error, 'purchase', purchase, " +
+            "'signup', signup, 'view', view) AS (event_type, n)")
+        .where(col("n") > 0)
+        .orderBy("user_decile", "event_type")),
     // grouping sets: rollup with decimal-exact sums, over the per-group
     // partial (see q_grouping_sets note - Expand runs over 6 rows, not 600k)
     "q1_rollup" -> ((s, dir) =>
@@ -971,6 +988,10 @@ object RelationalQueries {
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
         .stripMargin.replace("\n", " "),
+    "events_unpivot" ->
+      """SELECT user_id % 10 AS user_decile, event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2
+        |ORDER BY user_decile, event_type""".stripMargin.replace("\n", " "),
     "events_pivot" ->
       """SELECT user_id % 10 AS user_decile,
         |COUNT(*) FILTER (event_type = 'click') AS click,

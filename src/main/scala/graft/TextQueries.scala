@@ -183,6 +183,35 @@ object TextQueries {
           nClusters = 16, threshold = 0.90)
         .orderBy("id")
     }),
+    // segment-level dedup (the sub-document pass real pipelines run after
+    // doc-level dedup): documents split into consecutive 20-token windows,
+    // each window fingerprinted; a segment is a duplicate when the same
+    // fingerprint appears in a LOWER-id document (keep-first). Per doc:
+    // segment count, duplicate count, duplicate fraction. One explode +
+    // fingerprint groupBy — work linear in corpus tokens, the join keyed by
+    // fingerprint (no doc-pair enumeration anywhere).
+    "dedup_segments" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+        .withColumn("n_tok", size(col("t")))
+      val segs = toks
+        .select(col("doc_id"),
+          explode(sequence(lit(0), expr("(n_tok - 1) div 20"))).as("j"),
+          col("t"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("t"), col("j") * 20 + 1, lit(20))))
+            .as("fp"))
+      val firstOwner = segs.groupBy("fp").agg(min("doc_id").as("first_doc"))
+      segs.join(firstOwner, "fp")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(when(col("first_doc") < col("doc_id"), lit(1L)).otherwise(lit(0L)))
+            .as("n_dup_segments"))
+        .withColumn("dup_fraction",
+          col("n_dup_segments").cast("double") / col("n_segments").cast("double"))
+        .orderBy("doc_id")
+    }),
     // sequence packing: assign each document a contiguous token span in its
     // language's training stream (docs in doc_id order, 2048-token
     // sequences; documents straddle boundaries like real context packing).
@@ -724,6 +753,23 @@ object TextQueries {
          |  WHERE list_cosine_similarity(a.vec, b.vec) >= 0.90)
          |SELECT id, cluster_id, (id NOT IN (SELECT dup_id FROM dups)) AS kept
          |FROM assigned ORDER BY id""".stripMargin.replace("\n", " ")
+
+    m += "dedup_segments" ->
+      """WITH toks AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+        |  WHERE length(trim(text)) > 0),
+        |segs AS (SELECT doc_id,
+        |  unnest(range(0, (len(t) - 1) // 20 + 1)) AS j, t FROM toks),
+        |fps AS (SELECT doc_id,
+        |  md5(array_to_string(t[(j * 20 + 1):least(len(t), (j + 1) * 20)], ' ')) AS fp
+        |  FROM segs),
+        |fo AS (SELECT fp, MIN(doc_id) AS first_doc FROM fps GROUP BY fp)
+        |SELECT f.doc_id, COUNT(*) AS n_segments,
+        |  SUM(CASE WHEN fo.first_doc < f.doc_id THEN 1 ELSE 0 END) AS n_dup_segments,
+        |  CAST(SUM(CASE WHEN fo.first_doc < f.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
+        |FROM fps f JOIN fo USING (fp)
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin.replace("\n", " ")
 
     m += "pack_sequences" ->
       s"""WITH d AS (SELECT doc_id, lang,

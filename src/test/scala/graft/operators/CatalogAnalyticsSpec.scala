@@ -72,6 +72,26 @@ class CatalogAnalyticsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("dedup_segments matches a brute-force 20-token-window recompute") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim))
+      .filter(_._2.nonEmpty)
+    val segs = docs.flatMap { case (id, text) =>
+      text.split("\\s+").grouped(20).map(w => (id, w.mkString(" ")))
+    }
+    val firstOwner = segs.groupBy(_._2).map { case (seg, rs) =>
+      (seg, rs.map(_._1).min)
+    }
+    val expect = segs.groupBy(_._1).map { case (id, rs) =>
+      (id, (rs.length.toLong, rs.count(r => firstOwner(r._2) < id).toLong))
+    }
+    val got = run("dedup_segments").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+    assert(expect.values.exists(_._2 > 0), "no duplicate segments in fixture")
+  }
+
   test("pack_sequences tiles each language stream without gaps or overlaps") {
     val rows = run("pack_sequences").collect()
       .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3),

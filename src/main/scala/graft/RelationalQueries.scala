@@ -130,6 +130,56 @@ object RelationalQueries {
           countDistinct(col("l_partkey")).as("n_parts"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
+    // one-pass column profiler (the data-validation summary a pipeline runs
+    // before accepting a drop): per numeric column — row count, nulls,
+    // exact distincts, min/max, decimal-exact sum — computed in a single
+    // aggregate over one scan and stacked to long form. At 100 TB this is
+    // the same partial+final aggregate shape as any groupBy: no extra
+    // passes per column.
+    "table_profile" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L))).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"),
+        sum(col(c).cast("decimal(18,4)")).cast("double").as(s"${c}_sum")))
+      val stackArgs = cols.map(c =>
+        s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max, ${c}_sum")
+        .mkString(", ")
+      t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+        .selectExpr("n", s"stack(${cols.length}, $stackArgs) AS " +
+          "(column_name, n_nulls, n_distinct, vmin, vmax, vsum)")
+        .select(col("column_name"), col("n"), col("n_nulls"),
+          col("n_distinct"), col("vmin"), col("vmax"), col("vsum"))
+        .orderBy("column_name")
+    }),
+    // referential-integrity audit over the fact-dimension graph: orphan
+    // counts per foreign-key edge as LEFT ANTI join aggregates — the
+    // constraint check a pipeline runs on every ingest (all four edges are
+    // key-hashed anti joins; dimension sides broadcast).
+    "fk_integrity" -> ((s, dir) => {
+      def edge(name: String, child: DataFrame, key: String,
+               parent: DataFrame, pkey: String): DataFrame = {
+        val orphans = child.join(parent.select(col(pkey).as(key)),
+          Seq(key), "left_anti").count()
+        child.agg(lit(name).as("fk_edge"), count(lit(1)).as("n_child"),
+          lit(orphans).as("n_orphans"))
+      }
+      val e1 = edge("lineitem.orderkey->orders",
+        t(s, dir, "lineitem").select(col("l_orderkey").as("k")), "k",
+        t(s, dir, "orders"), "o_orderkey")
+      val e2 = edge("orders.custkey->customer",
+        t(s, dir, "orders").select(col("o_custkey").as("k")), "k",
+        t(s, dir, "customer"), "c_custkey")
+      val e3 = edge("customer.nationkey->nation",
+        t(s, dir, "customer").select(col("c_nationkey").as("k")), "k",
+        t(s, dir, "nation"), "n_nationkey")
+      val e4 = edge("lineitem.partkey->part",
+        t(s, dir, "lineitem").select(col("l_partkey").as("k")), "k",
+        t(s, dir, "part"), "p_partkey")
+      e1.unionAll(e2).unionAll(e3).unionAll(e4).orderBy("fk_edge")
+    }),
     // semi/anti joins (EXISTS / NOT EXISTS as physical join types)
     "q_semi_anti" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
@@ -901,6 +951,34 @@ object RelationalQueries {
         |AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
         |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
         .stripMargin.replace("\n", " "),
+    "table_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map(c =>
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n,
+           |  SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct, MIN($c) AS vmin, MAX($c) AS vmax,
+           |  CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) AS vsum
+           |FROM lineitem""".stripMargin.replace("\n", " "))
+        .mkString("", " UNION ALL ", " ORDER BY column_name")
+    },
+    "fk_integrity" ->
+      """SELECT * FROM (
+        |SELECT 'lineitem.orderkey->orders' AS fk_edge, COUNT(*) AS n_child,
+        |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        |FROM lineitem
+        |UNION ALL SELECT 'orders.custkey->customer', COUNT(*),
+        |  (SELECT COUNT(*) FROM orders x WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = x.o_custkey))
+        |FROM orders
+        |UNION ALL SELECT 'customer.nationkey->nation', COUNT(*),
+        |  (SELECT COUNT(*) FROM customer x WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = x.c_nationkey))
+        |FROM customer
+        |UNION ALL SELECT 'lineitem.partkey->part', COUNT(*),
+        |  (SELECT COUNT(*) FROM lineitem x WHERE NOT EXISTS
+        |    (SELECT 1 FROM part p WHERE p.p_partkey = x.l_partkey))
+        |FROM lineitem) ORDER BY fk_edge""".stripMargin.replace("\n", " "),
     "q_distinct_counts" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_suppliers,
         |COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows

@@ -180,6 +180,42 @@ object RelationalQueries {
         t(s, dir, "part"), "p_partkey")
       e1.unionAll(e2).unionAll(e3).unionAll(e4).orderBy("fk_edge")
     }),
+    // fuzzy join via deletion-neighborhood blocking: probes are customer
+    // names with ONE deterministically-deleted character; each canonical
+    // name explodes into its |name| single-deletion variants and the match
+    // is a plain hash equi-join on the variant string — the scalable
+    // edit-distance-1 join (linear explode + hash join) instead of a
+    // quadratic similarity cross join. Ambiguous probes resolve to the
+    // smallest matching key.
+    "fuzzy_join_del1" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), lower(trim(col("c_name"))).as("name"))
+      val probes = cust.select(
+        (col("c_custkey") + 1000000L).as("probe_id"),
+        expr("concat(substring(name, 1, CAST(c_custkey % length(name) AS INT)), " +
+          "substring(name, CAST(c_custkey % length(name) AS INT) + 2))")
+          .as("probe_name"))
+      val variants = cust.select(col("c_custkey"),
+        explode(expr("transform(sequence(1, length(name)), " +
+          "i -> concat(substring(name, 1, i - 1), substring(name, i + 1)))"))
+          .as("variant"))
+      probes.join(variants, probes("probe_name") === variants("variant"))
+        .groupBy(col("probe_id"))
+        .agg(min(col("c_custkey")).as("matched_key"),
+          count(lit(1)).as("n_candidates"))
+        .orderBy("probe_id")
+    }),
+    // ntile window coverage: quartile assignment per event type by value
+    // (ties broken by event_id so the tile boundaries are deterministic)
+    "events_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .select(col("event_id"), col("event_type"), col("quartile"))
+        .orderBy("event_id")
+    }),
     // semi/anti joins (EXISTS / NOT EXISTS as physical join types)
     "q_semi_anti" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
@@ -979,6 +1015,24 @@ object RelationalQueries {
         |  (SELECT COUNT(*) FROM lineitem x WHERE NOT EXISTS
         |    (SELECT 1 FROM part p WHERE p.p_partkey = x.l_partkey))
         |FROM lineitem) ORDER BY fk_edge""".stripMargin.replace("\n", " "),
+    "fuzzy_join_del1" ->
+      """WITH cust AS (SELECT c_custkey, lower(trim(c_name)) AS name FROM customer),
+        |probes AS (SELECT c_custkey + 1000000 AS probe_id,
+        |  concat(substring(name, 1, CAST(c_custkey % length(name) AS INT)),
+        |    substring(name, CAST(c_custkey % length(name) AS INT) + 2)) AS probe_name
+        |  FROM cust),
+        |vars AS (SELECT c_custkey,
+        |  unnest([concat(substring(name, 1, i - 1), substring(name, i + 1))
+        |    for i in range(1, length(name) + 1)]) AS variant FROM cust)
+        |SELECT p.probe_id, MIN(v.c_custkey) AS matched_key,
+        |  COUNT(*) AS n_candidates
+        |FROM probes p JOIN vars v ON p.probe_name = v.variant
+        |GROUP BY p.probe_id ORDER BY p.probe_id""".stripMargin.replace("\n", " "),
+    "events_ntile" ->
+      """SELECT event_id, event_type,
+        |CAST(NTILE(4) OVER (PARTITION BY event_type
+        |  ORDER BY value, event_id) AS BIGINT) AS quartile
+        |FROM events ORDER BY event_id""".stripMargin.replace("\n", " "),
     "q_distinct_counts" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_suppliers,
         |COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows

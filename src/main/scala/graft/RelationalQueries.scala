@@ -130,29 +130,27 @@ object RelationalQueries {
           countDistinct(col("l_partkey")).as("n_parts"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
-    // one-pass column profiler (the data-validation summary a pipeline runs
-    // before accepting a drop): per numeric column — row count, nulls,
-    // exact distincts, min/max, decimal-exact sum — computed in a single
-    // aggregate over one scan and stacked to long form. At 100 TB this is
-    // the same partial+final aggregate shape as any groupBy: no extra
-    // passes per column.
+    // column profiler (the data-validation summary a pipeline runs before
+    // accepting a drop): per numeric column — row count, nulls, exact
+    // distincts, min/max, decimal-exact sum — as a UNION of per-column
+    // aggregates. One aggregate per column beats a single wide aggregate
+    // here: N count(DISTINCT)s in one agg make Catalyst Expand every row
+    // N-fold, while the union form scans each column in isolation (narrow
+    // ReadSchema, one distinct pre-aggregate each) and the branches run
+    // concurrently in one job.
     "table_profile" -> ((s, dir) => {
-      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
-        sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L))).as(s"${c}_nulls"),
-        countDistinct(col(c)).as(s"${c}_distinct"),
-        min(col(c)).as(s"${c}_min"),
-        max(col(c)).as(s"${c}_max"),
-        sum(col(c).cast("decimal(18,4)")).cast("double").as(s"${c}_sum")))
-      val stackArgs = cols.map(c =>
-        s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max, ${c}_sum")
-        .mkString(", ")
-      t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
-        .selectExpr("n", s"stack(${cols.length}, $stackArgs) AS " +
-          "(column_name, n_nulls, n_distinct, vmin, vmax, vsum)")
-        .select(col("column_name"), col("n"), col("n_nulls"),
-          col("n_distinct"), col("vmin"), col("vmax"), col("vsum"))
-        .orderBy("column_name")
+      val li = t(s, dir, "lineitem")
+      def prof(c: String): DataFrame =
+        li.agg(
+          count(lit(1)).as("n"),
+          sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L))).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).as("vmin"), max(col(c)).as("vmax"),
+          sum(col(c).cast("decimal(18,4)")).cast("double").as("vsum"))
+          .select(lit(c).as("column_name"), col("n"), col("n_nulls"),
+            col("n_distinct"), col("vmin"), col("vmax"), col("vsum"))
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(prof).reduce(_ unionAll _).orderBy("column_name")
     }),
     // referential-integrity audit over the fact-dimension graph: orphan
     // counts per foreign-key edge as LEFT ANTI join aggregates — the

@@ -183,12 +183,15 @@ object Bench {
     try fw.write(fullJson) finally fw.close()
 
     // 3-significant-figure seconds: enough to compare rounds, short enough
-    // to fit ~70 entries in the line budget
-    def fmt(v: Double): String =
-      if (v < 0) "-1"
-      else if (v >= 100) f"$v%.0f"
-      else if (v >= 10) f"$v%.1f"
-      else f"$v%.2f"
+    // to fit ~70 entries in the line budget. Locale.ROOT-pinned: the f
+    // interpolator uses the JVM default locale, and a comma-decimal locale
+    // would render 1,23 — invalid JSON, losing the bench line exactly the
+    // way the round-3 truncation did.
+    def fmt(v: Double): String = {
+      val pattern = if (v < 0) return "-1"
+        else if (v >= 100) "%.0f" else if (v >= 10) "%.1f" else "%.2f"
+      String.format(java.util.Locale.ROOT, pattern, Double.box(v))
+    }
     def render(keep: collection.Map[String, Double], omitted: Int): String = {
       val qs = keep.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")

@@ -85,20 +85,11 @@ object Graft {
   def languageId(df: DataFrame, textCol: String): DataFrame =
     TextAnalysis.withLanguageId(df, textCol)
 
-  /** Per-language contiguous token-offset assignment for context packing
-    * (2048-token sequences; documents straddle boundaries). */
+  /** Per-stream contiguous token-offset assignment for context packing
+    * (seqLen-token sequences; documents straddle boundaries). */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-                    streamCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
-    val w = Window.partitionBy(col(streamCol)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol), col(streamCol),
-        graft.functions.tokenCount(col(textCol)).as("n_tokens"))
-      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
-      .withColumn("seq_id", org.apache.spark.sql.functions.expr("start_off div 2048"))
-      .withColumn("off_in_seq", org.apache.spark.sql.functions.expr("start_off % 2048"))
-  }
+                    streamCol: String, seqLen: Int = 2048): DataFrame =
+    TextAnalysis.packSequences(df, idCol, textCol, streamCol, seqLen)
 
   /** Hive-partitioned, size-capped, deterministically sharded parquet export
     * (training-data output layout). */

@@ -20,7 +20,7 @@ object PipelineQueries {
     * repeated bench/verify sweeps, so any leak here accumulates driver
     * tables and /tmp dirs. */
   private def runAppendStream(s: SparkSession, out: DataFrame, prefix: String,
-      mode: String = "append")
+      mode: String = "append", shufflePartitions: Int = 8)
       (feed: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
     val name = s"${prefix}_${System.nanoTime()}"
     val ckpt = java.nio.file.Files.createTempDirectory(prefix).toString
@@ -29,10 +29,12 @@ object PipelineQueries {
     // pure setup overhead for these bounded feeds. 8 partitions keeps the
     // stores (and their checkpoint fan-out) proportionate — results are
     // partition-count invariant (aggregations + deterministic ORDER BY),
-    // which the oracle gate re-proves on every sweep. Scoped set/restore,
-    // same pattern as stream_tws_sky2d's N-partition override.
+    // which the oracle gate re-proves on every sweep. Scoped set/restore;
+    // callers with a protocol-mandated store count (stream_tws_sky2d's
+    // N-partition topology) pass it explicitly rather than being silently
+    // clobbered by the default.
     val priorShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
     try {
       val q = out.writeStream.format("memory").queryName(name)
         .option("checkpointLocation", ckpt).outputMode(mode).start()
@@ -96,7 +98,7 @@ object PipelineQueries {
         trigIn.addData("collect,0")
         runAppendStream(s,
             graft.streaming.SkylineStreamTWS.topologyPoints(env, n).toDF(),
-            "tws_q")(_.processAllAvailable())
+            "tws_q", shufflePartitions = n)(_.processAllAvailable())
           .select(col("id"), element_at(col("values"), 1).as("v1"),
             element_at(col("values"), 2).as("v2"))
           .orderBy("id")

@@ -157,12 +157,17 @@ object RelationalQueries {
     // constraint check a pipeline runs on every ingest (all four edges are
     // key-hashed anti joins; dimension sides broadcast).
     "fk_integrity" -> ((s, dir) => {
+      // lazy: each edge is (child count) × (anti-join count) as two 1-row
+      // aggregates cross-joined — the whole 4-edge audit is ONE plan/action
+      // and the branches run concurrently (no eager driver .count() per
+      // edge at construction time)
       def edge(name: String, child: DataFrame, key: String,
                parent: DataFrame, pkey: String): DataFrame = {
         val orphans = child.join(parent.select(col(pkey).as(key)),
-          Seq(key), "left_anti").count()
-        child.agg(lit(name).as("fk_edge"), count(lit(1)).as("n_child"),
-          lit(orphans).as("n_orphans"))
+            Seq(key), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        child.agg(lit(name).as("fk_edge"), count(lit(1)).as("n_child"))
+          .crossJoin(orphans)
       }
       val e1 = edge("lineitem.orderkey->orders",
         t(s, dir, "lineitem").select(col("l_orderkey").as("k")), "k",

@@ -195,13 +195,14 @@ object TextQueries {
         .where(length(trim(col("text"))) > 0)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
         .withColumn("n_tok", size(col("t")))
+      // fingerprints are computed INSIDE the array transform, so the
+      // explode emits 32-char hashes — exploding the segment index while
+      // carrying the full token array would copy the whole document once
+      // per segment (O(T²/20) materialized width per doc)
       val segs = toks
         .select(col("doc_id"),
-          explode(sequence(lit(0), expr("(n_tok - 1) div 20"))).as("j"),
-          col("t"))
-        .select(col("doc_id"),
-          md5(concat_ws(" ", slice(col("t"), col("j") * 20 + 1, lit(20))))
-            .as("fp"))
+          explode(expr("transform(sequence(0, (n_tok - 1) div 20), " +
+            "j -> md5(concat_ws(' ', slice(t, j * 20 + 1, 20))))")).as("fp"))
       val firstOwner = segs.groupBy("fp").agg(min("doc_id").as("first_doc"))
       segs.join(firstOwner, "fp")
         .groupBy("doc_id")
@@ -219,17 +220,9 @@ object TextQueries {
     // the lang partition — the window partitions by lang, so the prefix sum
     // is distributed (per-stream packing, the standard sharded form).
     // Integer-only math end to end — hash-exact across engines.
-    "pack_sequences" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, dir).select(col("doc_id"), col("lang"),
-          graft.functions.tokenCount(col("text")).as("n_tokens"))
-        .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
-        .withColumn("seq_id", expr("start_off div 2048"))
-        .withColumn("off_in_seq", expr("start_off % 2048"))
-        .orderBy("lang", "doc_id")
-    }),
+    "pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(docs(s, dir), "doc_id", "text", "lang")
+        .orderBy("lang", "doc_id")),
     // domain-mix planner: the data-mixture step before training. Per source:
     // corpus share by chars, temperature-flattened share (T = 2, i.e.
     // sqrt-of-share renormalized — the multilingual-sampling rule), and the

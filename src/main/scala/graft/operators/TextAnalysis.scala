@@ -132,6 +132,23 @@ object TextAnalysis {
   def withFingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", docFingerprint(col(textCol)))
 
+  /** Sequence packing: each document's contiguous token span in its
+    * stream's training order (exclusive prefix sum over `idCol` order
+    * within the `streamCol` partition; documents straddle sequence
+    * boundaries as in real context packing). The window partitions by
+    * stream, so the prefix sum is distributed. Integer-only math. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    streamCol: String, seqLen: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(streamCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(streamCol),
+        graft.functions.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", expr(s"start_off div $seqLen"))
+      .withColumn("off_in_seq", expr(s"start_off % $seqLen"))
+  }
+
   /** Small multilingual marker vocabularies (public common stopwords). */
   val LangMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a"),

@@ -123,10 +123,13 @@ class RuntimeAnalyticsSpec extends AnyFunSuite {
       s"expected partial+final aggregate pair, plan:\n$plan")
     // exact-quantile paths sort every raw row; the sketch must not — the
     // only sorts allowed are over the <=512-bins-per-group frames (window
-    // + final ORDER BY), which AQE plans AFTER the histogram exchange
-    val rawSort = plan.indexOf("Sort ")
+    // + final ORDER BY), which sit ABOVE the histogram aggregate. The plan
+    // string prints downstream operators first, so "no sort of raw rows"
+    // means no Sort printed BELOW (= at a later index than) the deepest
+    // (last-printed) HashAggregate.
     val histAgg = plan.lastIndexOf("HashAggregate")
-    assert(rawSort == -1 || rawSort < histAgg,
+    val sortBelow = plan.lastIndexOf("Sort ")
+    assert(sortBelow < histAgg,
       s"a Sort sits below the histogram aggregate, plan:\n$plan")
   }
 

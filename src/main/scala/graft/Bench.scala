@@ -43,7 +43,7 @@ object Bench {
     "graph_pagerank", "graph_triangles", "funnel_latency", "distinct_sketch", "events_dist_ranks",
     "q_not_in_nulls", "bloom_semi_join", "table_profile", "fk_integrity", "fuzzy_join_del1", "events_ntile", "hll_distinct", "zorder_layout",
     "events_topk_users", "dataset_split", "text_length_buckets",
-    "events_gapfill", "events_scd2",
+    "events_gapfill", "events_scd2", "gen_anti_sample",
     // streaming workloads LAST: their state-store churn and driver-side
     // MemoryStream replay pressure the heap; anything timed after them
     // reads 5-20x slow (single-JVM artifact)

@@ -44,6 +44,7 @@ object Bench {
     "q_not_in_nulls", "bloom_semi_join", "table_profile", "fk_integrity", "fuzzy_join_del1", "events_ntile", "hll_distinct", "zorder_layout",
     "events_topk_users", "dataset_split", "text_length_buckets",
     "events_gapfill", "events_scd2", "gen_anti_sample",
+    "gen_uniform_sample", "gen_correlated_sample",
     // streaming workloads LAST: their state-store churn and driver-side
     // MemoryStream replay pressure the heap; anything timed after them
     // reads 5-20x slow (single-JVM artifact)

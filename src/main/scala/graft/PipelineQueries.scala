@@ -373,6 +373,23 @@ object PipelineQueries {
         .toDF("id", "values", "op")
         .select(col("id"), col("values")(0).as("v1"), col("values")(1).as("v2"))
         .orderBy("id")),
+    // G1/G2 generator oracles: same LCG scaffold as gen_anti_sample.
+    // uniform = two nextInt(10001) draws (next(31) = state >> 17, value
+    // mod 10001; the rejection branch of java.util.Random.nextInt is NOT
+    // taken for seed 42 / ids 0..499 — verified offline; if a future change
+    // hit it, the oracle would hash-mismatch loudly, not silently drift).
+    // correlated = base nextDouble + per-dim noise nextDoubles with the
+    // IEEE (1 - 0.9) factor kept as computed, not folded to 0.1.
+    "gen_uniform_sample" -> ((s, dir) =>
+      Generators.generate(s, "uniform", 500, dims = 2)
+        .toDF("id", "values", "op")
+        .select(col("id"), col("values")(0).as("v1"), col("values")(1).as("v2"))
+        .orderBy("id")),
+    "gen_correlated_sample" -> ((s, dir) =>
+      Generators.generate(s, "correlated", 500, dims = 2)
+        .toDF("id", "values", "op")
+        .select(col("id"), col("values")(0).as("v1"), col("values")(1).as("v2"))
+        .orderBy("id")),
     // multimodal: binary payload → batched stub decode → typed metadata
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(Multimodal.asBinary(docs(s, dir), "doc_id", "text"))
@@ -396,37 +413,45 @@ object PipelineQueries {
         .orderBy("media_id"))
   )
 
+  /** java.util.Random 48-bit LCG reproduced in SQL: scramble = (jseed ^
+    * 0x5DEECE66D) & (2^48-1); step = (s·0x5DEECE66D + 0xB) mod 2^48;
+    * nextDouble = (next(26)·2^27 + next(27)) / 2^53; next(31) = s >> 17.
+    * The per-record seed is 42 ^ (id·0x9E3779B97F4A7C15 mod 2^64) with the
+    * product mapped back to a signed 64-bit bit pattern (HUGEINT
+    * arithmetic — DuckDB BIGINT multiply errors on overflow instead of
+    * wrapping). k1..k6 are the six successive LCG states; trunc-then-cast
+    * mirrors Java's (int) truncation (bare CAST rounds). Shared by the
+    * three generator-parity oracles. */
+  private val LcgStatesSql =
+    """WITH ids AS (SELECT unnest(range(0, 500)) AS id),
+      |prod AS (SELECT id,
+      |  CAST(id AS HUGEINT) * CAST(11400714819323198485 AS HUGEINT)
+      |    % CAST(18446744073709551616 AS HUGEINT) AS p FROM ids),
+      |jk AS (SELECT id, CAST(CASE WHEN p >= CAST(9223372036854775808 AS HUGEINT)
+      |    THEN p - CAST(18446744073709551616 AS HUGEINT) ELSE p END AS BIGINT) AS idk
+      |  FROM prod),
+      |s0 AS (SELECT id,
+      |  xor(xor(CAST(42 AS BIGINT), idk), CAST(25214903917 AS BIGINT))
+      |    & CAST(281474976710655 AS BIGINT) AS s FROM jk),
+      |s1 AS (SELECT id, CAST((CAST(s AS HUGEINT) * 25214903917 + 11) % 281474976710656 AS BIGINT) AS s FROM s0),
+      |s2 AS (SELECT id, CAST((CAST(s AS HUGEINT) * 25214903917 + 11) % 281474976710656 AS BIGINT) AS s, s AS k1 FROM s1),
+      |s3 AS (SELECT id, CAST((CAST(s AS HUGEINT) * 25214903917 + 11) % 281474976710656 AS BIGINT) AS s, s AS k2, k1 FROM s2),
+      |s4 AS (SELECT id, CAST((CAST(s AS HUGEINT) * 25214903917 + 11) % 281474976710656 AS BIGINT) AS s, s AS k3, k1, k2 FROM s3),
+      |s5 AS (SELECT id, CAST((CAST(s AS HUGEINT) * 25214903917 + 11) % 281474976710656 AS BIGINT) AS s, s AS k4, k1, k2, k3 FROM s4),
+      |s6 AS (SELECT id, CAST((CAST(s AS HUGEINT) * 25214903917 + 11) % 281474976710656 AS BIGINT) AS k6, s AS k5, k1, k2, k3, k4 FROM s5)"""
+      .stripMargin.replace("\n", " ")
+
+  /** The three nextDouble values (d1, d2, d3) from the six LCG states. */
+  private val LcgDoublesSql =
+    """nd AS (SELECT id,
+      |  CAST((k1 // 4194304) * 134217728 + (k2 // 2097152) AS DOUBLE) / 9007199254740992 AS d1,
+      |  CAST((k3 // 4194304) * 134217728 + (k4 // 2097152) AS DOUBLE) / 9007199254740992 AS d2,
+      |  CAST((k5 // 4194304) * 134217728 + (k6 // 2097152) AS DOUBLE) / 9007199254740992 AS d3
+      |  FROM s6)""".stripMargin.replace("\n", " ")
+
   def oracleSql: Map[String, String] = Map(
-    // java.util.Random 48-bit LCG reproduced in SQL: scramble = (jseed ^
-    // 0x5DEECE66D) & (2^48-1); step = (s·0x5DEECE66D + 0xB) mod 2^48;
-    // nextDouble = (next(26)·2^27 + next(27)) / 2^53. The per-record seed
-    // is 42 ^ (id·0x9E3779B97F4A7C15 mod 2^64) with the product mapped
-    // back to a signed 64-bit bit pattern (HUGEINT arithmetic — DuckDB
-    // BIGINT multiply errors on overflow instead of wrapping). k1..k6 are
-    // the six successive LCG states (three nextDoubles: v1, v2, target);
-    // trunc-then-cast mirrors Java's (int) truncation (bare CAST rounds).
     "gen_anti_sample" ->
-      """WITH ids AS (SELECT unnest(range(0, 500)) AS id),
-        |prod AS (SELECT id,
-        |  CAST(id AS HUGEINT) * CAST(11400714819323198485 AS HUGEINT)
-        |    % CAST(18446744073709551616 AS HUGEINT) AS p FROM ids),
-        |jk AS (SELECT id, CAST(CASE WHEN p >= CAST(9223372036854775808 AS HUGEINT)
-        |    THEN p - CAST(18446744073709551616 AS HUGEINT) ELSE p END AS BIGINT) AS idk
-        |  FROM prod),
-        |s0 AS (SELECT id,
-        |  xor(xor(CAST(42 AS BIGINT), idk), CAST(25214903917 AS BIGINT))
-        |    & CAST(281474976710655 AS BIGINT) AS s FROM jk),
-        |s1 AS (SELECT id, CAST((CAST(s AS HUGEINT) * 25214903917 + 11) % 281474976710656 AS BIGINT) AS s FROM s0),
-        |s2 AS (SELECT id, CAST((CAST(s AS HUGEINT) * 25214903917 + 11) % 281474976710656 AS BIGINT) AS s, s AS k1 FROM s1),
-        |s3 AS (SELECT id, CAST((CAST(s AS HUGEINT) * 25214903917 + 11) % 281474976710656 AS BIGINT) AS s, s AS k2, k1 FROM s2),
-        |s4 AS (SELECT id, CAST((CAST(s AS HUGEINT) * 25214903917 + 11) % 281474976710656 AS BIGINT) AS s, s AS k3, k1, k2 FROM s3),
-        |s5 AS (SELECT id, CAST((CAST(s AS HUGEINT) * 25214903917 + 11) % 281474976710656 AS BIGINT) AS s, s AS k4, k1, k2, k3 FROM s4),
-        |s6 AS (SELECT id, CAST((CAST(s AS HUGEINT) * 25214903917 + 11) % 281474976710656 AS BIGINT) AS k6, s AS k5, k1, k2, k3, k4 FROM s5),
-        |nd AS (SELECT id,
-        |  CAST((k1 // 4194304) * 134217728 + (k2 // 2097152) AS DOUBLE) / 9007199254740992 AS d1,
-        |  CAST((k3 // 4194304) * 134217728 + (k4 // 2097152) AS DOUBLE) / 9007199254740992 AS d2,
-        |  CAST((k5 // 4194304) * 134217728 + (k6 // 2097152) AS DOUBLE) / 9007199254740992 AS d3
-        |  FROM s6),
+      s"""$LcgStatesSql, $LcgDoublesSql,
         |sc AS (SELECT id, d1, d2,
         |  CASE WHEN d1 + d2 <> 0 THEN
         |    ((0 + 10000) / 2.0 * 2 - CAST(0.0005 AS DOUBLE) * 10000 * 2
@@ -436,6 +461,26 @@ object PipelineQueries {
         |  CAST(GREATEST(0, LEAST(10000, CAST(trunc(d1 * scale) AS BIGINT))) AS DOUBLE) AS v1,
         |  CAST(GREATEST(0, LEAST(10000, CAST(trunc(d2 * scale) AS BIGINT))) AS DOUBLE) AS v2
         |FROM sc ORDER BY id""".stripMargin.replace("\n", " "),
+    // two nextInt(10001) draws; java.util.Random's rejection branch is not
+    // taken for seed 42 / ids 0..499 (verified offline — a hit would
+    // hash-mismatch loudly since the Spark side uses the real Random)
+    "gen_uniform_sample" ->
+      s"""$LcgStatesSql
+        |SELECT id,
+        |  CAST((k1 // 131072) % 10001 AS DOUBLE) AS v1,
+        |  CAST((k2 // 131072) % 10001 AS DOUBLE) AS v2
+        |FROM s6 ORDER BY id""".stripMargin.replace("\n", " "),
+    // base nextDouble + two noise nextDoubles; (1 - 0.9) stays the IEEE
+    // expression — folding it to 0.1 would differ in the last ulp
+    "gen_correlated_sample" ->
+      s"""$LcgStatesSql, $LcgDoublesSql,
+        |cv AS (SELECT id, 0 + d1 * 10000 AS base,
+        |  (d2 * 2 - 1) * (1 - CAST(0.9 AS DOUBLE)) * 10000 AS n1,
+        |  (d3 * 2 - 1) * (1 - CAST(0.9 AS DOUBLE)) * 10000 AS n2 FROM nd)
+        |SELECT id,
+        |  CAST(GREATEST(0, LEAST(10000, CAST(trunc(base + n1) AS BIGINT))) AS DOUBLE) AS v1,
+        |  CAST(GREATEST(0, LEAST(10000, CAST(trunc(base + n2) AS BIGINT))) AS DOUBLE) AS v2
+        |FROM cv ORDER BY id""".stripMargin.replace("\n", " "),
     // the streaming join must reproduce the batch interval join exactly
     "stream_interval_join" -> RelationalQueries.oracleSql("interval_join"),
     // complete-mode streaming aggregation == the batch tf (same SQL as the

@@ -49,7 +49,8 @@ object Bench {
     // MemoryStream replay pressure the heap; anything timed after them
     // reads 5-20x slow (single-JVM artifact)
     "stream_sky2d", "stream_tws_sky2d", "stream_windowed_sky",
-    "stream_sessionize", "stream_interval_join", "stream_term_counts", "stream_dedup",
+    "stream_sessionize", "stream_interval_join", "stream_term_counts",
+    "stream_hist_quantiles", "stream_dedup",
     "stream_late_drop")
 
   def main(args: Array[String]): Unit = {

@@ -306,6 +306,55 @@ object PipelineQueries {
         q.processAllAvailable()
       }.orderBy("term")
     }),
+    // The histogram quantile SKETCH maintained incrementally: the (type,
+    // bin) counts aggregate in complete mode across two micro-batches —
+    // the sketch's merge-by-addition property exercised through the state
+    // store — then the quantile readout runs on the final histogram and
+    // must hash-match the batch hist_quantiles SQL. Bounds come from a
+    // static pass (at deployment: a prior day's bounds), inlined as
+    // literals so the binning arithmetic is bit-identical to batch.
+    "stream_hist_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val B = 512
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), col("value").cast("double").as("v"))
+      val bounds = ev.agg(min("v"), max("v")).head()
+      val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+      val rows = ev.as[(String, Double)].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Double)]
+      val binned = src.toDF().toDF("event_type", "v")
+        .withColumn("bin",
+          when(lit(hi) === lit(lo), lit(0L)).otherwise(
+            least(lit(B - 1L), floor((col("v") - lit(lo)) /
+              ((lit(hi) - lit(lo)) / lit(B.toDouble))).cast("long"))))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      val hist = runAppendStream(s, binned, "shq", mode = "complete") { q =>
+        q.processAllAvailable()
+        src.addData(h1.toIndexedSeq)
+        q.processAllAvailable()
+        src.addData(h2.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val wcum = Window.partitionBy("event_type").orderBy("bin")
+      val wtot = Window.partitionBy("event_type")
+      val cum = hist.withColumn("cum", sum("c").over(wcum))
+        .withColumn("n", sum("c").over(wtot))
+      def binAt(q: Double) =
+        min(when(col("cum") >= ceil(lit(q) * col("n")), col("bin")))
+      def edge(b: org.apache.spark.sql.Column) =
+        when(lit(hi) === lit(lo), lit(lo)).otherwise(
+          lit(lo) + b.cast("double") * ((lit(hi) - lit(lo)) / lit(B.toDouble)))
+      cum.groupBy("event_type").agg(max(col("n")).as("n"),
+          binAt(0.5).as("b50"), binAt(0.9).as("b90"), binAt(0.99).as("b99"))
+        .select(col("event_type"), col("n"), edge(col("b50")).as("p50_est"),
+          edge(col("b90")).as("p90_est"), edge(col("b99")).as("p99_est"))
+        .orderBy("event_type")
+    }),
     // The injected SQL function surface end to end: hash60, shingles,
     // MR-Angle and cosine all usable from plain Spark SQL, hash-matched
     // against the DuckDB formulations of the same math.
@@ -486,6 +535,8 @@ object PipelineQueries {
     // complete-mode streaming aggregation == the batch tf (same SQL as the
     // CMS family's term-count base)
     "stream_term_counts" -> (TextQueries.cmsTfSql + " ORDER BY term"),
+    // incrementally-merged histogram sketch == the batch sketch
+    "stream_hist_quantiles" -> RelationalQueries.oracleSql("hist_quantiles"),
     // late replays dropped ⇒ every event counted exactly once, like batch
     "stream_late_drop" ->
       """WITH e AS (SELECT (epoch_ns(ts) // 1000000000) // 3600 * 3600

@@ -10,6 +10,14 @@ import graft.streaming.SkylineStream
 /** Streaming-protocol, generator, and multimodal queries. */
 object PipelineQueries {
 
+  /** First 500 2-D points of a named distribution (seed 42) — the frame the
+    * three generator-parity oracles hash against. */
+  private def genSample(s: SparkSession, distribution: String): DataFrame =
+    Generators.generate(s, distribution, 500, dims = 2)
+      .toDF("id", "values", "op")
+      .select(col("id"), col("values")(0).as("v1"), col("values")(1).as("v2"))
+      .orderBy("id")
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -314,46 +322,39 @@ object PipelineQueries {
     // static pass (at deployment: a prior day's bounds), inlined as
     // literals so the binning arithmetic is bit-identical to batch.
     "stream_hist_quantiles" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val B = 512
+      val B = RelationalQueries.HistBins
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("event_type"), col("value").cast("double").as("v"))
+        .where(col("v").isNotNull)
       val bounds = ev.agg(min("v"), max("v")).head()
-      val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
-      val rows = ev.as[(String, Double)].collect()
-      val src = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(String, Double)]
-      val binned = src.toDF().toDF("event_type", "v")
-        .withColumn("bin",
-          when(lit(hi) === lit(lo), lit(0L)).otherwise(
-            least(lit(B - 1L), floor((col("v") - lit(lo)) /
-              ((lit(hi) - lit(lo)) / lit(B.toDouble))).cast("long"))))
-        .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
-      val (h1, h2) = rows.splitAt(rows.length / 2)
-      val hist = runAppendStream(s, binned, "shq", mode = "complete") { q =>
-        q.processAllAvailable()
-        src.addData(h1.toIndexedSeq)
-        q.processAllAvailable()
-        src.addData(h2.toIndexedSeq)
-        q.processAllAvailable()
+      // empty input: min/max are null — produce the empty result the batch
+      // twin produces rather than NPE on getDouble
+      if (bounds.isNullAt(0))
+        ev.groupBy("event_type").agg(count(lit(1)).as("n"),
+          lit(0.0).as("p50_est"), lit(0.0).as("p90_est"),
+          lit(0.0).as("p99_est")).limit(0)
+      else {
+        val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+        val rows = ev.as[(String, Double)].collect()
+        val src = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, Double)]
+        val binned = src.toDF().toDF("event_type", "v")
+          .withColumn("bin",
+            RelationalQueries.histBin(col("v"), lit(lo), lit(hi), B))
+          .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+        val (h1, h2) = rows.splitAt(rows.length / 2)
+        val hist = runAppendStream(s, binned, "shq", mode = "complete") { q =>
+          q.processAllAvailable()
+          src.addData(h1.toIndexedSeq)
+          q.processAllAvailable()
+          src.addData(h2.toIndexedSeq)
+          q.processAllAvailable()
+        }
+        RelationalQueries.histReadout(hist, identity, lit(lo), lit(hi), B)
       }
-      val wcum = Window.partitionBy("event_type").orderBy("bin")
-      val wtot = Window.partitionBy("event_type")
-      val cum = hist.withColumn("cum", sum("c").over(wcum))
-        .withColumn("n", sum("c").over(wtot))
-      def binAt(q: Double) =
-        min(when(col("cum") >= ceil(lit(q) * col("n")), col("bin")))
-      def edge(b: org.apache.spark.sql.Column) =
-        when(lit(hi) === lit(lo), lit(lo)).otherwise(
-          lit(lo) + b.cast("double") * ((lit(hi) - lit(lo)) / lit(B.toDouble)))
-      cum.groupBy("event_type").agg(max(col("n")).as("n"),
-          binAt(0.5).as("b50"), binAt(0.9).as("b90"), binAt(0.99).as("b99"))
-        .select(col("event_type"), col("n"), edge(col("b50")).as("p50_est"),
-          edge(col("b90")).as("p90_est"), edge(col("b99")).as("p99_est"))
-        .orderBy("event_type")
     }),
     // The injected SQL function surface end to end: hash60, shingles,
     // MR-Angle and cosine all usable from plain Spark SQL, hash-matched
@@ -417,11 +418,7 @@ object PipelineQueries {
     // wraparound via HUGEINT) and the exact anti-correlated arithmetic —
     // proving engine-independent generator parity, not just structural
     // skyline-size laws.
-    "gen_anti_sample" -> ((s, dir) =>
-      Generators.generate(s, "anti-correlated", 500, dims = 2)
-        .toDF("id", "values", "op")
-        .select(col("id"), col("values")(0).as("v1"), col("values")(1).as("v2"))
-        .orderBy("id")),
+    "gen_anti_sample" -> ((s, dir) => genSample(s, "anti-correlated")),
     // G1/G2 generator oracles: same LCG scaffold as gen_anti_sample.
     // uniform = two nextInt(10001) draws (next(31) = state >> 17, value
     // mod 10001; the rejection branch of java.util.Random.nextInt is NOT
@@ -429,16 +426,8 @@ object PipelineQueries {
     // hit it, the oracle would hash-mismatch loudly, not silently drift).
     // correlated = base nextDouble + per-dim noise nextDoubles with the
     // IEEE (1 - 0.9) factor kept as computed, not folded to 0.1.
-    "gen_uniform_sample" -> ((s, dir) =>
-      Generators.generate(s, "uniform", 500, dims = 2)
-        .toDF("id", "values", "op")
-        .select(col("id"), col("values")(0).as("v1"), col("values")(1).as("v2"))
-        .orderBy("id")),
-    "gen_correlated_sample" -> ((s, dir) =>
-      Generators.generate(s, "correlated", 500, dims = 2)
-        .toDF("id", "values", "op")
-        .select(col("id"), col("values")(0).as("v1"), col("values")(1).as("v2"))
-        .orderBy("id")),
+    "gen_uniform_sample" -> ((s, dir) => genSample(s, "uniform")),
+    "gen_correlated_sample" -> ((s, dir) => genSample(s, "correlated")),
     // multimodal: binary payload → batched stub decode → typed metadata
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(Multimodal.asBinary(docs(s, dir), "doc_id", "text"))

@@ -16,6 +16,44 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Histogram-sketch bin count, shared by hist_quantiles and its streaming
+    * twin (stream_hist_quantiles) so the binning/readout arithmetic cannot
+    * drift between them. */
+  private[graft] val HistBins = 512
+
+  /** Fixed-width histogram bin of `v` over [lo, hi] (lower-edge rule;
+    * degenerate hi == lo maps everything to bin 0). */
+  private[graft] def histBin(v: org.apache.spark.sql.Column,
+      lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
+      bins: Int): org.apache.spark.sql.Column =
+    when(hi === lo, lit(0L)).otherwise(
+      least(lit(bins - 1L),
+        floor((v - lo) / ((hi - lo) / lit(bins.toDouble))).cast("long")))
+
+  /** p50/p90/p99 readout over a (event_type, bin, c) histogram as lower bin
+    * edges. `attachBounds` makes the lo/hi columns available to the final
+    * projection (a broadcast bounds join for the batch query, identity for
+    * the streaming twin whose bounds are literals). */
+  private[graft] def histReadout(hist: DataFrame,
+      attachBounds: DataFrame => DataFrame, lo: org.apache.spark.sql.Column,
+      hi: org.apache.spark.sql.Column, bins: Int): DataFrame = {
+    val wcum = Window.partitionBy("event_type").orderBy("bin")
+    val wtot = Window.partitionBy("event_type")
+    val cum = hist.withColumn("cum", sum("c").over(wcum))
+      .withColumn("n", sum("c").over(wtot))
+    def binAt(q: Double) =
+      min(when(col("cum") >= ceil(lit(q) * col("n")), col("bin")))
+    def edge(b: org.apache.spark.sql.Column) =
+      when(hi === lo, lo).otherwise(
+        lo + b.cast("double") * ((hi - lo) / lit(bins.toDouble)))
+    val picked = cum.groupBy("event_type").agg(max(col("n")).as("n"),
+      binAt(0.5).as("b50"), binAt(0.9).as("b90"), binAt(0.99).as("b99"))
+    attachBounds(picked)
+      .select(col("event_type"), col("n"), edge(col("b50")).as("p50_est"),
+        edge(col("b90")).as("p90_est"), edge(col("b99")).as("p99_est"))
+      .orderBy("event_type")
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's reader rejects;
     * read it as raw nanosecond longs (ordering-equivalent). The oracle side
     * uses epoch_ns(ts) for the same integer view. */
@@ -426,31 +464,15 @@ object RelationalQueries {
     // (bin width, edges) or exact integer logic (cumulative counts,
     // ceil(q·n) ranks) — hash-exact across engines.
     "hist_quantiles" -> ((s, dir) => {
-      val B = 512
+      val B = HistBins
       val e = events(s, dir)
         .select(col("event_type"), col("value").cast("double").as("v"))
       val bounds = e.agg(min("v").as("lo"), max("v").as("hi"))
       val binned = e.crossJoin(broadcast(bounds))
-        .withColumn("bin",
-          when(col("hi") === col("lo"), lit(0L)).otherwise(
-            least(lit(B - 1L), floor((col("v") - col("lo")) /
-              ((col("hi") - col("lo")) / lit(B.toDouble))).cast("long"))))
+        .withColumn("bin", histBin(col("v"), col("lo"), col("hi"), B))
       val hist = binned.groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
-      val wcum = Window.partitionBy("event_type").orderBy("bin")
-      val wtot = Window.partitionBy("event_type")
-      val cum = hist.withColumn("cum", sum("c").over(wcum))
-        .withColumn("n", sum("c").over(wtot))
-      def binAt(q: Double) =
-        min(when(col("cum") >= ceil(lit(q) * col("n")), col("bin")))
-      val picked = cum.groupBy("event_type").agg(max(col("n")).as("n"),
-        binAt(0.5).as("b50"), binAt(0.9).as("b90"), binAt(0.99).as("b99"))
-      def edge(b: org.apache.spark.sql.Column) =
-        when(col("hi") === col("lo"), col("lo")).otherwise(
-        col("lo") + b.cast("double") * ((col("hi") - col("lo")) / lit(B.toDouble)))
-      picked.crossJoin(broadcast(bounds))
-        .select(col("event_type"), col("n"), edge(col("b50")).as("p50_est"),
-          edge(col("b90")).as("p90_est"), edge(col("b99")).as("p99_est"))
-        .orderBy("event_type")
+      histReadout(hist, _.crossJoin(broadcast(bounds)),
+        col("lo"), col("hi"), B)
     }),
     // set operations: INTERSECT / EXCEPT over key sets
     "set_ops_building" -> ((s, dir) => {

@@ -1016,7 +1016,7 @@ object RelationalQueries {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       cols.map(c =>
         s"""SELECT '$c' AS column_name, COUNT(*) AS n,
-           |  SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            |  COUNT(DISTINCT $c) AS n_distinct, MIN($c) AS vmin, MAX($c) AS vmax,
            |  CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) AS vsum
            |FROM lineitem""".stripMargin.replace("\n", " "))

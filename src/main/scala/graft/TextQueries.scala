@@ -758,7 +758,8 @@ object TextQueries {
         |  FROM segs),
         |fo AS (SELECT fp, MIN(doc_id) AS first_doc FROM fps GROUP BY fp)
         |SELECT f.doc_id, COUNT(*) AS n_segments,
-        |  SUM(CASE WHEN fo.first_doc < f.doc_id THEN 1 ELSE 0 END) AS n_dup_segments,
+        |  CAST(SUM(CASE WHEN fo.first_doc < f.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup_segments,
         |  CAST(SUM(CASE WHEN fo.first_doc < f.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
         |FROM fps f JOIN fo USING (fp)
@@ -777,7 +778,8 @@ object TextQueries {
          |FROM p ORDER BY lang, doc_id""".stripMargin.replace("\n", " ")
 
     m += "mix_weights" ->
-      """WITH per AS (SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+      """WITH per AS (SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
         |  FROM documents GROUP BY source),
         |tot AS (SELECT SUM(chars) AS total_chars FROM per),
         |sh AS (SELECT p.source, p.n_docs, p.chars, t.total_chars,

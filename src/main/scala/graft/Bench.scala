@@ -82,7 +82,8 @@ object Bench {
     // full-sweep number). Unset (driver runs) = everything.
     val refWorkloads = Set("sky_1m_2d_anti", "sky_1m_2d_sort",
       "sky_1m_3d_anti", "sky_10m_2d_sort", "sky_500k_4d_bcast",
-      "sky_1m_4d_bcast", "sky_500k_4d_xfilter")
+      "sky_1m_4d_bcast", "sky_500k_4d_xfilter", "sky_1m_3d_gridpar",
+      "sky_1m_3d_tree_uni")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // fail fast on a typo'd name — a silent no-op would masquerade as a
@@ -156,6 +157,19 @@ object Bench {
       SkylineOps.skylineBroadcastFilter(
         Generators.generate(spark, "anti-correlated", 500000L, 4),
         maxBroadcastPoints = 20000).count()
+    }
+    // grid-parallel global merge on its documented win case (uniform data,
+    // where the subset-cell routing prunes most candidates before the 2^d
+    // independent cell merges) — paired with the tree path on the SAME
+    // data so the strategy tradeoff is visible in one sweep
+    bench("sky_1m_3d_gridpar") {
+      SkylineOps.skylineGridParallel(
+        Generators.generate(spark, "uniform", 1000000L, 3), 3).count()
+    }
+    bench("sky_1m_3d_tree_uni") {
+      SkylineOps.skylineTreeViaStrategy(
+        Generators.generate(spark, "uniform", 1000000L, 3),
+        "mr-angle", 10000.0, 8).length
     }
 
     // section boundary: drop generator caches before the catalog sweep

@@ -460,8 +460,8 @@ object PipelineQueries {
     * wrapping). k1..k6 are the six successive LCG states; trunc-then-cast
     * mirrors Java's (int) truncation (bare CAST rounds). Shared by the
     * three generator-parity oracles. */
-  private val LcgStatesSql =
-    """WITH ids AS (SELECT unnest(range(0, 500)) AS id),
+  private def lcgStatesSql(n: Int) =
+    s"""WITH ids AS (SELECT unnest(range(0, $n)) AS id),
       |prod AS (SELECT id,
       |  CAST(id AS HUGEINT) * CAST(11400714819323198485 AS HUGEINT)
       |    % CAST(18446744073709551616 AS HUGEINT) AS p FROM ids),
@@ -479,6 +479,59 @@ object PipelineQueries {
       |s6 AS (SELECT id, CAST((CAST(s AS HUGEINT) * 25214903917 + 11) % 281474976710656 AS BIGINT) AS k6, s AS k5, k1, k2, k3, k4 FROM s5)"""
       .stripMargin.replace("\n", " ")
 
+  /** Points CTE chain for one distribution over ids 0..n-1 — ends in a
+    * `pts(id, v1, v2)` CTE so callers can SELECT rows (the gen_*_sample
+    * oracles, n=500) or aggregate (gen_skyline_sizes, n=20000). The value
+    * formulas mirror Generators.scala exactly; see the per-entry comments
+    * at the oracle definitions. For "uniform" the nextInt(10001) rejection
+    * branch is not taken for seed 42 / ids 0..19999 (verified offline — a
+    * hit would hash-mismatch loudly since the Spark side uses the real
+    * java.util.Random). */
+  private def distPointsSql(distribution: String, n: Int): String = distribution match {
+    case "uniform" =>
+      s"""${lcgStatesSql(n)},
+        |pts AS (SELECT id,
+        |  CAST((k1 // 131072) % 10001 AS DOUBLE) AS v1,
+        |  CAST((k2 // 131072) % 10001 AS DOUBLE) AS v2 FROM s6)"""
+        .stripMargin.replace("\n", " ")
+    case "correlated" =>
+      s"""${lcgStatesSql(n)}, $LcgDoublesSql,
+        |cv AS (SELECT id, 0 + d1 * 10000 AS base,
+        |  (d2 * 2 - 1) * (1 - CAST(0.9 AS DOUBLE)) * 10000 AS n1,
+        |  (d3 * 2 - 1) * (1 - CAST(0.9 AS DOUBLE)) * 10000 AS n2 FROM nd),
+        |pts AS (SELECT id,
+        |  CAST(GREATEST(0, LEAST(10000, CAST(trunc(base + n1) AS BIGINT))) AS DOUBLE) AS v1,
+        |  CAST(GREATEST(0, LEAST(10000, CAST(trunc(base + n2) AS BIGINT))) AS DOUBLE) AS v2
+        |  FROM cv)""".stripMargin.replace("\n", " ")
+    case "anti-correlated" =>
+      s"""${lcgStatesSql(n)}, $LcgDoublesSql,
+        |sc AS (SELECT id, d1, d2,
+        |  CASE WHEN d1 + d2 <> 0 THEN
+        |    ((0 + 10000) / 2.0 * 2 - CAST(0.0005 AS DOUBLE) * 10000 * 2
+        |      + d3 * 2 * (CAST(0.0005 AS DOUBLE) * 10000 * 2)) / (d1 + d2)
+        |  ELSE 1.0 END AS scale FROM nd),
+        |pts AS (SELECT id,
+        |  CAST(GREATEST(0, LEAST(10000, CAST(trunc(d1 * scale) AS BIGINT))) AS DOUBLE) AS v1,
+        |  CAST(GREATEST(0, LEAST(10000, CAST(trunc(d2 * scale) AS BIGINT))) AS DOUBLE) AS v2
+        |  FROM sc)""".stripMargin.replace("\n", " ")
+  }
+
+  /** Scalar 2-D minimization-skyline COUNT over `distribution`'s first `n`
+    * generated points, O(n log n): group by v1 (per-group min v2), running
+    * strict-prefix min over v1 groups, then a point survives iff it is
+    * minimal within its v1 group AND below every smaller-v1 group's min
+    * (duplicates of a skyline point all survive — no strict dominance).
+    * Same semantics as the quadratic NOT EXISTS used by sky2dOracle, which
+    * would be 4·10^8 pair checks at n=20000. */
+  private def skylineCountSql(distribution: String, n: Int): String =
+    s"""(${distPointsSql(distribution, n)},
+      |g AS (SELECT v1, MIN(v2) AS mv2 FROM pts GROUP BY v1),
+      |r AS (SELECT v1, mv2, MIN(mv2) OVER (ORDER BY v1
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mlt FROM g)
+      |SELECT COUNT(*) FROM pts p JOIN r ON p.v1 = r.v1
+      |WHERE p.v2 = r.mv2 AND (r.mlt IS NULL OR p.v2 < r.mlt))"""
+      .stripMargin.replace("\n", " ")
+
   /** The three nextDouble values (d1, d2, d3) from the six LCG states. */
   private val LcgDoublesSql =
     """nd AS (SELECT id,
@@ -488,37 +541,32 @@ object PipelineQueries {
       |  FROM s6)""".stripMargin.replace("\n", " ")
 
   def oracleSql: Map[String, String] = Map(
+    // the ε-slack target-sum plane; scale kept as the IEEE CASE expression
     "gen_anti_sample" ->
-      s"""$LcgStatesSql, $LcgDoublesSql,
-        |sc AS (SELECT id, d1, d2,
-        |  CASE WHEN d1 + d2 <> 0 THEN
-        |    ((0 + 10000) / 2.0 * 2 - CAST(0.0005 AS DOUBLE) * 10000 * 2
-        |      + d3 * 2 * (CAST(0.0005 AS DOUBLE) * 10000 * 2)) / (d1 + d2)
-        |  ELSE 1.0 END AS scale FROM nd)
-        |SELECT id,
-        |  CAST(GREATEST(0, LEAST(10000, CAST(trunc(d1 * scale) AS BIGINT))) AS DOUBLE) AS v1,
-        |  CAST(GREATEST(0, LEAST(10000, CAST(trunc(d2 * scale) AS BIGINT))) AS DOUBLE) AS v2
-        |FROM sc ORDER BY id""".stripMargin.replace("\n", " "),
+      s"""${distPointsSql("anti-correlated", 500)}
+        |SELECT id, v1, v2 FROM pts ORDER BY id""".stripMargin.replace("\n", " "),
     // two nextInt(10001) draws; java.util.Random's rejection branch is not
-    // taken for seed 42 / ids 0..499 (verified offline — a hit would
+    // taken for seed 42 / ids 0..19999 (verified offline — a hit would
     // hash-mismatch loudly since the Spark side uses the real Random)
     "gen_uniform_sample" ->
-      s"""$LcgStatesSql
-        |SELECT id,
-        |  CAST((k1 // 131072) % 10001 AS DOUBLE) AS v1,
-        |  CAST((k2 // 131072) % 10001 AS DOUBLE) AS v2
-        |FROM s6 ORDER BY id""".stripMargin.replace("\n", " "),
+      s"""${distPointsSql("uniform", 500)}
+        |SELECT id, v1, v2 FROM pts ORDER BY id""".stripMargin.replace("\n", " "),
     // base nextDouble + two noise nextDoubles; (1 - 0.9) stays the IEEE
     // expression — folding it to 0.1 would differ in the last ulp
     "gen_correlated_sample" ->
-      s"""$LcgStatesSql, $LcgDoublesSql,
-        |cv AS (SELECT id, 0 + d1 * 10000 AS base,
-        |  (d2 * 2 - 1) * (1 - CAST(0.9 AS DOUBLE)) * 10000 AS n1,
-        |  (d3 * 2 - 1) * (1 - CAST(0.9 AS DOUBLE)) * 10000 AS n2 FROM nd)
-        |SELECT id,
-        |  CAST(GREATEST(0, LEAST(10000, CAST(trunc(base + n1) AS BIGINT))) AS DOUBLE) AS v1,
-        |  CAST(GREATEST(0, LEAST(10000, CAST(trunc(base + n2) AS BIGINT))) AS DOUBLE) AS v2
-        |FROM cv ORDER BY id""".stripMargin.replace("\n", " "),
+      s"""${distPointsSql("correlated", 500)}
+        |SELECT id, v1, v2 FROM pts ORDER BY id""".stripMargin.replace("\n", " "),
+    // skyline sizes of the three 20k-point distributions: each scalar
+    // subquery regenerates the LCG points and counts the 2-D skyline with
+    // the prefix-min formulation (the quadratic NOT EXISTS at 20k rows
+    // would be 4·10^8 pair checks per distribution in DuckDB)
+    "gen_skyline_sizes" ->
+      s"""SELECT * FROM (
+        |SELECT 'anti-correlated' AS distribution,
+        |  ${skylineCountSql("anti-correlated", 20000)} AS skyline_size
+        |UNION ALL SELECT 'correlated', ${skylineCountSql("correlated", 20000)}
+        |UNION ALL SELECT 'uniform', ${skylineCountSql("uniform", 20000)})
+        |ORDER BY distribution""".stripMargin.replace("\n", " "),
     // the streaming join must reproduce the batch interval join exactly
     "stream_interval_join" -> RelationalQueries.oracleSql("interval_join"),
     // complete-mode streaming aggregation == the batch tf (same SQL as the

@@ -467,6 +467,10 @@ object RelationalQueries {
       val B = HistBins
       val e = events(s, dir)
         .select(col("event_type"), col("value").cast("double").as("v"))
+        // null values would land in a null bin here but are dropped by the
+        // streaming twin's watermark projection — filter on both (and in
+        // the oracle) so all three formulations agree on null handling
+        .where(col("v").isNotNull)
       val bounds = e.agg(min("v").as("lo"), max("v").as("hi"))
       val binned = e.crossJoin(broadcast(bounds))
         .withColumn("bin", histBin(col("v"), col("lo"), col("hi"), B))
@@ -608,14 +612,14 @@ object RelationalQueries {
         .orderBy("p1", "p2")
     }),
     // triangle counting over the co-purchase graph (basket_pairs edges with
-    // support >= 2, kept as a < b). The classic ordered-wedge enumeration:
-    // every triangle a < b < c is found exactly once by joining
-    // (a,b)⋈(b,c)⋈(a,c) — the canonical orientation bounds each wedge's
-    // fan-out by the HIGHER-degree endpoint's out-neighbors, the standard
-    // O(E^1.5)-style trick that avoids enumerating each triangle 6 times.
-    // The edge frame is derived once and self-joined (broadcast at this
-    // size, hash-keyed shuffles at scale). Per-node counts at the lowest
-    // vertex keep the output compact.
+    // support >= 2, kept as a < b). Ordered-wedge enumeration: every
+    // triangle a < b < c is found exactly once by joining
+    // (a,b)⋈(b,c)⋈(a,c) — the id-based orientation avoids enumerating each
+    // triangle 6 times (degree-based orientation would additionally give
+    // the O(E^1.5) wedge-work bound; id order does not). The edge frame is
+    // derived once and self-joined (broadcast at this size, hash-keyed
+    // shuffles at scale). Per-node counts at the lowest vertex keep the
+    // output compact.
     "graph_triangles" -> ((s, dir) => {
       val items = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -1174,7 +1178,8 @@ object RelationalQueries {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
         .stripMargin.replace("\n", " "),
     "hist_quantiles" ->
-      """WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+      """WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL),
         |b AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM e),
         |binned AS (SELECT e.event_type,
         |  CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)

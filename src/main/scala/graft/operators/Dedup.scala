@@ -271,10 +271,10 @@ object Dedup {
     // the verdict join); left lazy, each site re-analyzes and re-codegens
     // the wide literal-centroid argmax — measured 8x slower than the join
     // itself. Materialize it once into a persisted Row RDD (lineage cut,
-    // values bit-preserved); the blocks are reclaimed by the ContextCleaner
-    // when the caller drops the returned frame, and MEMORY_AND_DISK spills
-    // rather than OOMs at corpus scale. This makes the operator eager (it
-    // runs a job), like the other pipeline stages that report counts.
+    // values bit-preserved); MEMORY_AND_DISK spills rather than OOMs at
+    // corpus scale, and the blocks are explicitly unpersisted below once
+    // the verdict is materialized. This makes the operator eager (it runs
+    // jobs), like the other pipeline stages that report counts.
     val lazyAssigned = v
       .withColumn("nrm", sqrt(VectorExpressions.sqNormNative(col("vec"))))
       .withColumn("cluster_id",
@@ -292,8 +292,22 @@ object Dedup {
       .where(cosineFromNorms(VectorExpressions.dotNative(col("va"), col("vb")),
         col("na"), col("nb")) >= threshold)
       .select(col("id_b").as("dup_id")).distinct()
-    assigned.join(dups, assigned("id") === dups("dup_id"), "left")
+    val verdictLazy = assigned
+      .join(dups, assigned("id") === dups("dup_id"), "left")
       .select(col("id"), col("cluster_id"), col("dup_id").isNull.as("kept"))
+    // Materialize the 3-column verdict while the assignment blocks are hot,
+    // then release them explicitly: without this the WIDE vec-carrying
+    // assignment RDD stays persisted until driver GC + ContextCleaner get
+    // around to it, accumulating blocks across repeated calls in a
+    // long-lived session. What remains persisted is only the narrow
+    // (id, cluster_id, kept) result, reclaimed when the caller drops the
+    // returned frame.
+    val verdictRdd = verdictLazy.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = df.sparkSession.createDataFrame(verdictRdd, verdictLazy.schema)
+    out.count()
+    pinnedRdd.unpersist(blocking = false)
+    out
   }
 
   /** Continuous-ingestion exact dedup: a STREAMING frame deduplicated on the

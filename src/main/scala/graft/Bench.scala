@@ -93,10 +93,22 @@ object Bench {
     def wanted(name: String): Boolean = only.forall(_.contains(name))
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // second-run timings of the slowest workloads (variance signal — sweep
+    // totals historically swing ~2x on identical code, so every per-query
+    // ratio needs a repeat delta to be judged against)
+    val repeats = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val thunks = scala.collection.mutable.LinkedHashMap[String, () => Unit]()
     // a failed workload records -1 instead of losing the whole JSON line
     def bench(name: String)(f: => Unit): Unit =
-      if (wanted(name))
+      if (wanted(name)) {
+        thunks(name) = () => f
         results(name) = try time(f) catch { case _: Throwable => -1.0 }
+      }
+    def rerun(names: Seq[String]): Unit = names.foreach { n =>
+      thunks.get(n).foreach { t =>
+        repeats(n) = try time(t()) catch { case _: Throwable => -1.0 }
+      }
+    }
     // The generator-heavy reference workloads run FIRST: they are the
     // BASELINE.md comparison and the most GC-sensitive (tight codegen loops
     // over generated rows). Run after the catalog — whose tail is streaming
@@ -177,13 +189,31 @@ object Bench {
     System.gc()
     Thread.sleep(2000)
 
-    headline.filter(wanted).foreach { name =>
+    val (streamingNames, batchNames) = headline.partition(_.startsWith("stream_"))
+    def runCatalog(names: Seq[String]): Unit = names.filter(wanted).foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
-        results(name) =
-          try time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-          catch { case _: Throwable => -1.0 }
+        val thunk = () =>
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(): Unit
+        thunks(name) = thunk
+        results(name) = try time(thunk()) catch { case _: Throwable => -1.0 }
       }
     }
+    runCatalog(batchNames)
+
+    // Repeat the slowest 10 non-streaming workloads BEFORE the streaming
+    // tail: its state-store churn inflates anything timed after it 5-20x,
+    // which would poison the variance signal. GC boundary first so run 2
+    // starts from the same heap shape as the sweep sections do.
+    spark.catalog.clearCache()
+    System.gc()
+    Thread.sleep(2000)
+    rerun(results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1))
+
+    runCatalog(streamingNames)
+    // streaming members of the overall slowest 10 get their repeat here,
+    // inside their own section (batch repeats already ran pre-tail)
+    rerun(results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1)
+      .filter(n => n.startsWith("stream_") && !repeats.contains(n)))
 
     // full-precision per-query results always land in BENCH_FULL.json (cwd =
     // repo root under sbt) — the stdout line below is a trimmed view, because
@@ -193,7 +223,10 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
-    val fullJson = results.map { case (k, v) => s"""  "$k": $v""" }
+    // "<name>__rep" = second-run timing of that workload (slowest-10
+    // variance signal); total_sec covers first runs only
+    val fullJson = (results.map { case (k, v) => s"""  "$k": $v""" } ++
+      repeats.map { case (k, v) => s"""  "${k}__rep": $v""" })
       .mkString(s"""{\n  "total_sec": $total,\n  "sf": $sfNum,\n""", ",\n", "\n}\n")
     val fw = new java.io.PrintWriter("BENCH_FULL.json")
     try fw.write(fullJson) finally fw.close()

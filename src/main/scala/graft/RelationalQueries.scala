@@ -872,6 +872,47 @@ object RelationalQueries {
           min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
           min("day").as("min_day"), max("day").as("max_day"))
         .orderBy("file_id")),
+    // Bucketed co-located join: both tables are first WRITTEN bucketBy the
+    // join key (8 buckets, per-bucket sorted) into a scratch warehouse, and
+    // the join then plans as a sort-merge join with ZERO Exchange and zero
+    // per-query Sort on either side (BucketedJoinSpec asserts this on the
+    // physical plan). This is the disk-resident sibling of zorder_layout:
+    // at 100 TB the fact⋈fact shuffle is paid once at ingest, and every
+    // later join/agg on the key is scan-speed. Result is materialized and
+    // the scratch tables dropped before returning (a lazy frame would dangle
+    // on the dropped tables). Revenue math is exact decimal → double.
+    "bucketed_join" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val base = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+      val liT = s"li_bkt_$tag"; val ordT = s"ord_bkt_$tag"
+      try {
+        graft.operators.Bucketing.writeBucketed(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+          liT, s"$base/$liT", "l_orderkey", 8)
+        graft.operators.Bucketing.writeBucketed(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+          ordT, s"$base/$ordT", "o_orderkey", 8)
+        val joined = s.table(liT)
+          .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+                (lit(BigDecimal(1)).cast("decimal(18,2)") -
+                 col("l_discount").cast("decimal(18,2)")))
+              .cast("double").as("revenue"))
+          .orderBy("o_orderpriority")
+        val rows = joined.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), joined.schema)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $liT")
+        s.sql(s"DROP TABLE IF EXISTS $ordT")
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(base))
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }),
     // bounded top-k per group via a typed Aggregator: map-side partial
     // aggregation reduces each mapper's slice of a group to ≤ k entries
     // before the shuffle (O(k) state), where the row_number() window
@@ -1473,6 +1514,16 @@ object RelationalQueries {
          |MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
          |MIN(day) AS min_day, MAX(day) AS max_day
          |FROM z GROUP BY file_id ORDER BY file_id"""
+        .stripMargin.replace("\n", " "),
+    // same aggregate over the plain parquet tables — bucketing changes the
+    // physical plan (no Exchange), never the result
+    "bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |  AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority"""
         .stripMargin.replace("\n", " "),
     "events_topk_users" ->
       """WITH c AS (SELECT event_type, user_id, COUNT(*) AS n FROM events

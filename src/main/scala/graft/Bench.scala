@@ -170,10 +170,11 @@ object Bench {
         Generators.generate(spark, "anti-correlated", 500000L, 4),
         maxBroadcastPoints = 20000).count()
     }
-    // grid-parallel global merge on its documented win case (uniform data,
-    // where the subset-cell routing prunes most candidates before the 2^d
-    // independent cell merges) — paired with the tree path on the SAME
-    // data so the strategy tradeoff is visible in one sweep
+    // grid-parallel global merge vs the tree merge on the SAME uniform
+    // data, so the strategy tradeoff is visible in one sweep. Measured:
+    // tree wins at this size (the candidate union fits one thread);
+    // gridpar's point is the per-merge memory bound at cluster scale —
+    // see the skylineGridParallel scaladoc
     bench("sky_1m_3d_gridpar") {
       SkylineOps.skylineGridParallel(
         Generators.generate(spark, "uniform", 1000000L, 3), 3).count()

@@ -408,11 +408,17 @@ object SkylineOps {
     * single-threaded one. Survivors are exactly the global skyline.
     *
     * Candidate fan-out is the superset-enumeration of each cell (a cell with
-    * k high bits is re-sent to 2^(d-k) cells). Measured tradeoff: on
-    * uniform/correlated data the subset cells prune most points and the
-    * parallel cells win; on heavily anti-correlated data the per-cell
-    * skylines stay large and [[skylineTree]] is the better global-merge
-    * path (4-D/500k: tree ~90 s vs grid ~400 s, both exact). */
+    * k high bits is re-sent to 2^(d-k) cells). Measured tradeoff (bench
+    * pair sky_1m_3d_gridpar / sky_1m_3d_tree_uni, plus 4-D/500k anti runs):
+    * at sizes where the candidate union fits one thread, [[skylineTree]]
+    * wins on BOTH uniform (1M/3-D: tree 0.33 s vs grid 2.1 s — the
+    * skyline is tiny, so the merge is trivial and gridpar's routing
+    * shuffle dominates) and anti-correlated data (4-D/500k: tree ~90 s vs
+    * grid ~400 s). Gridpar's value is the memory bound, not raw speed:
+    * each of the 2^d merges sees only its subset cells' candidates, so no
+    * single task ever materializes the full candidate union — the
+    * property that matters once that union exceeds one executor's heap,
+    * where every tree/broadcast merge path has a single-point bottleneck. */
   def skylineGridParallel(ds: Dataset[Point], dims: Int): Dataset[Point] = {
     val spark = ds.sparkSession
     import spark.implicits._

@@ -41,7 +41,7 @@ object Bench {
     "part_above_brand_avg", "nation_revenue_share", "cms_sketch",
     "cms_estimate", "events_props_map", "q_weekday_revenue",
     "graph_pagerank", "graph_triangles", "funnel_latency", "distinct_sketch", "events_dist_ranks",
-    "q_not_in_nulls", "bloom_semi_join", "table_profile", "fk_integrity", "fuzzy_join_del1", "events_ntile", "hll_distinct", "zorder_layout", "bucketed_join",
+    "q_not_in_nulls", "bloom_semi_join", "table_profile", "fk_integrity", "fuzzy_join_del1", "events_ntile", "hll_distinct", "zorder_layout", "bucketed_join", "compaction_plan",
     "events_topk_users", "dataset_split", "text_length_buckets",
     "events_gapfill", "events_scd2", "gen_anti_sample",
     "gen_uniform_sample", "gen_correlated_sample",

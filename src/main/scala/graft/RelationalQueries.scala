@@ -872,6 +872,37 @@ object RelationalQueries {
           min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
           min("day").as("min_day"), max("day").as("max_day"))
         .orderBy("file_id")),
+    // Small-file compaction planner: the table-maintenance op every large
+    // parquet table needs. The file inventory (one row per file: simulated
+    // here as o_orderkey div 100 groups with a deterministic per-row byte
+    // cost) is bin-packed IN file_id ORDER into target-size output files:
+    // bin = exclusive-prefix-sum(size) div target — consecutive packing, so
+    // an existing sort/z-order layout survives compaction. The inventory is
+    // metadata-scale (one row per FILE: ~10^6 rows for a 100 TB table at
+    // 128 MB files), so the single unpartitioned prefix-sum window is
+    // deliberate — it runs on metadata, never on the data itself. All
+    // integer math — hash-exact.
+    "compaction_plan" -> ((s, dir) => {
+      // 64 KB target: scaled to the synthetic inventory's byte costs so the
+      // plan has multiple bins at every sf (a real planner would use 128 MB)
+      val target = 64L * 1024
+      val files = t(s, dir, "orders")
+        .groupBy(expr("o_orderkey div 100").as("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(lit(32L) + length(col("o_orderstatus"))
+            + length(col("o_orderpriority"))).cast("long").as("size_bytes"))
+      val w = Window.orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("start_off",
+          coalesce(sum("size_bytes").over(w), lit(0L)))
+        .withColumn("bin", expr(s"start_off div ${target}L"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_files"),
+          sum("size_bytes").cast("long").as("total_bytes"),
+          min("file_id").as("first_file"), max("file_id").as("last_file"))
+        .orderBy("bin")
+    }),
     // Bucketed co-located join: both tables are first WRITTEN bucketBy the
     // join key (8 buckets, per-bucket sorted) into a scratch warehouse, and
     // the join then plans as a sort-merge join with ZERO Exchange and zero
@@ -1515,6 +1546,20 @@ object RelationalQueries {
          |MIN(day) AS min_day, MAX(day) AS max_day
          |FROM z GROUP BY file_id ORDER BY file_id"""
         .stripMargin.replace("\n", " "),
+    "compaction_plan" ->
+      """WITH files AS (SELECT o_orderkey // 100 AS file_id,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(32 + length(o_orderstatus) + length(o_orderpriority))
+        |    AS BIGINT) AS size_bytes
+        |  FROM orders GROUP BY 1),
+        |offs AS (SELECT file_id, n_rows, size_bytes,
+        |  CAST(COALESCE(SUM(size_bytes) OVER (ORDER BY file_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS start_off FROM files)
+        |SELECT start_off // 65536 AS bin, COUNT(*) AS n_files,
+        |  CAST(SUM(size_bytes) AS BIGINT) AS total_bytes,
+        |  MIN(file_id) AS first_file, MAX(file_id) AS last_file
+        |FROM offs GROUP BY bin ORDER BY bin""".stripMargin.replace("\n", " "),
     // same aggregate over the plain parquet tables — bucketing changes the
     // physical plan (no Exchange), never the result
     "bucketed_join" ->

@@ -237,6 +237,35 @@ object PipelineQueries {
         q.processAllAvailable()
       }.orderBy("error_id", "purchase_id")
     }),
+    // cross-batch streaming NEAR-dup dedup (MinHash LSH): band keys are a
+    // stateless per-row projection (Dedup.minhashBandKeys — no shuffle, so
+    // it runs on the stream directly), then one keyed stateful stage tracks
+    // each band bucket's first owner across micro-batches. Docs arrive in
+    // id order over TWO batches; a doc is kept iff none of its bands had an
+    // earlier owner — which must equal the batch keep-first LSH verdict
+    // (same oracle family as dedup_minhash_pairs).
+    "stream_dedup_minhash" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .orderBy("doc_id").as[(Long, String)].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val banded = graft.operators.Dedup.minhashBandKeys(
+        src.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        k = 5, numHashes = 8, bands = 4)
+      val owners = graft.operators.Dedup.streamingMinhashOwners(banded)
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      runAppendStream(s, owners, "smh") { q =>
+        src.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        src.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+      }.groupBy("doc_id")
+        .agg((sum(when(col("owner") < col("doc_id"), 1).otherwise(0)) === 0)
+          .as("kept"))
+        .orderBy("doc_id")
+    }),
     // cross-batch streaming exact dedup (Dedup.streamingDedup): the corpus
     // arrives in batch 1, then half of it AGAIN in batch 2 — dropDuplicates
     // state must suppress every second-batch repeat, so the appended rows

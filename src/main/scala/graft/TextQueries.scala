@@ -636,6 +636,20 @@ object TextQueries {
          |FROM pairs p JOIN sig a ON a.doc_id = p.id_a JOIN sig b ON b.doc_id = p.id_b
          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
 
+    // streaming MinHash dedup == batch keep-first LSH verdict: a doc is
+    // kept iff no band bucket it lands in has a lower-id member (PipelineQueries
+    // feeds docs in id order, so per-arrival owners equal the global min)
+    m += "stream_dedup_minhash" ->
+      s"""WITH sh AS ($shinglesSql),
+         |sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
+         |banded AS ($bandKeys),
+         |own AS (SELECT band, bkey, MIN(doc_id) AS owner FROM banded
+         |  GROUP BY 1, 2)
+         |SELECT b.doc_id,
+         |  (SUM(CASE WHEN o.owner < b.doc_id THEN 1 ELSE 0 END) = 0) AS kept
+         |FROM banded b JOIN own o ON b.band = o.band AND b.bkey = o.bkey
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin.replace("\n", " ")
+
     // same df<=100 hot-shingle cap as the Spark side, applied before both
     // the intersection join and the set sizes
     m += "dedup_ngram_jaccard" ->

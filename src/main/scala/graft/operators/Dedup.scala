@@ -83,6 +83,65 @@ object Dedup {
         (matches.cast("double") / numHashes).as("est_jaccard"))
   }
 
+  /** Per-row (shuffle-free) MinHash band keys: the same affine signature
+    * family as [[minhashSignatures]] but computed INSIDE each row over the
+    * shingle array (`array_min` of the transformed array) instead of
+    * explode+groupBy. A pure projection — no shuffle, no state — so it runs
+    * unchanged on an unbounded STREAM, which a groupBy-based signature
+    * cannot (a streaming per-doc aggregate would itself need state). MIN is
+    * duplicate-insensitive, so the non-distinct shingle multiset yields the
+    * same signature as the batch path's distinct set. Trade: Catalyst's
+    * projection collapse inlines the base-hash array into each of the
+    * `numHashes` array_min terms (the md5 per shingle is recomputed per
+    * hash); for bounded micro-batches that cost is dwarfed by the shuffle
+    * it avoids. Emits one row per (doc, band). */
+  def minhashBandKeys(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val base = transform(charShingles(col(textCol), k), s => hash60(s) % MinhashP)
+    val hs = (0 until numHashes).map(i =>
+      array_min(transform(col("_base"),
+        h => (lit(minhashA(i)) * h + lit(minhashB(i))) % MinhashP)).as(s"h$i"))
+    val sig = df.withColumn("_base", base)
+      .select(col(idCol).cast("long").as("doc_id") +: hs: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"), concat_ws("_",
+        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+        .as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** Cross-batch streaming MinHash near-dup, stateful stage: keyed by
+    * (band, bkey), state = the lowest doc id ever seen in that bucket. Each
+    * arriving (doc, band) row emits the bucket's first owner AS OF that
+    * arrival (batch-internal rows processed in doc-id order, so the emitted
+    * owner is the running prefix minimum). A doc is a near-dup iff ANY of
+    * its bands had an earlier owner — when sources feed docs in id order,
+    * the per-arrival verdict equals the batch keep-first verdict, which is
+    * what the oracle gate proves. State is one long per distinct band
+    * bucket, the same key space the batch LSH join shuffles on. */
+  def streamingMinhashOwners(banded: DataFrame): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    banded.select(col("band").cast("int"), col("bkey"), col("doc_id"))
+      .as[(Int, String, Long)]
+      .groupByKey { case (band, bkey, _) => (band, bkey) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), it: Iterator[(Int, String, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          var cur = state.getOption.getOrElse(Long.MaxValue)
+          val out = it.toIndexedSeq.sortBy(_._3).map { case (band, _, id) =>
+            cur = math.min(cur, id)
+            (id, band, cur)
+          }
+          state.update(cur)
+          out.iterator
+      }.toDF("doc_id", "band", "owner")
+  }
+
   /** Exact n-gram Jaccard similarity for pairs sharing at least one shingle.
     * Implemented as shingle-explode + equi-join on the shingle (the classic
     * inverted-index join) + per-pair intersection counting — no cross join.

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Whole MinHash signature as ONE linear pass over the (already normalized)
+  * text: walk the k-char shingle windows, md5 each shingle ONCE, and fold
+  * all `numHashes` affine minima in place.
+  *
+  * Why an expression and not the relational form: the explode+groupBy
+  * signature shuffles every (doc, shingle) row — by far the largest shuffle
+  * in the dedup family (~10^3 rows per document) — and the pure-Column
+  * array form (`array_min(transform(...))` per hash) recomputes the md5
+  * base array once per hash function. This pass is per-row (no shuffle, no
+  * state), md5 runs once per shingle, and the output feeds batch and
+  * STREAMING paths alike.
+  *
+  * Bit-parity with the SQL oracle: shingle = substr window of the
+  * normalized text (whole string when shorter than k, matching
+  * [[CharShinglesExpr]]); base hash = first 15 md5 hex chars as a long
+  * (= the digest's first 8 bytes unsigned, >>> 4) mod the Mersenne prime;
+  * k-th value = (A_k * h + B_k) mod P — identical to
+  * `MIN((A_k * (hash60(shingle) % P) + B_k) % P)` in DuckDB. MIN is
+  * duplicate-insensitive, so not deduplicating windows matches the
+  * oracle's `list_distinct` semantics.
+  */
+case class MinhashSigExpr(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val win = if (s.length < k) s.length else k
+    val n = if (s.length < k) 1 else s.length - k + 1
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(s.substring(i, i + win)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var top = 0L
+      var b = 0
+      while (b < 8) { top = (top << 8) | (d(b) & 0xffL); b += 1 }
+      val h = (top >>> 4) % MinhashP
+      var j = 0
+      while (j < numHashes) {
+        val v = (minhashA(j) * h + minhashB(j)) % MinhashP
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(Long.box).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object MinhashExpressions {
+  /** `numHashes` affine-family minima over `c`'s k-shingles, as
+    * ARRAY<LONG>. `c` must already be normalized text ([[normText]]). */
+  def minhashSigNative(c: Column, k: Int, numHashes: Int): Column =
+    column(MinhashSigExpr(expression(c), k, numHashes))
+}

@@ -32,18 +32,20 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
   /** MinHash signature: for each of `numHashes` seeded hash families, the
-    * minimum hash60 over the document's distinct k-shingles. Computed via
-    * explode + groupBy (shuffle on doc id; shingle fan-out is map-local). */
+    * minimum hash60 over the document's k-shingles. Computed entirely
+    * per-row by the native [[graft.functions.MinhashSigExpr]] (one md5 per
+    * shingle, all minima folded in one pass) — ZERO shuffle, where the old
+    * explode+groupBy form shuffled every (doc, shingle) row (~10^3 per
+    * document, the largest shuffle in the dedup family). The `_sig` alias
+    * is referenced `numHashes` times below, which stops CollapseProject
+    * from inlining (and thus recomputing) the non-cheap expression. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, numHashes: Int = 16): DataFrame = {
-    // no per-array distinct: MIN is duplicate-insensitive, and array_distinct
-    // on ~1000-element arrays is O(n^2) string compares per row
-    val sh = df.select(col(idCol),
-        explode(charShingles(col(textCol), k)).as("shingle"))
-    val withBase = sh.withColumn("_h", hash60(col("shingle")) % MinhashP)
-    val hs = (0 until numHashes).map(k =>
-      min((lit(minhashA(k)) * col("_h") + lit(minhashB(k))) % MinhashP).as(s"h$k"))
-    withBase.groupBy(col(idCol)).agg(hs.head, hs.tail: _*)
+    val sig = graft.functions.MinhashExpressions
+      .minhashSigNative(normText(col(textCol)), k, numHashes)
+    df.select(col(idCol), sig.as("_sig"))
+      .select(col(idCol) +: (0 until numHashes).map(i =>
+        element_at(col("_sig"), i + 1).as(s"h$i")): _*)
   }
 
   /** MinHash LSH candidate pairs: signatures banded `bands` ways; docs sharing
@@ -83,27 +85,17 @@ object Dedup {
         (matches.cast("double") / numHashes).as("est_jaccard"))
   }
 
-  /** Per-row (shuffle-free) MinHash band keys: the same affine signature
-    * family as [[minhashSignatures]] but computed INSIDE each row over the
-    * shingle array (`array_min` of the transformed array) instead of
-    * explode+groupBy. A pure projection — no shuffle, no state — so it runs
-    * unchanged on an unbounded STREAM, which a groupBy-based signature
-    * cannot (a streaming per-doc aggregate would itself need state). MIN is
-    * duplicate-insensitive, so the non-distinct shingle multiset yields the
-    * same signature as the batch path's distinct set. Trade: Catalyst's
-    * projection collapse inlines the base-hash array into each of the
-    * `numHashes` array_min terms (the md5 per shingle is recomputed per
-    * hash); for bounded micro-batches that cost is dwarfed by the shuffle
-    * it avoids. Emits one row per (doc, band). */
+  /** Per-row MinHash band keys: [[minhashSignatures]] (itself a pure
+    * shuffle-free projection since it moved to the native signature
+    * expression) + the banded-key explode. No shuffle and no state anywhere,
+    * so it runs unchanged on an unbounded STREAM — which a groupBy-based
+    * signature could not (a streaming per-doc aggregate would itself need
+    * state). Emits one row per (doc, band). */
   def minhashBandKeys(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val base = transform(charShingles(col(textCol), k), s => hash60(s) % MinhashP)
-    val hs = (0 until numHashes).map(i =>
-      array_min(transform(col("_base"),
-        h => (lit(minhashA(i)) * h + lit(minhashB(i))) % MinhashP)).as(s"h$i"))
-    val sig = df.withColumn("_base", base)
-      .select(col(idCol).cast("long").as("doc_id") +: hs: _*)
+    val sig = minhashSignatures(df, idCol, textCol, k, numHashes)
+      .withColumn("doc_id", col(idCol).cast("long"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"), concat_ws("_",
         (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)

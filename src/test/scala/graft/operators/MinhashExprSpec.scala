@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+
+/** The native one-pass MinHash signature must equal the relational
+  * explode+groupBy formulation it replaced — including the edge cases the
+  * parquet fixture doesn't exercise: empty text, text shorter than the
+  * shingle width, repeated shingles, and multibyte (BMP) characters. */
+class MinhashExprSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val NumHashes = 8
+
+  /** The pre-round-5 formulation, kept as the reference implementation. */
+  private def relationalSig(df: org.apache.spark.sql.DataFrame) = {
+    val sh = df.select(col("id"), explode(charShingles(col("text"), 5)).as("shingle"))
+    val withBase = sh.withColumn("_h", hash60(col("shingle")) % MinhashP)
+    val hs = (0 until NumHashes).map(k =>
+      min((lit(minhashA(k)) * col("_h") + lit(minhashB(k))) % MinhashP).as(s"h$k"))
+    withBase.groupBy(col("id")).agg(hs.head, hs.tail: _*)
+  }
+
+  test("native signature equals explode+groupBy on edge-case corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, ""),                          // empty -> single "" shingle
+      (1L, "ab"),                        // shorter than k -> whole-text shingle
+      (2L, "aaaaaaaaaaaa"),              // one repeated shingle
+      (3L, "héllo wörld, straße 世界"), // BMP multibyte
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "  The   QUICK  brown fox  ") // normalization must fold case/space
+    ).toDF("id", "text")
+    val got = Dedup.minhashSignatures(docs, "id", "text", k = 5, numHashes = NumHashes)
+      .orderBy("id").collect().map(_.toSeq)
+    val want = relationalSig(docs).orderBy("id").collect().map(_.toSeq)
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("signature is a pure projection: plan has no shuffle") {
+    import spark.implicits._
+    val df = Seq((1L, "some document text here")).toDF("id", "text")
+    val plan = Dedup.minhashSignatures(df, "id", "text")
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, s"expected shuffle-free signature plan:\n$plan")
+    // the non-cheap _sig alias must be computed once, not inlined per hash
+    // (CollapseProject would multiply the md5 work by numHashes)
+    val nSigExprs = plan.toString.split("minhashsigexpr|MinhashSigExpr").length - 1
+    assert(nSigExprs <= 1, s"MinhashSigExpr inlined $nSigExprs times:\n$plan")
+  }
+}

@@ -64,9 +64,59 @@ case class MinhashSigExpr(child: Expression, k: Int, numHashes: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** 64-bit SimHash (bits 0..59) as ONE per-row pass: space-split the
+  * normalized text, DISTINCT the tokens (hash set — O(tokens), unlike
+  * array_distinct's O(n²) string compares), md5 each distinct token once,
+  * accumulate per-bit votes, emit the majority mask. Replaces an
+  * explode → dropDuplicates → groupBy chain that shuffled every
+  * (doc, token) row twice. Bit-parity: token hash = hash60 (first 15 md5
+  * hex chars); bit b set iff strictly more than half the distinct tokens
+  * have bit b set — identical to the relational
+  * `SUM((h >> b) & 1) * 2 > COUNT(*)` vote. */
+case class SimhashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes() =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](60)
+    var n = 0
+    // split(" ", -1) matches Spark's split(col, " ") incl. the [""] result
+    // for empty text
+    s.split(" ", -1).foreach { tok =>
+      if (seen.add(tok)) {
+        n += 1
+        md.reset()
+        val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var top = 0L
+        var b = 0
+        while (b < 8) { top = (top << 8) | (d(b) & 0xffL); b += 1 }
+        val h = top >>> 4
+        var i = 0
+        while (i < 60) { votes(i) += ((h >>> i) & 1L).toInt; i += 1 }
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 60) { if (votes(i) * 2 > n) sig |= (1L << i); i += 1 }
+    Long.box(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object MinhashExpressions {
   /** `numHashes` affine-family minima over `c`'s k-shingles, as
     * ARRAY<LONG>. `c` must already be normalized text ([[normText]]). */
   def minhashSigNative(c: Column, k: Int, numHashes: Int): Column =
     column(MinhashSigExpr(expression(c), k, numHashes))
+
+  /** 64-bit SimHash (bits 0..59) of `c`'s distinct space-separated tokens.
+    * `c` must already be normalized text ([[normText]]). */
+  def simhashNative(c: Column): Column =
+    column(SimhashExpr(expression(c)))
 }

@@ -178,25 +178,15 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of the
-    * hash60 of each distinct token (bits 0..59). Pure relational form:
-    * explode tokens → hash → per-bit votes via bitwise arithmetic → groupBy.
-    */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // distinct via shuffle (dropDuplicates), not array_distinct — the latter
-    // is O(n²) string compares per row, a straggler-maker on long documents
-    val toks = df.select(col(idCol),
-      explode(split(normText(col(textCol)), " ")).as("tok"))
-      .dropDuplicates(idCol, "tok")
-      .withColumn("h", hash60(col("tok")))
-    val bitCols = (0 until 60).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"c$b"))
-    val counted = toks.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n"), bitCols: _*)
-    val sig = (0 until 60).map(b =>
-      when(col(s"c$b") * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    counted.select(col(idCol), sig.as("simhash"))
-  }
+    * hash60 of each distinct token (bits 0..59). Computed per-row by the
+    * native [[graft.functions.SimhashExpr]] (distinct via hash set, one md5
+    * per distinct token, votes folded in place) — ZERO shuffle, where the
+    * relational form shuffled every (doc, token) row twice (dropDuplicates
+    * then the vote groupBy). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.MinhashExpressions
+        .simhashNative(normText(col(textCol))).as("simhash"))
 
   /** Near-duplicate clustering: connected components over the similarity
     * graph, labels = smallest doc id reachable (the cluster's canonical

@@ -39,6 +39,37 @@ class MinhashExprSpec extends AnyFunSuite {
     assert(got.toSeq === want.toSeq)
   }
 
+  /** The pre-round-5 SimHash formulation, kept as the reference. */
+  private def relationalSimhash(df: org.apache.spark.sql.DataFrame) = {
+    val toks = df.select(col("id"),
+      explode(split(normText(col("text")), " ")).as("tok"))
+      .dropDuplicates("id", "tok")
+      .withColumn("h", hash60(col("tok")))
+    val bitCols = (0 until 60).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"c$b"))
+    val counted = toks.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), bitCols: _*)
+    val sig = (0 until 60).map(b =>
+      when(col(s"c$b") * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    counted.select(col("id"), sig.as("simhash"))
+  }
+
+  test("native simhash equals explode+vote groupBy on edge-case corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, ""),                           // empty -> single "" token
+      (1L, "tok"),                        // one token: all its bits win
+      (2L, "a a a b"),                    // duplicates must count once
+      (3L, "héllo wörld straße 世界 héllo"),
+      (4L, "the quick brown fox the lazy dog"),
+      (5L, "  MIXED   Case   mixed  ")    // normalization folds case/space
+    ).toDF("id", "text")
+    val got = Dedup.simhash(docs, "id", "text").orderBy("id").collect().toSeq
+    val want = relationalSimhash(docs).orderBy("id").collect().toSeq
+    assert(got === want)
+  }
+
   test("signature is a pure projection: plan has no shuffle") {
     import spark.implicits._
     val df = Seq((1L, "some document text here")).toDF("id", "text")

@@ -45,6 +45,8 @@ object TextQueries {
 
   private val NUM_HASHES = 8
   private val BANDS = 4
+  private val WinnowK = 8
+  private val WinnowW = 4
 
   // --- count-min sketch geometry (single source of truth for cms_sketch /
   // cms_estimate AND their SQL oracles — the cell hash must never drift) ---
@@ -112,6 +114,17 @@ object TextQueries {
       TextAnalysis.withFingerprint(docs(s, dir), "text")
         .select("doc_id", "fingerprint")
         .orderBy("doc_id")),
+    // winnowing fingerprints (MOSS selection): every 4-window's rightmost-
+    // minimum 8-gram hash — guarantees any ≥11-char match between two docs
+    // shares a fingerprint at ~2/5 the density of full shingling. One-pass
+    // native expression (monotone deque), no shuffle before the explode.
+    "text_winnow" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          explode(graft.functions.MinhashExpressions
+            .winnowNative(graft.functions.normText(col("text")),
+              WinnowK, WinnowW)).as("f"))
+        .select(col("doc_id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
+        .orderBy("doc_id", "pos")),
     // exact dedup by fingerprint: one survivor + duplicate count per group
     "dedup_exact" -> ((s, dir) =>
       Dedup.byFingerprint(docs(s, dir), "doc_id", "text")
@@ -605,6 +618,29 @@ object TextQueries {
     m += "dedup_exact" ->
       s"""SELECT md5($normSql) AS fingerprint, MIN(doc_id) AS doc_id,
          |COUNT(*) AS n_dups FROM documents GROUP BY 1 ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")
+
+    // winnowing: enumerate every w-window of gram hashes, rank by
+    // (hash ASC, pos DESC) for the rightmost-min rule, keep rank 1,
+    // DISTINCT across windows. Short docs: one whole-text gram (< k chars),
+    // one window over all grams (< w grams) — mirrored by least(...).
+    m += "text_winnow" ->
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS n FROM documents),
+         |grams AS (SELECT doc_id,
+         |  unnest(range(1, greatest(length(n) - $WinnowK + 1, 1) + 1)) AS pos,
+         |  n FROM nrm),
+         |gh AS (SELECT doc_id, pos,
+         |  ${hash60Sql(s"substr(n, CAST(pos AS INT), $WinnowK)")} AS h FROM grams),
+         |gc AS (SELECT doc_id, COUNT(*) AS g FROM gh GROUP BY doc_id),
+         |wins AS (SELECT doc_id,
+         |  unnest(range(1, greatest(g - $WinnowW + 1, 1) + 1)) AS s, g FROM gc),
+         |wg AS (SELECT w.doc_id, w.s, h.pos, h.h FROM wins w JOIN gh h
+         |  ON h.doc_id = w.doc_id AND h.pos >= w.s
+         |  AND h.pos < w.s + least($WinnowW, w.g)),
+         |sel AS (SELECT doc_id, s, pos, h, ROW_NUMBER() OVER (
+         |  PARTITION BY doc_id, s ORDER BY h ASC, pos DESC) AS r FROM wg)
+         |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp
+         |FROM sel WHERE r = 1 ORDER BY doc_id, pos"""
         .stripMargin.replace("\n", " ")
 
     // affine minhash family over one md5-derived base hash (matches

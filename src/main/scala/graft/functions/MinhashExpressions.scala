@@ -109,6 +109,72 @@ case class SimhashExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Winnowing fingerprints (the MOSS selection rule): hash every k-char
+  * gram of the normalized text, slide a window of `w` consecutive gram
+  * hashes, and select each window's RIGHTMOST minimum; the deduplicated
+  * selections are the document's fingerprints. Guarantees every match of
+  * length ≥ w+k-1 between two documents shares a fingerprint, at ~2/(w+1)
+  * the density of full shingling.
+  *
+  * One pass per row via a monotone deque (pop-back on `>=` implements the
+  * rightmost tie-break; selections are non-decreasing in position, so
+  * consecutive-duplicate suppression yields the distinct set in order).
+  * Gram hash = hash60 (first 15 md5 hex chars) — same portable hash as the
+  * shingle family, so the SQL oracle reproduces it exactly. Short texts
+  * (< k chars: one whole-text gram; < w grams: one window over all grams)
+  * degrade like [[CharShinglesExpr]]. Returns ARRAY<STRUCT<pos, fp>> with
+  * 1-based gram positions. */
+case class WinnowExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes() =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val win = if (s.length < k) s.length else k
+    val g = if (s.length < k) 1 else s.length - k + 1
+    val hs = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      md.reset()
+      val d = md.digest(s.substring(i, i + win)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var top = 0L
+      var b = 0
+      while (b < 8) { top = (top << 8) | (d(b) & 0xffL); b += 1 }
+      hs(i) = top >>> 4
+      i += 1
+    }
+    val ww = if (g < w) g else w
+    val dq = new java.util.ArrayDeque[Int]()
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var lastSel = -1
+    i = 0
+    while (i < g) {
+      while (!dq.isEmpty && hs(dq.peekLast) >= hs(i)) dq.pollLast()
+      dq.addLast(i)
+      while (dq.peekFirst < i - ww + 1) dq.pollFirst()
+      if (i >= ww - 1) {
+        val sel = dq.peekFirst
+        if (sel != lastSel) {
+          out += org.apache.spark.sql.catalyst.InternalRow((sel + 1).toLong, hs(sel))
+          lastSel = sel
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object MinhashExpressions {
   /** `numHashes` affine-family minima over `c`'s k-shingles, as
     * ARRAY<LONG>. `c` must already be normalized text ([[normText]]). */
@@ -119,4 +185,9 @@ object MinhashExpressions {
     * `c` must already be normalized text ([[normText]]). */
   def simhashNative(c: Column): Column =
     column(SimhashExpr(expression(c)))
+
+  /** Winnowing fingerprints of `c` (normalized text): ARRAY<STRUCT<pos, fp>>
+    * of each w-window's rightmost-minimum k-gram hash, deduplicated. */
+  def winnowNative(c: Column, k: Int, w: Int): Column =
+    column(WinnowExpr(expression(c), k, w))
 }

@@ -70,6 +70,49 @@ class MinhashExprSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("winnowing equals brute-force window enumeration, incl. hash ties") {
+    import spark.implicits._
+    val k = 4; val w = 3
+    val rng = new scala.util.Random(7)
+    // 2-letter alphabet -> repeated grams -> identical hashes, exercising
+    // the rightmost-min tie-break; plus the short/empty degenerate cases
+    val texts = Seq("", "ab", "aaaaaaaaaa") ++
+      Seq.fill(20)(Seq.fill(rng.nextInt(30) + 1)(
+        if (rng.nextBoolean()) 'a' else 'b').mkString)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+
+    def brute(t: String): Seq[(Long, Long)] = {
+      val n = t.trim.toLowerCase.replaceAll("\\s+", " ")
+      val win = if (n.length < k) n.length else k
+      val g = if (n.length < k) 1 else n.length - k + 1
+      val hs = (0 until g).map { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(n.substring(i, i + win).getBytes("UTF-8"))
+        (d.take(8).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))) >>> 4
+      }
+      val ww = if (g < w) g else w
+      (0 to g - ww).flatMap { s0 =>
+        val window = (s0 until s0 + ww).map(p => (hs(p), p))
+        // rightmost minimum: smallest hash, largest pos among equals
+        val sel = window.minBy { case (h, p) => (h, -p) }
+        Seq(((sel._2 + 1).toLong, sel._1))
+      }.distinct.sortBy(_._1)
+    }
+
+    val result = docs.select(col("id"),
+        explode(graft.functions.MinhashExpressions
+          .winnowNative(normText(col("text")), k, w)).as("f"))
+      .select(col("id"), col("f.pos"), col("f.fp"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.map(r => (r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1) }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(result.getOrElse(i.toLong, Seq.empty) === brute(t),
+        s"doc $i: '${t.take(20)}'")
+    }
+  }
+
   test("signature is a pure projection: plan has no shuffle") {
     import spark.implicits._
     val df = Seq((1L, "some document text here")).toDF("id", "text")

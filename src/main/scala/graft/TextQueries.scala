@@ -125,6 +125,35 @@ object TextQueries {
               WinnowK, WinnowW)).as("f"))
         .select(col("doc_id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
         .orderBy("doc_id", "pos")),
+    // winnow-powered near-dup candidates via the inverted-index join on the
+    // fingerprint (never a doc cross join), kept when the shared count is
+    // at least HALF the smaller document's fingerprint set — an integer-
+    // exact containment-{>=}0.5 test (shared·2 >= min(sz_a, sz_b)), robust
+    // where an absolute threshold drowns in the corpus's shared vocabulary.
+    // Same hot-key cap discipline as dedup_ngram_jaccard: fingerprints in
+    // > 100 docs are dropped, bounding every join group at 100² pair rows.
+    "dedup_winnow_pairs" -> ((s, dir) => {
+      val fps = docs(s, dir).select(col("doc_id"),
+          explode(graft.functions.MinhashExpressions
+            .winnowNative(graft.functions.normText(col("text")),
+              WinnowK, WinnowW)).as("f"))
+        .select(col("doc_id"), col("f.fp").as("fp"))
+        .dropDuplicates("doc_id", "fp")
+      val capped = fps.join(
+        fps.groupBy("fp").agg(count(lit(1)).as("_df"))
+          .where(col("_df") <= 100).select("fp"),
+        Seq("fp"), "left_semi")
+      val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      capped.as("a").join(capped.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+        .where(col("shared") * 2 >= least(col("sz_a"), col("sz_b")))
+        .select(col("id_a"), col("id_b"), col("shared"))
+        .orderBy("id_a", "id_b")
+    }),
     // exact dedup by fingerprint: one survivor + duplicate count per group
     "dedup_exact" -> ((s, dir) =>
       Dedup.byFingerprint(docs(s, dir), "doc_id", "text")
@@ -685,6 +714,36 @@ object TextQueries {
          |  (SUM(CASE WHEN o.owner < b.doc_id THEN 1 ELSE 0 END) = 0) AS kept
          |FROM banded b JOIN own o ON b.band = o.band AND b.bkey = o.bkey
          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin.replace("\n", " ")
+
+    // winnow near-dup candidates: DISTINCT (doc, fp) from the text_winnow
+    // selection, df<=100 cap, inverted-index self-join, shared >= 5
+    m += "dedup_winnow_pairs" ->
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS n FROM documents),
+         |grams AS (SELECT doc_id,
+         |  unnest(range(1, greatest(length(n) - $WinnowK + 1, 1) + 1)) AS pos,
+         |  n FROM nrm),
+         |gh AS (SELECT doc_id, pos,
+         |  ${hash60Sql(s"substr(n, CAST(pos AS INT), $WinnowK)")} AS h FROM grams),
+         |gc AS (SELECT doc_id, COUNT(*) AS g FROM gh GROUP BY doc_id),
+         |wins AS (SELECT doc_id,
+         |  unnest(range(1, greatest(g - $WinnowW + 1, 1) + 1)) AS s, g FROM gc),
+         |wg AS (SELECT w.doc_id, w.s, h.pos, h.h FROM wins w JOIN gh h
+         |  ON h.doc_id = w.doc_id AND h.pos >= w.s
+         |  AND h.pos < w.s + least($WinnowW, w.g)),
+         |sel AS (SELECT doc_id, s, pos, h, ROW_NUMBER() OVER (
+         |  PARTITION BY doc_id, s ORDER BY h ASC, pos DESC) AS r FROM wg),
+         |fps0 AS (SELECT DISTINCT doc_id, h AS fp FROM sel WHERE r = 1),
+         |fps AS (SELECT f.doc_id, f.fp FROM fps0 f JOIN (
+         |  SELECT fp FROM fps0 GROUP BY fp HAVING COUNT(*) <= 100) c
+         |  ON f.fp = c.fp),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM fps GROUP BY doc_id),
+         |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  COUNT(*) AS shared FROM fps a JOIN fps b
+         |  ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT s.id_a, s.id_b, s.shared FROM shared s
+         |JOIN sz za ON za.doc_id = s.id_a JOIN sz zb ON zb.doc_id = s.id_b
+         |WHERE s.shared * 2 >= least(za.sz, zb.sz)
+         |ORDER BY s.id_a, s.id_b""".stripMargin.replace("\n", " ")
 
     // same df<=100 hot-shingle cap as the Spark side, applied before both
     // the intersection join and the set sizes

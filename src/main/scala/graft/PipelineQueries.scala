@@ -54,10 +54,7 @@ object PipelineQueries {
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", priorShuffle)
       s.catalog.dropTempView(name) // no-op (false) if start() failed early
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      IoUtil.deleteRecursively(ckpt)
     }
   }
 

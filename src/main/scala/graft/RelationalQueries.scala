@@ -938,10 +938,7 @@ object RelationalQueries {
       } finally {
         s.sql(s"DROP TABLE IF EXISTS $liT")
         s.sql(s"DROP TABLE IF EXISTS $ordT")
-        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(base))
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
+        IoUtil.deleteRecursively(base)
       }
     }),
     // bounded top-k per group via a typed Aggregator: map-side partial

@@ -48,6 +48,27 @@ object TextQueries {
   private val WinnowK = 8
   private val WinnowW = 4
 
+  /** The ONE SQL definition of the winnowing selection (k-gram hashes →
+    * w-windows → rightmost-min rank) — shared by the text_winnow and
+    * dedup_winnow_pairs oracles so the tie-break/window-bound rules cannot
+    * drift between them. Ends in `sel`; consumers filter `r = 1`. */
+  private lazy val winnowSelSql =
+    s"""nrm AS (SELECT doc_id, $normSql AS n FROM documents),
+       |grams AS (SELECT doc_id,
+       |  unnest(range(1, greatest(length(n) - $WinnowK + 1, 1) + 1)) AS pos,
+       |  n FROM nrm),
+       |gh AS (SELECT doc_id, pos,
+       |  ${hash60Sql(s"substr(n, CAST(pos AS INT), $WinnowK)")} AS h FROM grams),
+       |gc AS (SELECT doc_id, COUNT(*) AS g FROM gh GROUP BY doc_id),
+       |wins AS (SELECT doc_id,
+       |  unnest(range(1, greatest(g - $WinnowW + 1, 1) + 1)) AS s, g FROM gc),
+       |wg AS (SELECT w.doc_id, w.s, h.pos, h.h FROM wins w JOIN gh h
+       |  ON h.doc_id = w.doc_id AND h.pos >= w.s
+       |  AND h.pos < w.s + least($WinnowW, w.g)),
+       |sel AS (SELECT doc_id, s, pos, h, ROW_NUMBER() OVER (
+       |  PARTITION BY doc_id, s ORDER BY h ASC, pos DESC) AS r FROM wg)"""
+      .stripMargin.replace("\n", " ")
+
   // --- count-min sketch geometry (single source of truth for cms_sketch /
   // cms_estimate AND their SQL oracles — the cell hash must never drift) ---
   private val CmsDepth = 4
@@ -139,10 +160,14 @@ object TextQueries {
               WinnowK, WinnowW)).as("f"))
         .select(col("doc_id"), col("f.fp").as("fp"))
         .dropDuplicates("doc_id", "fp")
+      // materialize once: the capped fingerprint set feeds sizes + both
+      // self-join sides, and without this each site re-runs the winnow
+      // pass (one md5 per character position of every document) — same
+      // pattern as minhashCandidates' checkpointed signature frame
       val capped = fps.join(
         fps.groupBy("fp").agg(count(lit(1)).as("_df"))
           .where(col("_df") <= 100).select("fp"),
-        Seq("fp"), "left_semi")
+        Seq("fp"), "left_semi").localCheckpoint(true)
       val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       capped.as("a").join(capped.as("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -654,20 +679,7 @@ object TextQueries {
     // DISTINCT across windows. Short docs: one whole-text gram (< k chars),
     // one window over all grams (< w grams) — mirrored by least(...).
     m += "text_winnow" ->
-      s"""WITH nrm AS (SELECT doc_id, $normSql AS n FROM documents),
-         |grams AS (SELECT doc_id,
-         |  unnest(range(1, greatest(length(n) - $WinnowK + 1, 1) + 1)) AS pos,
-         |  n FROM nrm),
-         |gh AS (SELECT doc_id, pos,
-         |  ${hash60Sql(s"substr(n, CAST(pos AS INT), $WinnowK)")} AS h FROM grams),
-         |gc AS (SELECT doc_id, COUNT(*) AS g FROM gh GROUP BY doc_id),
-         |wins AS (SELECT doc_id,
-         |  unnest(range(1, greatest(g - $WinnowW + 1, 1) + 1)) AS s, g FROM gc),
-         |wg AS (SELECT w.doc_id, w.s, h.pos, h.h FROM wins w JOIN gh h
-         |  ON h.doc_id = w.doc_id AND h.pos >= w.s
-         |  AND h.pos < w.s + least($WinnowW, w.g)),
-         |sel AS (SELECT doc_id, s, pos, h, ROW_NUMBER() OVER (
-         |  PARTITION BY doc_id, s ORDER BY h ASC, pos DESC) AS r FROM wg)
+      s"""WITH $winnowSelSql
          |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp
          |FROM sel WHERE r = 1 ORDER BY doc_id, pos"""
         .stripMargin.replace("\n", " ")
@@ -718,20 +730,7 @@ object TextQueries {
     // winnow near-dup candidates: DISTINCT (doc, fp) from the text_winnow
     // selection, df<=100 cap, inverted-index self-join, shared >= 5
     m += "dedup_winnow_pairs" ->
-      s"""WITH nrm AS (SELECT doc_id, $normSql AS n FROM documents),
-         |grams AS (SELECT doc_id,
-         |  unnest(range(1, greatest(length(n) - $WinnowK + 1, 1) + 1)) AS pos,
-         |  n FROM nrm),
-         |gh AS (SELECT doc_id, pos,
-         |  ${hash60Sql(s"substr(n, CAST(pos AS INT), $WinnowK)")} AS h FROM grams),
-         |gc AS (SELECT doc_id, COUNT(*) AS g FROM gh GROUP BY doc_id),
-         |wins AS (SELECT doc_id,
-         |  unnest(range(1, greatest(g - $WinnowW + 1, 1) + 1)) AS s, g FROM gc),
-         |wg AS (SELECT w.doc_id, w.s, h.pos, h.h FROM wins w JOIN gh h
-         |  ON h.doc_id = w.doc_id AND h.pos >= w.s
-         |  AND h.pos < w.s + least($WinnowW, w.g)),
-         |sel AS (SELECT doc_id, s, pos, h, ROW_NUMBER() OVER (
-         |  PARTITION BY doc_id, s ORDER BY h ASC, pos DESC) AS r FROM wg),
+      s"""WITH $winnowSelSql,
          |fps0 AS (SELECT DISTINCT doc_id, h AS fp FROM sel WHERE r = 1),
          |fps AS (SELECT f.doc_id, f.fp FROM fps0 f JOIN (
          |  SELECT fp FROM fps0 GROUP BY fp HAVING COUNT(*) <= 100) c

@@ -43,9 +43,26 @@ object Dedup {
                         k: Int = 5, numHashes: Int = 16): DataFrame = {
     val sig = graft.functions.MinhashExpressions
       .minhashSigNative(normText(col(textCol)), k, numHashes)
-    df.select(col(idCol), sig.as("_sig"))
+    // null-text rows must VANISH (the old explode+groupBy contract; a null
+    // row would otherwise carry an all-null signature into every band
+    // bucket and pair with every other null-text doc)
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), sig.as("_sig"))
       .select(col(idCol) +: (0 until numHashes).map(i =>
         element_at(col("_sig"), i + 1).as(s"h$i")): _*)
+  }
+
+  /** Banded LSH key columns over a signature frame's h0..h{n-1} columns —
+    * the ONE definition of the bucket-key format (band index + "_"-joined
+    * row hashes); batch candidates, streaming dedup, and the SQL oracles'
+    * bandKeys must all stay bit-identical to it. */
+  private def bandKeyCols(numHashes: Int, bands: Int): Seq[Column] = {
+    val rowsPerBand = numHashes / bands
+    (0 until bands).map { b =>
+      struct(lit(b).as("band"), concat_ws("_",
+        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+        .as("bkey"))
+    }
   }
 
   /** MinHash LSH candidate pairs: signatures banded `bands` ways; docs sharing
@@ -54,7 +71,6 @@ object Dedup {
     * fraction of matching minhash components. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val rowsPerBand = numHashes / bands
     // one row per doc × numHashes longs — tiny relative to the corpus;
     // eagerly materialized so the shingle+minhash pass runs once, not once
     // per consumer (banded keys + both sides of the signature join), with
@@ -62,13 +78,9 @@ object Dedup {
     // frame is dropped
     val sig = minhashSignatures(df, idCol, textCol, k, numHashes)
       .localCheckpoint(true)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
-          .as("key"))
-    }
-    val banded = sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("bkey"))
+    val banded = sig.select(col(idCol),
+        explode(array(bandKeyCols(numHashes, bands): _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     val a = banded.as("a"); val b = banded.as("b")
     val pairs = a.join(b,
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -93,15 +105,10 @@ object Dedup {
     * state). Emits one row per (doc, band). */
   def minhashBandKeys(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val rowsPerBand = numHashes / bands
     val sig = minhashSignatures(df, idCol, textCol, k, numHashes)
       .withColumn("doc_id", col(idCol).cast("long"))
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"), concat_ws("_",
-        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
-        .as("bkey"))
-    }
-    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    sig.select(col("doc_id"),
+        explode(array(bandKeyCols(numHashes, bands): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
@@ -184,9 +191,11 @@ object Dedup {
     * relational form shuffled every (doc, token) row twice (dropDuplicates
     * then the vote groupBy). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
-      graft.functions.MinhashExpressions
-        .simhashNative(normText(col(textCol))).as("simhash"))
+    // null-text rows vanish, matching the old explode-form contract
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.MinhashExpressions
+          .simhashNative(normText(col(textCol))).as("simhash"))
 
   /** Near-duplicate clustering: connected components over the similarity
     * graph, labels = smallest doc id reachable (the cluster's canonical

@@ -55,10 +55,7 @@ class BucketedJoinSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", priorOrd)
       spark.sql("DROP TABLE IF EXISTS facts_bkt")
       spark.sql("DROP TABLE IF EXISTS dims_bkt")
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(base))
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      graft.IoUtil.deleteRecursively(base)
     }
   }
 }

@@ -72,6 +72,33 @@ object Graft {
               queries: DataFrame, k: Int): DataFrame =
     Similarity.bruteForceTopK(corpus, id, vec, queries, id, vec, k)
 
+  /** Winnowing fingerprints (MOSS selection): one (pos, fp) row per selected
+    * k-gram — the substring-match primitive behind overlap detection. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode}
+    df.select(col(idCol),
+        explode(functions.MinhashExpressions
+          .winnowNative(functions.normText(col(textCol)), k, w)).as("f"))
+      .select(col(idCol), col("f.pos").as("pos"), col("f.fp").as("fp"))
+  }
+
+  /** Cross-batch STREAMING near-dup dedup: stateless per-row MinHash band
+    * keys + a keyed first-owner stage; feed a streaming (id, text) frame,
+    * get (doc_id, band, owner) per arrival (owner == doc_id on every band
+    * ⇔ the doc is a keeper). */
+  def streamingNearDupOwners(streamDf: DataFrame, idCol: String,
+                             textCol: String): DataFrame =
+    Dedup.streamingMinhashOwners(
+      Dedup.minhashBandKeys(streamDf, idCol, textCol, k = 5,
+        numHashes = 8, bands = 4))
+
+  /** Write a table bucketed+sorted on `key` so every later equi-join or
+    * aggregation on it is shuffle-free (see [[Bucketing.writeBucketed]]). */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    key: String, buckets: Int): Unit =
+    Bucketing.writeBucketed(df, table, path, key, buckets)
+
   /** SemDeDup-style semantic dedup: exact cosine confined to deterministic
     * IVF centroid clusters; returns (id, cluster_id, kept). Eager — runs a
     * job to pin the cluster assignment. */

@@ -27,7 +27,7 @@ object Bench {
     "multimodal_meta", "asof_purchase", "events_tumbling", "events_ranks",
     "sky4d_lineitem", "sky2d_plan",
     "text_pii_scrub", "text_top_terms", "text_winnow", "dedup_winnow_pairs",
-    "sample_stratified",
+    "dedup_jaccard_prefix", "sample_stratified",
     "events_quantiles", "hist_quantiles", "q_cube", "sky_skyband",
     "asof_next_error",
     "events_hopping", "q_grouping_sets", "events_pivot", "events_unpivot",

@@ -203,6 +203,14 @@ object TextQueries {
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 5,
           threshold = 0.35, maxDocFreq = 100)
         .orderBy("id_a", "id_b")),
+    // exact jaccard>=0.8 pairs through PREFIX filtering: candidates come
+    // from the rarest-first ~20% prefix inverted index only (PPJoin), then
+    // exact verification — the oracle is dedup_ngram_jaccard's SQL with
+    // the 0.8 threshold, so the gate proves the filter drops nothing
+    "dedup_jaccard_prefix" -> ((s, dir) =>
+      Dedup.ngramJaccardPrefix(docs(s, dir), "doc_id", "text", k = 5,
+          threshold = 0.8, maxDocFreq = 100)
+        .orderBy("id_a", "id_b")),
     // near-dup clustering: connected components (min-label propagation) over
     // the jaccard>=0.35 similarity graph; cluster_id = canonical (min) doc
     "dedup_clusters" -> ((s, dir) => {
@@ -760,6 +768,11 @@ object TextQueries {
          |FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
          |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.35
          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
+    // prefix filtering is a Spark-side candidate-pruning optimization; the
+    // semantics (and thus the oracle) are dedup_ngram_jaccard at t = 0.8 —
+    // derived from the one SQL source so the formulations cannot drift
+    m += "dedup_jaccard_prefix" -> m("dedup_ngram_jaccard").replace("0.35", "0.8")
 
     m += "dedup_clusters" ->
       s"""WITH RECURSIVE sh AS ($shinglesSql),

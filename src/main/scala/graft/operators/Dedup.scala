@@ -184,6 +184,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact n-gram Jaccard join via PREFIX FILTERING (PPJoin-style) — the
+    * standard scale technique for similarity joins. Each document's
+    * (capped) shingle set is ordered by (document frequency ASC, shingle
+    * ASC) — rarest first — and only the first `sz − ⌈t·sz⌉ + 1` shingles
+    * form its PREFIX. Two sets with jaccard ≥ t must share a prefix
+    * element under any common total order, so candidate pairs are
+    * enumerated from the prefix inverted index only (rare shingles →
+    * tiny join groups) and then verified with the exact intersection
+    * count. Returns exactly [[ngramJaccardPairs]]' result — the oracle
+    * gate proves the filter loses nothing. The only windows are per-doc
+    * (rank within document); no global sort anywhere. */
+  def ngramJaccardPrefix(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, threshold: Double = 0.8,
+                         maxDocFreq: Int = 100): DataFrame = {
+    require(threshold == 0.8,
+      "prefix length uses exact integer math for t = 4/5; generalize " +
+        "the ceil expression before changing the threshold")
+    val shAll = df.select(col(idCol).as("id"),
+        explode(charShingles(col(textCol), k)).as("shingle"))
+      .dropDuplicates("id", "shingle")
+    val dfs = shAll.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+    // materialize once: feeds sizes, the prefix window, and both exact-
+    // verify sides (same discipline as minhashCandidates' signature frame)
+    val sh = shAll.join(dfs.where(col("sdf") <= maxDocFreq), "shingle")
+      .localCheckpoint(true)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val w = Window.partitionBy("id").orderBy(col("sdf"), col("shingle"))
+    // prefix length = sz − ⌈0.8·sz⌉ + 1 (≈ 20% of the set at t = 0.8 —
+    // where prefix filtering actually pays; at low thresholds the prefix
+    // approaches the whole set and the filter buys nothing), with the ceil
+    // as exact integer arithmetic: ⌈4·sz / 5⌉ = (4·sz + 4) div 5
+    val pref = sh.withColumn("p", row_number().over(w))
+      .join(sizes, "id")
+      .where(col("p") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
+      .select(col("id"), col("shingle"))
+    val cands = pref.as("a").join(pref.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // exact verification: explode each candidate pair to id_a's shingles,
+    // inner-join id_b's — rows = |intersection| per pair, bounded by the
+    // candidate count (never all-pairs)
+    val common = cands
+      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of the
     * hash60 of each distinct token (bits 0..59). Computed per-row by the
     * native [[graft.functions.SimhashExpr]] (distinct via hash set, one md5

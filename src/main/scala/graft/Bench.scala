@@ -226,11 +226,15 @@ object Bench {
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
     // "<name>__rep" = second-run timing of that workload (slowest-10
-    // variance signal); total_sec covers first runs only
+    // variance signal); total_sec covers first runs only. A filtered
+    // (SPARK_GRAFT_ONLY) diagnostic run writes to a SEPARATE file — it
+    // must never clobber the last full-sweep snapshot that README/PLANS
+    // cite (which is exactly what happened once in round 5).
     val fullJson = (results.map { case (k, v) => s"""  "$k": $v""" } ++
       repeats.map { case (k, v) => s"""  "${k}__rep": $v""" })
       .mkString(s"""{\n  "total_sec": $total,\n  "sf": $sfNum,\n""", ",\n", "\n}\n")
-    val fw = new java.io.PrintWriter("BENCH_FULL.json")
+    val outFile = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_ONLY.json"
+    val fw = new java.io.PrintWriter(outFile)
     try fw.write(fullJson) finally fw.close()
 
     // 3-significant-figure seconds: enough to compare rounds, short enough
@@ -247,7 +251,7 @@ object Bench {
       val qs = keep.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        s""""sf":$sfNum,"omitted":$omitted,"detail":"BENCH_FULL.json"}"""
+        s""""sf":$sfNum,"omitted":$omitted,"detail":"$outFile"}"""
     }
     // trim shortest catalog timings first (reference workloads are the
     // BASELINE.md comparison and always stay) until the line fits

@@ -753,8 +753,11 @@ object TextQueries {
          |ORDER BY s.id_a, s.id_b""".stripMargin.replace("\n", " ")
 
     // same df<=100 hot-shingle cap as the Spark side, applied before both
-    // the intersection join and the set sizes
-    m += "dedup_ngram_jaccard" ->
+    // the intersection join and the set sizes. ONE parameterized builder
+    // serves both thresholds — dedup_ngram_jaccard (0.35) and
+    // dedup_jaccard_prefix (0.8, whose Spark side prunes candidates with
+    // the prefix filter but must return identical pairs)
+    def jaccardSql(threshold: String): String =
       s"""WITH sh0 AS ($shinglesSql),
          |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN (
          |  SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 100) f
@@ -766,13 +769,10 @@ object TextQueries {
          |SELECT id_a, id_b,
          |  CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
          |FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-         |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.35
+         |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= $threshold
          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
-
-    // prefix filtering is a Spark-side candidate-pruning optimization; the
-    // semantics (and thus the oracle) are dedup_ngram_jaccard at t = 0.8 —
-    // derived from the one SQL source so the formulations cannot drift
-    m += "dedup_jaccard_prefix" -> m("dedup_ngram_jaccard").replace("0.35", "0.8")
+    m += "dedup_ngram_jaccard" -> jaccardSql("0.35")
+    m += "dedup_jaccard_prefix" -> jaccardSql("0.8")
 
     m += "dedup_clusters" ->
       s"""WITH RECURSIVE sh AS ($shinglesSql),

@@ -33,7 +33,7 @@ case class MinhashSigExpr(child: Expression, k: Int, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes() =
-    if (child.dataType == org.apache.spark.sql.types.StringType)
+    if (child.dataType.isInstanceOf[org.apache.spark.sql.types.StringType])
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"requires STRING input, got ${child.dataType.catalogString}")
@@ -80,7 +80,7 @@ case class SimhashExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def checkInputDataTypes() =
-    if (child.dataType == org.apache.spark.sql.types.StringType)
+    if (child.dataType.isInstanceOf[org.apache.spark.sql.types.StringType])
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"requires STRING input, got ${child.dataType.catalogString}")
@@ -138,7 +138,7 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
       org.apache.spark.sql.types.StructField("fp", LongType, nullable = false))),
     containsNull = false)
   override def checkInputDataTypes() =
-    if (child.dataType == org.apache.spark.sql.types.StringType)
+    if (child.dataType.isInstanceOf[org.apache.spark.sql.types.StringType])
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"requires STRING input, got ${child.dataType.catalogString}")

@@ -23,7 +23,7 @@ case class CharShinglesExpr(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes() =
-    if (child.dataType == org.apache.spark.sql.types.StringType)
+    if (child.dataType.isInstanceOf[org.apache.spark.sql.types.StringType])
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"requires STRING input, got ${child.dataType.catalogString}")

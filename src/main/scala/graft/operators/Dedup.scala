@@ -153,13 +153,33 @@ object Dedup {
     * over the filtered shingle sets — a well-defined, oracle-mirrorable
     * semantic), bounding every join group at maxDocFreq² rows. The default
     * keeps the unfiltered exact semantics. */
+  /** Distinct (id, shingle) rows — the set representation both jaccard
+    * joins build on. Distinct via shuffle (hash-based), not array_distinct
+    * (quadratic scan per row). */
+  private def distinctShingles(df: DataFrame, idCol: String, textCol: String,
+                               k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(charShingles(col(textCol), k)).as("shingle"))
+      .dropDuplicates("id", "shingle")
+
+  /** Shared verification tail: exact jaccard from per-pair intersection
+    * counts + per-doc set sizes, thresholded. BOTH jaccard joins end here —
+    * the formula and comparison exist exactly once, which is what keeps
+    * the prefix-filtered variant provably equal to the plain one. */
+  private def jaccardFromCommon(common: DataFrame, sizes: DataFrame,
+                                threshold: Double): DataFrame =
+    common
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, threshold: Double = 0.0,
                         maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    // distinct via shuffle (hash-based), not array_distinct (quadratic scan)
-    val shAll = df.select(col(idCol).as("id"),
-      explode(charShingles(col(textCol), k)).as("shingle"))
-      .dropDuplicates("id", "shingle")
+    val shAll = distinctShingles(df, idCol, textCol, k)
     // On the capped path, materialize the filtered shingle set eagerly: it
     // feeds sizes plus BOTH sides of the intersection join, and without
     // materialization the df-aggregation + semi-join would re-execute per
@@ -175,13 +195,7 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    jaccardFromCommon(common, sizes, threshold)
   }
 
   /** Exact n-gram Jaccard join via PREFIX FILTERING (PPJoin-style) — the
@@ -201,9 +215,7 @@ object Dedup {
     require(threshold == 0.8,
       "prefix length uses exact integer math for t = 4/5; generalize " +
         "the ceil expression before changing the threshold")
-    val shAll = df.select(col(idCol).as("id"),
-        explode(charShingles(col(textCol), k)).as("shingle"))
-      .dropDuplicates("id", "shingle")
+    val shAll = distinctShingles(df, idCol, textCol, k)
     val dfs = shAll.groupBy("shingle").agg(count(lit(1)).as("sdf"))
     // materialize once: feeds sizes, the prefix window, and both exact-
     // verify sides (same discipline as minhashCandidates' signature frame)
@@ -231,13 +243,7 @@ object Dedup {
       .join(sh.select(col("id").as("id_b"), col("shingle")),
         Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    jaccardFromCommon(common, sizes, threshold)
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of the

@@ -85,12 +85,13 @@ object Graft {
 
   /** Cross-batch STREAMING near-dup dedup: stateless per-row MinHash band
     * keys + a keyed first-owner stage; feed a streaming (id, text) frame,
-    * get (doc_id, band, owner) per arrival. Owners are FIRST-ARRIVAL
-    * minima: "owner == doc_id on every band ⇔ keeper" equals the batch
-    * keep-first (lowest-id) verdict only when docs arrive in id order;
-    * under out-of-order arrival the verdict is keep-first-SEEN — the
-    * deduplication is still exact, but the surviving representative of a
-    * near-dup group is the earliest arrival, not the lowest id. */
+    * get (doc_id, band, owner) per arrival. Owners are FIRST-SEEN ids:
+    * "owner == doc_id on every band ⇔ keeper" equals the batch keep-first
+    * (lowest-id) verdict when docs arrive in id order; under out-of-order
+    * arrival the verdict is keep-first-SEEN — the deduplication is still
+    * exact (one keeper per bucket-connected group, enforced by
+    * MinhashStreamOrderSpec), but the surviving representative is the
+    * earliest arrival, not the lowest id. */
   def streamingNearDupOwners(streamDf: DataFrame, idCol: String,
                              textCol: String): DataFrame =
     Dedup.streamingMinhashOwners(

@@ -238,9 +238,12 @@ object PipelineQueries {
     // stateless per-row projection (Dedup.minhashBandKeys — no shuffle, so
     // it runs on the stream directly), then one keyed stateful stage tracks
     // each band bucket's first owner across micro-batches. Docs arrive in
-    // id order over TWO batches; a doc is kept iff none of its bands had an
-    // earlier owner — which must equal the batch keep-first LSH verdict
-    // (same oracle family as dedup_minhash_pairs).
+    // id order over TWO batches; a doc is kept iff it owns every band it
+    // lands in (owner ≠ self on any band ⇒ near-dup). In id order
+    // first-seen = lowest-id, so this must equal the batch keep-first LSH
+    // verdict (same oracle family as dedup_minhash_pairs; the oracle's
+    // `owner < doc_id` test coincides because owners are prefix minima
+    // there). MinhashStreamOrderSpec pins the out-of-order behavior.
     "stream_dedup_minhash" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
@@ -259,7 +262,7 @@ object PipelineQueries {
         src.addData(b2.toIndexedSeq)
         q.processAllAvailable()
       }.groupBy("doc_id")
-        .agg((sum(when(col("owner") < col("doc_id"), 1).otherwise(0)) === 0)
+        .agg((sum(when(col("owner") =!= col("doc_id"), 1).otherwise(0)) === 0)
           .as("kept"))
         .orderBy("doc_id")
     }),

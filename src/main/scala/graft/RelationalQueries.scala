@@ -748,6 +748,22 @@ object RelationalQueries {
         pairs, "o_custkey", "l_suppkey")
       graft.operators.Graph.pageRank(edges, iterations = 3).orderBy("id")
     }),
+    // general-DIGRAPH PageRank with dangling-mass redistribution: the
+    // trade graph kept DIRECTED (customer → supplier), so every supplier
+    // is a sink (absorbs rank, no out-edges) and every customer a pure
+    // source (no in-edges) — the two shapes pageRank's undirected fast
+    // path rejects. The per-round dangling sum is Q30-quantized like the
+    // contributions, keeping the 3-round rank vector bit-identical to the
+    // unrolled SQL under the exact-hash gate.
+    "graph_pagerank_digraph" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.operators.Graph.pageRankDigraph(edges, iterations = 3)
+        .orderBy("id")
+    }),
     // MapType surface: parse the props JSON into a map column and explode it
     // to (event_id, key, val) rows — the schema-on-read path for ragged
     // metadata (keys unknown at write time). Pure per-row work, no shuffle.
@@ -1472,6 +1488,43 @@ object RelationalQueries {
          |${iter(3)}
          |SELECT r3.id, r3.rank, d.deg FROM r3 JOIN deg d ON r3.id = d.src
          |ORDER BY id""".stripMargin.replace("\n", " ")
+    },
+    "graph_pagerank_digraph" -> {
+      // unrolled digraph rounds: dangling sum d_i (Q30-quantized over the
+      // sinks), contributions c_i, per-dst sums s_i, then the LEFT-join
+      // rank update over the full vertex frame. Same DECIMAL-literal trap
+      // as graph_pagerank: every double-arithmetic literal CAST AS DOUBLE;
+      // IEEE term order mirrors the Column expression left-to-right.
+      def iter(i: Int): String =
+        s"""d$i AS (SELECT COALESCE(SUM(CAST(floor(rank * 1073741824.0)
+           |    AS BIGINT)), 0) AS dq FROM r${i - 1} WHERE deg = 0),
+           |c$i AS (SELECT e.dst,
+           |  CAST(floor(r.rank / r.deg * 1073741824.0) AS BIGINT) AS q
+           |  FROM edges e JOIN r${i - 1} r ON e.src = r.id),
+           |s$i AS (SELECT dst, SUM(q) AS sq FROM c$i GROUP BY dst),
+           |r$i AS (SELECT v.id,
+           |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n +
+           |    CAST(0.85 AS DOUBLE) *
+           |    (CAST(COALESCE(s.sq, 0) AS DOUBLE) / 1073741824.0) +
+           |    CAST(0.85 AS DOUBLE) *
+           |    (CAST(d.dq AS DOUBLE) / 1073741824.0) / nn.n AS rank,
+           |  v.deg
+           |  FROM vdeg v LEFT JOIN s$i s ON v.id = s.dst, d$i d, nn)"""
+      s"""WITH edges AS (SELECT DISTINCT o_custkey * 2 AS src,
+         |  l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |vdeg AS (SELECT v.id, COALESCE(o.deg, 0) AS deg FROM
+         |  (SELECT DISTINCT id FROM (SELECT src AS id FROM edges
+         |    UNION ALL SELECT dst FROM edges)) v
+         |  LEFT JOIN outdeg o ON v.id = o.src),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vdeg),
+         |r0 AS (SELECT id, 1.0 / nn.n AS rank, deg FROM vdeg, nn),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT id, rank, deg FROM r3 ORDER BY id"""
+        .stripMargin.replace("\n", " ")
     },
     "events_props_map" ->
       """SELECT event_id, k.key AS key,

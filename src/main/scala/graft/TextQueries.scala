@@ -736,7 +736,9 @@ object TextQueries {
          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin.replace("\n", " ")
 
     // winnow near-dup candidates: DISTINCT (doc, fp) from the text_winnow
-    // selection, df<=100 cap, inverted-index self-join, shared >= 5
+    // selection, df<=100 cap, inverted-index self-join, kept when the
+    // shared count covers >= half the smaller fingerprint set
+    // (containment test: shared*2 >= least(sz_a, sz_b))
     m += "dedup_winnow_pairs" ->
       s"""WITH $winnowSelSql,
          |fps0 AS (SELECT DISTINCT doc_id, h AS fp FROM sel WHERE r = 1),

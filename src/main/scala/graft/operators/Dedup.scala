@@ -113,14 +113,17 @@ object Dedup {
   }
 
   /** Cross-batch streaming MinHash near-dup, stateful stage: keyed by
-    * (band, bkey), state = the lowest doc id ever seen in that bucket. Each
-    * arriving (doc, band) row emits the bucket's first owner AS OF that
-    * arrival (batch-internal rows processed in doc-id order, so the emitted
-    * owner is the running prefix minimum). A doc is a near-dup iff ANY of
-    * its bands had an earlier owner — when sources feed docs in id order,
-    * the per-arrival verdict equals the batch keep-first verdict, which is
-    * what the oracle gate proves. State is one long per distinct band
-    * bucket, the same key space the batch LSH join shuffles on. */
+    * (band, bkey), state = the FIRST doc id ever seen in that bucket (its
+    * owner forever — batch-internal arrival order is undefined, so rows are
+    * processed in doc-id order to keep the choice deterministic). The
+    * verdict is keep-first-SEEN: a doc is a near-dup iff ANY of its bands
+    * emits an owner ≠ itself — exact under arbitrary arrival order (exactly
+    * one keeper per bucket-connected group; a late LOW id is still flagged
+    * because its owner is the earlier-arrived higher id, which `owner <
+    * doc_id` would miss). When sources feed docs in id order, first-seen =
+    * lowest-id, so the verdict equals the batch keep-first verdict — what
+    * the oracle gate proves. State is one long per distinct band bucket,
+    * the same key space the batch LSH join shuffles on. */
   def streamingMinhashOwners(banded: DataFrame): DataFrame = {
     val spark = banded.sparkSession
     import spark.implicits._
@@ -131,12 +134,12 @@ object Dedup {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: (Int, String), it: Iterator[(Int, String, Long)],
          state: org.apache.spark.sql.streaming.GroupState[Long]) =>
-          var cur = state.getOption.getOrElse(Long.MaxValue)
+          var cur = state.getOption
           val out = it.toIndexedSeq.sortBy(_._3).map { case (band, _, id) =>
-            cur = math.min(cur, id)
-            (id, band, cur)
+            if (cur.isEmpty) cur = Some(id)
+            (id, band, cur.get)
           }
-          state.update(cur)
+          cur.foreach(state.update)
           out.iterator
       }.toDF("doc_id", "band", "owner")
   }
@@ -206,15 +209,17 @@ object Dedup {
     * element under any common total order, so candidate pairs are
     * enumerated from the prefix inverted index only (rare shingles →
     * tiny join groups) and then verified with the exact intersection
-    * count. Returns exactly [[ngramJaccardPairs]]' result — the oracle
+    * count. Returns exactly [[ngramJaccardPairs]]' result FOR MATCHING
+    * (k, threshold, maxDocFreq) arguments — note the defaults differ
+    * (maxDocFreq = 100 here vs uncapped there), so call both with
+    * explicit caps when comparing, as JaccardPrefixSpec does; the oracle
     * gate proves the filter loses nothing. The only windows are per-doc
     * (rank within document); no global sort anywhere. */
   def ngramJaccardPrefix(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 5, threshold: Double = 0.8,
                          maxDocFreq: Int = 100): DataFrame = {
-    require(threshold == 0.8,
-      "prefix length uses exact integer math for t = 4/5; generalize " +
-        "the ceil expression before changing the threshold")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
     val shAll = distinctShingles(df, idCol, textCol, k)
     val dfs = shAll.groupBy("shingle").agg(count(lit(1)).as("sdf"))
     // materialize once: feeds sizes, the prefix window, and both exact-
@@ -223,13 +228,19 @@ object Dedup {
       .localCheckpoint(true)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val w = Window.partitionBy("id").orderBy(col("sdf"), col("shingle"))
-    // prefix length = sz − ⌈0.8·sz⌉ + 1 (≈ 20% of the set at t = 0.8 —
+    // prefix length = sz − ⌈t·sz⌉ + 1 (≈ 20% of the set at t = 0.8 —
     // where prefix filtering actually pays; at low thresholds the prefix
-    // approaches the whole set and the filter buys nothing), with the ceil
-    // as exact integer arithmetic: ⌈4·sz / 5⌉ = (4·sz + 4) div 5
+    // approaches the whole set and the filter buys nothing). The ceil must
+    // be EXACT: double math rounds ⌈0.8·5⌉ up to 5 (0.8 is not a binary
+    // fraction), shrinking the prefix and silently dropping pairs. So t is
+    // snapped to the rational num/10⁶ (exact for any 6-decimal threshold)
+    // and the ceil is pure integer arithmetic: ⌈num·sz/10⁶⌉ =
+    // (num·sz + 10⁶ − 1) div 10⁶ — num·sz ≤ 10⁶·|shingles| fits a long.
+    val num = math.round(threshold * 1000000L)
     val pref = sh.withColumn("p", row_number().over(w))
       .join(sizes, "id")
-      .where(col("p") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
+      .where(col("p") <=
+        col("sz") - expr(s"($num * sz + 999999) div 1000000") + 1)
       .select(col("id"), col("shingle"))
     val cands = pref.as("a").join(pref.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))

@@ -53,8 +53,13 @@ object Graph {
   }
 
   /** PageRank with damping `d` over a pre-expanded directed edge list.
-    * Every vertex must appear as a `src` (true for undirected expansions;
-    * for general digraphs add self-loops or handle dangling mass first).
+    * Every vertex must appear as a `src` — ENFORCED with one up-front
+    * anti-join probe, because a violation is not an error message
+    * downstream, it is silently leaked rank mass (sink vertices absorb and
+    * never redistribute; vertices with no in-edges vanish from the rank
+    * frame after round 1). True for undirected expansions — the intended
+    * input; for a general digraph use [[pageRankDigraph]], which carries
+    * the full vertex set and redistributes dangling mass per round.
     *
     * Returns (id, rank, deg) — `rank` is the value after `iterations`
     * rounds from the uniform start, bit-reproducible per the Q30 contract.
@@ -84,6 +89,15 @@ object Graph {
     try {
       // |V| — the one driver-side scalar (needed inside the next literal)
       val n = deg.count().toDouble
+      // the precondition probe (deg is already cached, so this is one
+      // hash-anti-join job over the edge list, nothing recomputed)
+      val dangling = raw.select(col("dst"))
+        .join(deg, raw("dst") === deg("src"), "left_anti")
+      if (!dangling.isEmpty)
+        throw new IllegalArgumentException(
+          "pageRank input has dangling vertices (appear as dst, never as " +
+            "src) — their rank mass would silently leak; use " +
+            "pageRankDigraph for general digraphs")
       val base = (1.0 - damping) / n
       val bcast = n <= maxBroadcastNodes.toDouble
       def maybeBcast(df: DataFrame) = if (bcast) broadcast(df) else df
@@ -118,5 +132,74 @@ object Graph {
         result
       } finally edgesD.unpersist()
     } finally { deg.unpersist(); raw.unpersist() }
+  }
+
+  /** PageRank over an ARBITRARY digraph: sinks (no out-edges) and pure
+    * sources (no in-edges) are both first-class. Per round, the rank mass
+    * sitting on sinks — which [[pageRank]] would silently leak — is summed
+    * (Q30-quantized, so the sum is an order-independent integer) and
+    * redistributed uniformly:
+    *
+    *   rank'(v) = (1−d)/n + d·(Σ_{u→v} ⌊rank(u)/deg(u)·2³⁰⌋)/2³⁰
+    *                      + d·(Σ_{sink u} ⌊rank(u)·2³⁰⌋)/2³⁰/n
+    *
+    * IEEE evaluation order is pinned left-to-right exactly as written, so
+    * the result is bit-identical to the unrolled SQL oracle, like
+    * [[pageRank]]. The vertex set is src ∪ dst; vertices with no in-edges
+    * keep their base + dangling share (a LEFT join against the vertex
+    * frame, where pageRank's inner groupBy would drop them).
+    *
+    * Scale shape: per round, one edge-list join against the broadcast-or-
+    * shuffled |V|-row rank frame + one dst-keyed aggregation + one 1-row
+    * dangling aggregate cross-joined back (broadcast). The rank frame is
+    * referenced twice per round (contributions + dangling sum), so it is
+    * materialized (pinned) EVERY round — two reads of |V| persisted rows,
+    * never a recompute, and lineage stays one round deep. */
+  def pageRankDigraph(edges: DataFrame, iterations: Int, damping: Double = 0.85,
+      maxBroadcastNodes: Long = 10000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val raw = edges.cache()
+    try {
+      val outdeg = raw.groupBy("src").agg(count(lit(1)).as("deg"))
+      // full vertex set with out-degree, 0 for sinks — the per-round
+      // left-join spine and the dangling filter both read it
+      val (vdeg, vdegHandle) = pin(
+        raw.select(col("src").as("id"))
+          .union(raw.select(col("dst").as("id"))).distinct()
+          .join(outdeg.select(col("src").as("id"), col("deg")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg")))
+      try {
+        val n = vdeg.count().toDouble
+        val base = (1.0 - damping) / n
+        val bcast = n <= maxBroadcastNodes.toDouble
+        def maybeBcast(df: DataFrame) = if (bcast) broadcast(df) else df
+        var ranks = vdeg.select(col("id"), lit(1.0 / n).as("rank"), col("deg"))
+        var pinned: Option[org.apache.spark.rdd.RDD[Row]] = None
+        for (_ <- 1 to iterations) {
+          val dang = ranks.where(col("deg") === 0)
+            .agg(coalesce(sum(floor(col("rank") * lit(Q))), lit(0L)).as("dq"))
+          val r = ranks.select(col("id").as("rid"), col("rank"),
+            col("deg").as("rdeg"))
+          val sums = raw.join(maybeBcast(r), raw("src") === col("rid"))
+            .select(col("dst"),
+              floor(col("rank") / col("rdeg") * lit(Q)).as("q"))
+            .groupBy("dst").agg(sum(col("q")).as("sq"))
+          val next = vdeg.join(sums, vdeg("id") === sums("dst"), "left")
+            .crossJoin(broadcast(dang))
+            .select(vdeg("id"),
+              (lit(base)
+                + lit(damping) *
+                  (coalesce(col("sq"), lit(0L)).cast("double") / lit(Q))
+                + lit(damping) * (col("dq").cast("double") / lit(Q)) / lit(n))
+                .as("rank"),
+              vdeg("deg"))
+          val (p, handle) = pin(next)
+          pinned.foreach(_.unpersist(false))
+          pinned = Some(handle)
+          ranks = p
+        }
+        ranks // pinned + lineage-cut; freed by ContextCleaner when dropped
+      } finally vdegHandle.unpersist(false)
+    } finally raw.unpersist()
   }
 }

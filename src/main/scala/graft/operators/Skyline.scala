@@ -547,6 +547,23 @@ object SkylineOps {
         element_at(col("values"), i + 1).as(c) }: _*)
   }
 
+  /** [[skylineDF]] whose GLOBAL phase is the fully-parallel broadcast
+    * cross-filter merge ([[skylineBroadcastFilter]]): per-partition local
+    * antichains, then every candidate dominance-checked against the
+    * broadcast union across all cores — no single-threaded final merge
+    * anywhere in the plan (the typed-Aggregator form funnels every local
+    * skyline through ONE final-merge task, the reference's dominant cost).
+    * Falls back to the chunked pairwise cross-filter past the broadcast
+    * bound. */
+  def skylineDFDistributed(df: DataFrame, idCol: String,
+                           dimCols: Seq[String]): DataFrame = {
+    val res = skylineBroadcastFilter(pointsFrom(df, idCol, dimCols))
+      .toDF("id", "values", "op")
+    res.select(col("id").as(idCol) +:
+      dimCols.zipWithIndex.map { case (c, i) =>
+        element_at(col("values"), i + 1).as(c) }: _*)
+  }
+
   /** skylineDF through an explicit strategy (partition-invariant: same result
     * as skylineDF for every strategy and n). */
   def skylineDFViaStrategy(df: DataFrame, idCol: String, dimCols: Seq[String],

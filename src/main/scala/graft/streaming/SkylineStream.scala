@@ -87,7 +87,7 @@ object SkylineStream {
   def broadcastTrigger(payload: String, n: Int, nowMs: Long): Seq[Envelope] =
     (0 until n).map(i => Envelope(i, 1, -1L, Array.empty, payload, nowMs))
 
-  private def requiredCount(payload: String): Long = {
+  private[streaming] def requiredCount(payload: String): Long = {
     val parts = payload.split(",")
     // triggers are external input like data lines: an unparseable count
     // degrades to the no-barrier default instead of failing every task

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.streaming._
 
 import graft.core.{Point, SkylineBuffer}
-import graft.streaming.SkylineStream.{Envelope, LocalResult, LocalState, QueryResult}
+import graft.streaming.SkylineStream.{Envelope, LocalResult, QueryResult}
 
 /** The reference's full two-hop streaming topology as ONE Structured
   * Streaming query, via Spark 4 `transformWithState` (RocksDB state store):
@@ -29,22 +29,95 @@ object SkylineStreamTWS {
                         maxCpu: Long, dispatchMs: Long,
                         localSizes: Seq[(Int, Int)])
 
-  /** A1+A2: local BNL skyline + barrier/trigger state machine, keyed by
-    * spatial partition id. Delegates to [[SkylineStream.stepLocal]] — the
-    * same state transition the flatMapGroupsWithState shell uses. */
-  class LocalProcessor extends StatefulProcessor[Int, Envelope, LocalResult] {
-    @transient private var st: ValueState[LocalState] = _
+  /** Scalar half of the local state — everything EXCEPT the antichain,
+    * which lives in a [[ListState]] so per-batch appends never rewrite it.
+    * `nUncompacted` counts points appended since the last BNL compaction. */
+  case class LocalScalars(maxSeenId: Long, pending: Seq[(String, Long)],
+                          startMs: Long, cpuNanos: Long, nUncompacted: Int)
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[LocalState]("local",
-        Encoders.product[LocalState], TTLConfig.NONE)
+  /** A1+A2: local BNL skyline + barrier/trigger state machine, keyed by
+    * spatial partition id. Same state transitions as
+    * [[SkylineStream.stepLocal]] (the flatMapGroupsWithState shell), but
+    * with the antichain SPLIT OUT of the scalar value state into a
+    * RocksDB ListState and maintained lazily:
+    *
+    *  - a data-only micro-batch APPENDS its points to the list (O(batch)
+    *    writes) instead of restoring + re-inserting + rewriting the whole
+    *    antichain (O(antichain) per batch — the r5 verdict's 4-D
+    *    anti-correlated growth concern, SURVEY §7.4);
+    *  - the full-list BNL compaction runs only when a trigger fires (the
+    *    emitted skyline must be exact) or when `compactLimit` raw points
+    *    have piled up — so state size is bounded by |antichain| +
+    *    compactLimit, and the O(list) rewrite is amortized over
+    *    compactLimit appends. Deferral is semantics-preserving because BNL
+    *    is confluent: insert order never changes the fixpoint. */
+  class LocalProcessor(compactLimit: Int = 5000)
+      extends StatefulProcessor[Int, Envelope, LocalResult] {
+    @transient private var sky: ListState[Point] = _
+    @transient private var sc: ValueState[LocalScalars] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      // fresh handle names ("local" held the old monolithic LocalState):
+      // a pre-split checkpoint restarts with fresh state instead of
+      // crashing on a state-schema mismatch
+      sky = getHandle.getListState[Point]("local_sky",
+        Encoders.product[Point], TTLConfig.NONE)
+      sc = getHandle.getValueState[LocalScalars]("local_scalars",
+        Encoders.product[LocalScalars], TTLConfig.NONE)
+    }
 
     override def handleInputRows(pid: Int, rows: Iterator[Envelope],
                                  tv: TimerValues): Iterator[LocalResult] = {
-      val cur = if (st.exists()) st.get() else LocalState(Nil, -1L, Nil, 0L, 0L)
-      val (out, next) = SkylineStream.stepLocal(pid, rows.toSeq, cur)
-      st.update(next)
-      out.iterator
+      val t0 = System.nanoTime()
+      val st = if (sc.exists()) sc.get() else LocalScalars(-1L, Nil, 0L, 0L, 0)
+      var maxId = st.maxSeenId
+      var startMs = st.startMs
+      // data before triggers within the batch (deterministic barrier
+      // semantics, like stepLocal)
+      val (data, triggers) = rows.toSeq.partition(_.kind == 0)
+      if (data.nonEmpty) {
+        if (startMs == 0L) startMs = System.currentTimeMillis()
+        val pts = new Array[Point](data.length)
+        var i = 0
+        data.foreach { e =>
+          if (e.id > maxId) maxId = e.id
+          pts(i) = Point(e.id, e.values); i += 1
+        }
+        sky.appendList(pts)
+      }
+      // parked queries re-check only when new data moved the barrier
+      val (ready, parked) =
+        if (data.nonEmpty)
+          st.pending.partition { case (pl, _) =>
+            maxId >= SkylineStream.requiredCount(pl) }
+        else (Nil, st.pending)
+      // new triggers: fire if barrier satisfied or partition empty
+      // (maxId == -1, reference parity — see stepLocal)
+      val (fireNow, parkNew) = triggers.partition(e =>
+        maxId >= SkylineStream.requiredCount(e.payload) || maxId == -1L)
+      val pending = parked ++ parkNew.map(e => (e.payload, e.dispatchMs))
+      val nUnc = st.nUncompacted + data.length
+      val mustFire = ready.nonEmpty || fireNow.nonEmpty
+      var compacted: Seq[Point] = Nil
+      var nUncOut = nUnc
+      if (mustFire || nUnc >= compactLimit) {
+        compacted = SkylineBuffer.of(sky.get()).result
+        // ListState.put rejects empty arrays (Spark 4 contract)
+        if (compacted.nonEmpty) sky.put(compacted.toArray) else sky.clear()
+        nUncOut = 0
+      }
+      val cpu = st.cpuNanos + (System.nanoTime() - t0)
+      sc.update(LocalScalars(maxId, pending, startMs, cpu, nUncOut))
+      if (!mustFire) Iterator.empty
+      else {
+        val pts = compacted.map(_.copy(originPartition = pid))
+        val start = if (startMs == 0L) System.currentTimeMillis() else startMs
+        val cpuMs = cpu / 1000000L
+        (ready.iterator.map { case (pl, dm) =>
+          LocalResult(pid, pl, dm, start, pts, cpuMs) } ++
+          fireNow.iterator.map(e =>
+            LocalResult(pid, e.payload, e.dispatchMs, start, pts, cpuMs)))
+      }
     }
   }
 
@@ -161,13 +234,15 @@ object SkylineStreamTWS {
   }
 
   /** [[topology]] variant emitting the global skyline points. */
-  def topologyPoints(env: Dataset[Envelope], totalPartitions: Int): Dataset[Point] = {
+  def topologyPoints(env: Dataset[Envelope], totalPartitions: Int,
+                     compactLimit: Int = 5000): Dataset[Point] = {
     implicit val lrEnc: Encoder[LocalResult] = ExpressionEncoder[LocalResult]()
     implicit val ptEnc: Encoder[Point] = ExpressionEncoder[Point]()
     implicit val intEnc: Encoder[Int] = Encoders.scalaInt
     implicit val strEnc: Encoder[String] = Encoders.STRING
     env.groupByKey(_.pid)
-      .transformWithState(new LocalProcessor, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new LocalProcessor(compactLimit), TimeMode.None(),
+        OutputMode.Append())
       .groupByKey(_.payload)
       .transformWithState(new GlobalPointsProcessor(totalPartitions),
         TimeMode.None(), OutputMode.Append())
@@ -175,13 +250,15 @@ object SkylineStreamTWS {
 
   /** The full chained topology. Requires the RocksDB state store provider
     * (`spark.sql.streaming.stateStore.providerClass`). */
-  def topology(env: Dataset[Envelope], totalPartitions: Int): Dataset[QueryResult] = {
+  def topology(env: Dataset[Envelope], totalPartitions: Int,
+               compactLimit: Int = 5000): Dataset[QueryResult] = {
     implicit val lrEnc: Encoder[LocalResult] = ExpressionEncoder[LocalResult]()
     implicit val qrEnc: Encoder[QueryResult] = ExpressionEncoder[QueryResult]()
     implicit val intEnc: Encoder[Int] = Encoders.scalaInt
     implicit val strEnc: Encoder[String] = Encoders.STRING
     env.groupByKey(_.pid)
-      .transformWithState(new LocalProcessor, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new LocalProcessor(compactLimit), TimeMode.None(),
+        OutputMode.Append())
       .groupByKey(_.payload)
       .transformWithState(new GlobalProcessor(totalPartitions),
         TimeMode.None(), OutputMode.Append())

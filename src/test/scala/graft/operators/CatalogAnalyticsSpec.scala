@@ -298,6 +298,52 @@ class CatalogAnalyticsSpec extends AnyFunSuite {
     assert(hi > lo)
   }
 
+  test("graph_pagerank_digraph conserves mass with every supplier a sink") {
+    val rows = run("graph_pagerank_digraph").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // the directed trade graph: customers (even ids) all have out-edges,
+    // suppliers (odd ids) are all sinks — deg must encode exactly that
+    assert(rows.forall { case (id, _, deg) =>
+      if (id % 2 == 0) deg > 0 else deg == 0 })
+    // dangling redistribution keeps total mass ~1 despite every supplier
+    // being a sink (without it ~half the mass would leak per round)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-3)
+    assert(rows.forall(_._2 > 0))
+    // suppliers receive contributions on top of base+dangling share;
+    // customers (no in-edges) get exactly the shared floor — so every
+    // customer rank equals every other customer rank, below any supplier
+    val (cust, supp) = rows.partition(_._1 % 2 == 0)
+    assert(cust.map(_._2).distinct.length == 1)
+    assert(supp.map(_._2).min > cust.head._2)
+  }
+
+  test("pageRank rejects digraphs with dangling vertices loudly") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst") // 3 is a sink
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Graph.pageRank(edges, iterations = 1)
+    }
+    assert(ex.getMessage.contains("pageRankDigraph"))
+  }
+
+  test("pageRankDigraph matches hand-computed ranks on a 3-node chain") {
+    import spark.implicits._
+    // 1 → 2 → 3: node 3 is a sink, node 1 has no in-edges
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = graft.operators.Graph.pageRankDigraph(edges, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val Q = 1073741824.0
+    val n = 3.0
+    val base = (1.0 - 0.85) / n
+    val dq = math.floor((1.0 / n) * Q) // sink 3 held 1/3
+    val dShare = 0.85 * (dq / Q) / n
+    val contrib = math.floor((1.0 / n) / 1.0 * Q) // each edge carries 1/3
+    assert(got(1L) == base + 0.85 * (0.0 / Q) + dShare)
+    assert(got(2L) == base + 0.85 * (contrib / Q) + dShare)
+    assert(got(3L) == base + 0.85 * (contrib / Q) + dShare)
+  }
+
   test("cms_sketch rows each conserve the total term mass") {
     val rows = run("cms_sketch").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -28,7 +28,7 @@ object Bench {
     "multimodal_meta", "asof_purchase", "events_tumbling", "events_ranks",
     "sky4d_lineitem", "sky2d_plan",
     "text_pii_scrub", "text_top_terms", "text_winnow", "dedup_winnow_pairs",
-    "dedup_jaccard_prefix", "sample_stratified",
+    "dedup_jaccard_prefix", "dedup_incremental", "sample_stratified",
     "events_quantiles", "hist_quantiles", "q_cube", "sky_skyband",
     "asof_next_error",
     "events_hopping", "q_grouping_sets", "events_pivot", "events_unpivot",
@@ -274,6 +274,15 @@ object Bench {
     Thread.sleep(2000)
     rerun((results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1)
       ++ movers(results.keys)).distinct)
+
+    // GC boundary AFTER the repeat section too: against a polluted previous
+    // snapshot the mover list can reach ~40 entries, and running the
+    // streaming section straight off that much churn inflated its run-1
+    // timings 3-6x (repeats stayed normal — the boundary restores the same
+    // heap shape every section starts from)
+    spark.catalog.clearCache()
+    System.gc()
+    Thread.sleep(2000)
 
     runCatalog(streamingNames)
     // streaming members of the overall slowest 10 + streaming movers get

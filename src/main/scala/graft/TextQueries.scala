@@ -211,6 +211,18 @@ object TextQueries {
       Dedup.ngramJaccardPrefix(docs(s, dir), "doc_id", "text", k = 5,
           threshold = 0.8, maxDocFreq = 100)
         .orderBy("id_a", "id_b")),
+    // INCREMENTAL dedup: even doc_ids play the existing corpus (reduced to
+    // its band-key fingerprint index), odd doc_ids the new crawl — a fresh
+    // doc survives iff it hits no corpus bucket and no lower-id fresh doc
+    // shares a bucket (keep-first within the batch)
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idx = Dedup.minhashBandKeys(d.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", k = 5, numHashes = NUM_HASHES, bands = BANDS)
+      Dedup.incrementalMinhashVerdict(idx, d.where(col("doc_id") % 2 === 1),
+          "doc_id", "text", k = 5, numHashes = NUM_HASHES, bands = BANDS)
+        .orderBy("doc_id")
+    }),
     // near-dup clustering: connected components (min-label propagation) over
     // the jaccard>=0.35 similarity graph; cluster_id = canonical (min) doc
     "dedup_clusters" -> ((s, dir) => {
@@ -734,6 +746,26 @@ object TextQueries {
          |  (SUM(CASE WHEN o.owner < b.doc_id THEN 1 ELSE 0 END) = 0) AS kept
          |FROM banded b JOIN own o ON b.band = o.band AND b.bkey = o.bkey
          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin.replace("\n", " ")
+
+    // incremental dedup: corpus index = even docs' distinct buckets; fresh
+    // (odd) doc kept iff zero corpus hits and zero lower-id fresh owners —
+    // the LEFT corpus join and the fresh owner join mirror the Spark plan
+    m += "dedup_incremental" ->
+      s"""WITH sh AS ($shinglesSql),
+         |sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
+         |banded AS ($bandKeys),
+         |corpus AS (SELECT band, bkey FROM banded WHERE doc_id % 2 = 0
+         |  GROUP BY 1, 2),
+         |fresh AS (SELECT * FROM banded WHERE doc_id % 2 = 1),
+         |own AS (SELECT band, bkey, MIN(doc_id) AS owner FROM fresh
+         |  GROUP BY 1, 2)
+         |SELECT f.doc_id,
+         |  ((SUM(CASE WHEN c.band IS NOT NULL THEN 1 ELSE 0 END) = 0) AND
+         |   (SUM(CASE WHEN o.owner < f.doc_id THEN 1 ELSE 0 END) = 0)) AS kept
+         |FROM fresh f
+         |LEFT JOIN corpus c ON f.band = c.band AND f.bkey = c.bkey
+         |JOIN own o ON f.band = o.band AND f.bkey = o.bkey
+         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin.replace("\n", " ")
 
     // winnow near-dup candidates: DISTINCT (doc, fp) from the text_winnow
     // selection, df<=100 cap, inverted-index self-join, kept when the

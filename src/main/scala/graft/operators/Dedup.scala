@@ -144,6 +144,43 @@ object Dedup {
       }.toDF("doc_id", "band", "owner")
   }
 
+  /** INCREMENTAL near-dup dedup — the recurring-crawl production shape:
+    * dedup a NEW batch against the band-key FINGERPRINT INDEX of the
+    * existing corpus without re-shingling (or ever self-joining) the corpus.
+    * `corpusIndex` is any frame with (band, bkey) rows in the
+    * [[minhashBandKeys]] format — at scale, the persisted index artifact a
+    * pipeline maintains across runs (tiny next to the corpus: numBands longs
+    * per document), appended with the keepers' bands after each run.
+    *
+    * A fresh doc is KEPT iff (a) none of its band buckets appears in the
+    * corpus index and (b) no lower-id fresh doc shares a bucket with it
+    * (keep-first within the batch, [[minhashCandidates]]' verdict). Returns
+    * (doc_id, kept) for the fresh docs.
+    *
+    * Scale shape: the corpus probe is a LEFT join on (band, bkey) against
+    * the distinct index and the batch-internal check is a (band, bkey)
+    * min-groupBy joined back on the same key — all three exchanges hash on
+    * (band, bkey), so the partitioning is planned once and reused; the
+    * final verdict is one doc_id aggregation over |fresh| × bands rows.
+    * Nothing anywhere is proportional to corpus size except the index
+    * join's build side. */
+  def incrementalMinhashVerdict(corpusIndex: DataFrame, fresh: DataFrame,
+      idCol: String, textCol: String, k: Int = 5, numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    // one shingle+signature pass over the fresh batch, feeding both checks
+    val fb = minhashBandKeys(fresh, idCol, textCol, k, numHashes, bands)
+      .localCheckpoint(true)
+    val idx = corpusIndex.select(col("band"), col("bkey")).distinct()
+      .withColumn("in_corpus", lit(1))
+    val owners = fb.groupBy("band", "bkey").agg(min("doc_id").as("owner"))
+    fb.join(idx, Seq("band", "bkey"), "left")
+      .join(owners, Seq("band", "bkey"))
+      .groupBy("doc_id")
+      .agg(((max(coalesce(col("in_corpus"), lit(0))) === 0) &&
+        (sum(when(col("owner") < col("doc_id"), 1).otherwise(0)) === 0))
+        .as("kept"))
+  }
+
   /** Exact n-gram Jaccard similarity for pairs sharing at least one shingle.
     * Implemented as shingle-explode + equi-join on the shingle (the classic
     * inverted-index join) + per-pair intersection counting — no cross join.

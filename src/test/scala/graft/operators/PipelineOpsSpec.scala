@@ -235,6 +235,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(capped.select("jaccard").as[Double].collect().forall(_ == 1.0))
   }
 
+  test("incremental dedup: corpus-index hits and batch-internal dups both flagged") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "The quick brown fox jumps over the lazy dog again and again."),
+      (2L, "Existing corpus material about storage engines and compaction."))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (11L, "The quick brown fox jumps over the lazy dog again and again."), // corpus dup
+      (13L, "Fresh survey of streaming watermarks and state store design."),  // keeper, owns 15
+      (15L, "Fresh survey of streaming watermarks and state store design."),  // loses to 13
+      (17L, "Entirely novel content with no counterpart anywhere at all."))   // keeper
+      .toDF("doc_id", "text")
+    val idx = Dedup.minhashBandKeys(corpus, "doc_id", "text",
+      k = 5, numHashes = 8, bands = 4)
+    val got = Dedup.incrementalMinhashVerdict(idx, fresh, "doc_id", "text",
+        k = 5, numHashes = 8, bands = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(11L -> false, 13L -> true, 15L -> false, 17L -> true))
+    // an empty index degrades to plain within-batch keep-first
+    val none = Dedup.incrementalMinhashVerdict(
+      idx.where(lit(false)), fresh, "doc_id", "text",
+      k = 5, numHashes = 8, bands = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(none == Map(11L -> true, 13L -> true, 15L -> false, 17L -> true))
+  }
+
   test("streaming dedup drops repeats across micro-batches via state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

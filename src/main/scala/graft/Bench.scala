@@ -111,7 +111,8 @@ object Bench {
             .findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble)
             .toMap
           if (kv.get("sf").map(_.toString).contains(sf.toDouble.toString))
-            kv -- Seq("total_sec", "sf", "sentinel_pre", "sentinel_post")
+            kv -- Seq("total_sec", "sf", "sentinel_pre", "sentinel_gen",
+              "sentinel_batch", "sentinel_post")
           else Map.empty
         }
       } catch { case _: Throwable => Map.empty }
@@ -239,6 +240,12 @@ object Bench {
     spark.catalog.clearCache()
     System.gc()
     Thread.sleep(2000)
+    // per-SECTION sentinels (same fixed-work quantum as sentinel_pre):
+    // observed host-level CPU storms last ~1-3 min and land ANYWHERE in a
+    // 5-min sweep, so endpoint sentinels alone can read quiet while one
+    // section was crushed — a sentinel at every section boundary brackets
+    // each section and localizes the storm post-hoc
+    val sentinelGen = loadSentinel()
 
     val (streamingNames, batchNames) = headline.partition(_.startsWith("stream_"))
     def runCatalog(names: Seq[String]): Unit = names.filter(wanted).foreach { name =>
@@ -283,6 +290,7 @@ object Bench {
     spark.catalog.clearCache()
     System.gc()
     Thread.sleep(2000)
+    val sentinelBatch = loadSentinel()
 
     runCatalog(streamingNames)
     // streaming members of the overall slowest 10 + streaming movers get
@@ -311,6 +319,8 @@ object Bench {
       repeats.map { case (k, v) => s"""  "${k}__rep": $v""" })
       .mkString(s"""{\n  "total_sec": $total,\n  "sf": $sfNum,\n""" +
         s"""  "sentinel_pre": $sentinelPre,\n""" +
+        s"""  "sentinel_gen": $sentinelGen,\n""" +
+        s"""  "sentinel_batch": $sentinelBatch,\n""" +
         s"""  "sentinel_post": $sentinelPost,\n""", ",\n", "\n}\n")
     val outFile = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_ONLY.json"
     val fw = new java.io.PrintWriter(outFile)
@@ -331,6 +341,8 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""sf":$sfNum,"sentinel_pre":${fmt(sentinelPre)},""" +
+        s""""sentinel_gen":${fmt(sentinelGen)},""" +
+        s""""sentinel_batch":${fmt(sentinelBatch)},""" +
         s""""sentinel_post":${fmt(sentinelPost)},""" +
         s""""omitted":$omitted,"detail":"$outFile"}"""
     }

@@ -68,6 +68,14 @@ object Graft {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame =
     Dedup.minhashCandidates(df, idCol, textCol)
 
+  /** Incremental dedup of a new batch against an existing corpus's band-key
+    * fingerprint index ([[Dedup.minhashBandKeys]] rows — persist it across
+    * runs; the corpus itself is never re-read). Returns (doc_id, kept). */
+  def incrementalNearDups(corpusIndex: DataFrame, fresh: DataFrame,
+                          idCol: String, textCol: String): DataFrame =
+    Dedup.incrementalMinhashVerdict(corpusIndex, fresh, idCol, textCol,
+      k = 5, numHashes = 8, bands = 4)
+
   def annTopK(corpus: DataFrame, id: String, vec: String,
               queries: DataFrame, k: Int): DataFrame =
     Similarity.bruteForceTopK(corpus, id, vec, queries, id, vec, k)
@@ -96,6 +104,19 @@ object Graft {
                              textCol: String): DataFrame =
     Dedup.streamingMinhashOwners(
       Dedup.minhashBandKeys(streamDf, idCol, textCol, k = 5,
+        numHashes = 8, bands = 4))
+
+  /** [[streamingNearDupOwners]] WARM-STARTED from an existing corpus: pass
+    * the corpus (id, text) frame and its distinct band buckets seed the
+    * owner state as [[Dedup.CorpusOwner]] before the first micro-batch, so
+    * streamed docs that near-dup the corpus are flagged on arrival — the
+    * streaming face of [[incrementalNearDups]]'s index contract. */
+  def streamingNearDupOwnersSeeded(streamDf: DataFrame, corpus: DataFrame,
+                                   idCol: String, textCol: String): DataFrame =
+    Dedup.streamingMinhashOwnersSeeded(
+      Dedup.minhashBandKeys(streamDf, idCol, textCol, k = 5,
+        numHashes = 8, bands = 4),
+      Dedup.minhashBandKeys(corpus, idCol, textCol, k = 5,
         numHashes = 8, bands = 4))
 
   /** Write a table bucketed+sorted on `key` so every later equi-join or

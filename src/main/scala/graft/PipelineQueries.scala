@@ -266,6 +266,40 @@ object PipelineQueries {
           .as("kept"))
         .orderBy("doc_id")
     }),
+    // stream_dedup_minhash WARM-STARTED from a corpus fingerprint index:
+    // even docs are reduced (batch-side) to their distinct band buckets and
+    // loaded as INITIAL state owned by the corpus sentinel; the odd docs
+    // then stream through in id order over two batches. A fresh doc is kept
+    // iff it owns every band it lands in — corpus-seeded buckets are never
+    // owned by a fresh doc, so the verdict must equal the batch
+    // dedup_incremental entry, whose oracle this reuses verbatim.
+    "stream_dedup_incremental" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val d = docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+      val idx = graft.operators.Dedup.minhashBandKeys(
+        d.where(col("doc_id") % 2 === 0), "doc_id", "text",
+        k = 5, numHashes = 8, bands = 4)
+      val rows = d.where(col("doc_id") % 2 === 1)
+        .orderBy("doc_id").as[(Long, String)].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val banded = graft.operators.Dedup.minhashBandKeys(
+        src.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        k = 5, numHashes = 8, bands = 4)
+      val owners = graft.operators.Dedup
+        .streamingMinhashOwnersSeeded(banded, idx)
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      runAppendStream(s, owners, "sminc") { q =>
+        src.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        src.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+      }.groupBy("doc_id")
+        .agg((sum(when(col("owner") =!= col("doc_id"), 1).otherwise(0)) === 0)
+          .as("kept"))
+        .orderBy("doc_id")
+    }),
     // cross-batch streaming exact dedup (Dedup.streamingDedup): the corpus
     // arrives in batch 1, then half of it AGAIN in batch 2 — dropDuplicates
     // state must suppress every second-batch repeat, so the appended rows

@@ -750,7 +750,7 @@ object TextQueries {
     // incremental dedup: corpus index = even docs' distinct buckets; fresh
     // (odd) doc kept iff zero corpus hits and zero lower-id fresh owners —
     // the LEFT corpus join and the fresh owner join mirror the Spark plan
-    m += "dedup_incremental" ->
+    val incrementalSql =
       s"""WITH sh AS ($shinglesSql),
          |sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
          |banded AS ($bandKeys),
@@ -766,6 +766,11 @@ object TextQueries {
          |LEFT JOIN corpus c ON f.band = c.band AND f.bkey = c.bkey
          |JOIN own o ON f.band = o.band AND f.bkey = o.bkey
          |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin.replace("\n", " ")
+    m += "dedup_incremental" -> incrementalSql
+    // the seeded streaming twin MUST equal the batch verdict (id-order
+    // feed ⇒ first-seen = lowest id; corpus buckets owned by the sentinel
+    // from batch zero), so it shares the oracle string verbatim
+    m += "stream_dedup_incremental" -> incrementalSql
 
     // winnow near-dup candidates: DISTINCT (doc, fp) from the text_winnow
     // selection, df<=100 cap, inverted-index self-join, kept when the

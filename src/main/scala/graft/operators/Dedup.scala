@@ -131,17 +131,54 @@ object Dedup {
     banded.select(col("band").cast("int"), col("bkey"), col("doc_id"))
       .as[(Int, String, Long)]
       .groupByKey { case (band, bkey, _) => (band, bkey) }
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: (Int, String), it: Iterator[(Int, String, Long)],
-         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
-          var cur = state.getOption
-          val out = it.toIndexedSeq.sortBy(_._3).map { case (band, _, id) =>
-            if (cur.isEmpty) cur = Some(id)
-            (id, band, cur.get)
-          }
-          cur.foreach(state.update)
-          out.iterator
-      }.toDF("doc_id", "band", "owner")
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        ownerStep).toDF("doc_id", "band", "owner")
+  }
+
+  /** The one first-SEEN owner state transition — the seeded and unseeded
+    * streaming owner stages must stay bit-identical in how they pick and
+    * emit owners, so the body exists exactly once. */
+  private def ownerStep(key: (Int, String), it: Iterator[(Int, String, Long)],
+      state: org.apache.spark.sql.streaming.GroupState[Long])
+      : Iterator[(Long, Int, Long)] = {
+    var cur = state.getOption
+    val out = it.toIndexedSeq.sortBy(_._3).map { case (band, _, id) =>
+      if (cur.isEmpty) cur = Some(id)
+      (id, band, cur.get)
+    }
+    cur.foreach(state.update)
+    out.iterator
+  }
+
+  /** Band buckets seeded from a corpus index report this owner: no real doc
+    * id is negative, so `owner != doc_id` flags corpus-owned buckets with
+    * the same verdict test as fresh-vs-fresh ownership. */
+  val CorpusOwner: Long = -1L
+
+  /** [[streamingMinhashOwners]] WARM-STARTED from a corpus fingerprint
+    * index — the streaming face of [[incrementalMinhashVerdict]]: every
+    * (band, bkey) present in `corpusIndex` begins life owned by
+    * [[CorpusOwner]], so a streaming doc landing in a corpus bucket is
+    * flagged on arrival without the corpus ever being re-shingled or
+    * streamed through. Fresh-vs-fresh semantics are unchanged
+    * (first-SEEN owner). The initial state is loaded once per key by the
+    * state store — corpus size never affects per-batch work, matching the
+    * batch operator's index-only contract. */
+  def streamingMinhashOwnersSeeded(banded: DataFrame,
+                                   corpusIndex: DataFrame): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val init = corpusIndex
+      .select(col("band").cast("int"), col("bkey")).distinct()
+      .as[(Int, String)]
+      .groupByKey(identity)
+      .mapValues(_ => CorpusOwner)
+    banded.select(col("band").cast("int"), col("bkey"), col("doc_id"))
+      .as[(Int, String, Long)]
+      .groupByKey { case (band, bkey, _) => (band, bkey) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout,
+        init)(ownerStep).toDF("doc_id", "band", "owner")
   }
 
   /** INCREMENTAL near-dup dedup — the recurring-crawl production shape:

@@ -54,6 +54,36 @@ class MinhashStreamOrderSpec extends AnyFunSuite {
     assert(got == Map(9L -> true, 4L -> true, 3L -> false))
   }
 
+  test("corpus-seeded state flags a first-arriving fresh dup; fresh keepers unaffected") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = Dedup.minhashBandKeys(
+      Seq(100L -> dupText).toDF("doc_id", "text"),
+      "doc_id", "text", k = 5, numHashes = 8, bands = 4)
+    val src = MemoryStream[(Long, String)]
+    val owners = Dedup.streamingMinhashOwnersSeeded(
+      Dedup.minhashBandKeys(src.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", k = 5, numHashes = 8, bands = 4), idx)
+    val name = s"mso_seed_${System.nanoTime()}"
+    val q = owners.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // id 3 duplicates CORPUS content and arrives FIRST — without seeding
+      // it would own its buckets and survive; id 4 is novel and must keep
+      src.addData(Seq(3L -> dupText, 4L -> otherText))
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("owner")))
+        .groupBy(_._1)
+        .map { case (id, rows) => id -> rows.forall { case (d, o) => o == d } }
+      assert(got == Map(3L -> false, 4L -> true))
+      // the corpus sentinel, not some real doc, owns id 3's buckets
+      assert(spark.table(name)
+        .where(org.apache.spark.sql.functions.col("doc_id") === 3L)
+        .select("owner").as[Long].collect().forall(_ == Dedup.CorpusOwner))
+    } finally q.stop()
+  }
+
   test("within one batch the deterministic order is doc id, regardless of row order") {
     // both dups in the same batch, listed high-first: sort-within-batch
     // makes the LOWEST id the bucket owner deterministically

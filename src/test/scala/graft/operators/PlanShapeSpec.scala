@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape guards for operators whose 100 TB story is a claim
+  * about WHERE the shuffles are — a code change that silently adds an
+  * exchange on a new key (or a cartesian) would keep every value-level test
+  * green while breaking the scale design. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("incrementalMinhashVerdict shuffles only on (band,bkey) and the final doc_id") {
+    import spark.implicits._
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val priorBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // the tiny test index would broadcast, hiding its exchange key — force
+    // the shuffled path so the partitioning claim is actually examined
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpus = Seq((0L, "corpus text about engines"),
+        (2L, "more corpus text entirely")).toDF("doc_id", "text")
+      val fresh = Seq((1L, "fresh text one"), (3L, "fresh text two"))
+        .toDF("doc_id", "text")
+      val idx = Dedup.minhashBandKeys(corpus, "doc_id", "text",
+        k = 5, numHashes = 8, bands = 4)
+      val verdict = Dedup.incrementalMinhashVerdict(idx, fresh, "doc_id",
+        "text", k = 5, numHashes = 8, bands = 4)
+      val exchanges = verdict.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty)
+      val keySets = exchanges.map(_.outputPartitioning).map {
+        case h: HashPartitioning =>
+          h.expressions.map(_.references.map(_.name).mkString).toSet
+        case other => fail(s"unexpected partitioning $other")
+      }
+      // every exchange hashes on the band-bucket key or the final verdict
+      // key — any third key set means an unplanned shuffle crept in
+      assert(keySets.forall(ks =>
+        ks == Set("band", "bkey") || ks == Set("doc_id")),
+        s"unexpected exchange keys: $keySets")
+      assert(keySets.count(_ == Set("doc_id")) == 1,
+        s"exactly one verdict aggregation exchange expected: $keySets")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBcast)
+    }
+  }
+}

@@ -97,6 +97,21 @@ object Bench {
       }
     }
 
+    // Hypervisor CPU-steal ticks (/proc/stat col 8, USER_HZ=10ms units,
+    // summed over all cores) — the storms that crushed individual sweep
+    // entries 10-30x with QUIET sentinels on both sides turned out to be
+    // host-level steal bursts (one 85s 32-core stall ≈ 272k ticks, and the
+    // machine's cumulative counter matches a handful of exactly such
+    // bursts). steal_sec = the delta across the sweep; ~0 on an honest run,
+    // so any entry spike in a near-zero-steal sweep is REAL and a spike in
+    // a high-steal sweep is the host's fault — no more guessing.
+    def stealTicks(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        val line = try src.getLines().next() finally src.close()
+        line.trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(0L)
+      } catch { case _: Throwable => 0L }
+
     // Previous full-sweep timings (committed quiet-machine snapshot) at the
     // SAME scale factor — the movers baseline. Our own writer's format, so
     // a key-number regex is a full parser for it.
@@ -112,7 +127,7 @@ object Bench {
             .toMap
           if (kv.get("sf").map(_.toString).contains(sf.toDouble.toString))
             kv -- Seq("total_sec", "sf", "sentinel_pre", "sentinel_gen",
-              "sentinel_batch", "sentinel_post")
+              "sentinel_batch", "sentinel_post", "steal_sec")
           else Map.empty
         }
       } catch { case _: Throwable => Map.empty }
@@ -126,6 +141,7 @@ object Bench {
       .map(_.group(1)).getOrElse("0")
     val prev = readPrevBench(sfNum)
     val sentinelPre = loadSentinel()
+    val stealStart = stealTicks()
 
     // SPARK_GRAFT_ONLY=a,b,c restricts the run to named workloads — for
     // isolating a single timing in a quiet JVM (bench-order heap pressure
@@ -301,6 +317,7 @@ object Bench {
       .filter(n => n.startsWith("stream_") && !repeats.contains(n)).distinct)
 
     val sentinelPost = loadSentinel()
+    val stealSec = (stealTicks() - stealStart) / 100.0
 
     // full-precision per-query results always land in BENCH_FULL.json (cwd =
     // repo root under sbt) — the stdout line below is a trimmed view, because
@@ -321,7 +338,8 @@ object Bench {
         s"""  "sentinel_pre": $sentinelPre,\n""" +
         s"""  "sentinel_gen": $sentinelGen,\n""" +
         s"""  "sentinel_batch": $sentinelBatch,\n""" +
-        s"""  "sentinel_post": $sentinelPost,\n""", ",\n", "\n}\n")
+        s"""  "sentinel_post": $sentinelPost,\n""" +
+        s"""  "steal_sec": $stealSec,\n""", ",\n", "\n}\n")
     val outFile = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_ONLY.json"
     val fw = new java.io.PrintWriter(outFile)
     try fw.write(fullJson) finally fw.close()
@@ -344,6 +362,7 @@ object Bench {
         s""""sentinel_gen":${fmt(sentinelGen)},""" +
         s""""sentinel_batch":${fmt(sentinelBatch)},""" +
         s""""sentinel_post":${fmt(sentinelPost)},""" +
+        s""""steal_sec":${fmt(stealSec)},""" +
         s""""omitted":$omitted,"detail":"$outFile"}"""
     }
     // trim shortest catalog timings first until the line fits — reference

@@ -57,6 +57,11 @@ object Dedup {
     * row hashes); batch candidates, streaming dedup, and the SQL oracles'
     * bandKeys must all stay bit-identical to it. */
   private def bandKeyCols(numHashes: Int, bands: Int): Seq[Column] = {
+    // integer division would silently IGNORE the trailing numHashes %
+    // bands signature components — every banded caller funnels through
+    // here, so the contract is enforced once
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
     (0 until bands).map { b =>
       struct(lit(b).as("band"), concat_ws("_",

@@ -261,6 +261,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(none == Map(11L -> true, 13L -> true, 15L -> false, 17L -> true))
   }
 
+  test("incremental verdict matches a driver-side reference on a random corpus") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    def randText(): String =
+      Seq.fill(60 + rng.nextInt(40))(('a' + rng.nextInt(6)).toChar).mkString
+    val corpus = Seq.tabulate(25)(i => (i.toLong * 2, randText()))
+    // fresh mix: corpus near-copies (point mutation), fresh-internal dup
+    // pairs, and unique docs — every verdict path populated
+    val freshUnique = Seq.tabulate(10)(i => (101L + 2 * i, randText()))
+    val freshCorpusDup = corpus.take(6).map { case (id, t) =>
+      (id + 201, t.updated(rng.nextInt(t.length), 'z')) }
+    val freshSelfDup = freshUnique.take(4).map { case (id, t) =>
+      (id + 400, t.updated(rng.nextInt(t.length), 'q')) }
+    val fresh = freshUnique ++ freshCorpusDup ++ freshSelfDup
+    val idx = Dedup.minhashBandKeys(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", k = 5, numHashes = 8, bands = 4)
+    val got = Dedup.incrementalMinhashVerdict(idx,
+        fresh.toDF("doc_id", "text"), "doc_id", "text",
+        k = 5, numHashes = 8, bands = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // independent driver-side reference from the raw banded frames
+    val corpusBuckets = idx.select("band", "bkey").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    val freshRows = Dedup.minhashBandKeys(fresh.toDF("doc_id", "text"),
+        "doc_id", "text", k = 5, numHashes = 8, bands = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Int]("band"), r.getAs[String]("bkey"))))
+    val ownerMin = freshRows.groupBy(_._2).view.mapValues(_.map(_._1).min)
+    val want = freshRows.groupBy(_._1).map { case (id, rows) =>
+      id -> rows.forall { case (_, bucket) =>
+        !corpusBuckets(bucket) && ownerMin(bucket) >= id }
+    }
+    assert(got == want)
+    // sanity: the fixture exercised all three outcomes
+    assert(freshCorpusDup.forall(d => !got(d._1)),
+      "corpus near-copies must be flagged")
+    assert(freshSelfDup.forall(d => !got(d._1)),
+      "fresh-internal dups must be flagged")
+    assert(got.values.exists(identity), "some fresh docs must survive")
+  }
+
   test("streaming dedup drops repeats across micro-batches via state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -122,8 +122,13 @@ object Bench {
         else {
           val txt = scala.io.Source.fromFile(f)
           val body = try txt.mkString finally txt.close()
-          val kv = """"([^"]+)":\s*(-?[0-9.Ee+]+)""".r
-            .findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble)
+          // the exponent sign must be INSIDE the char class (a Double can
+          // serialize as 9.2E-4) and each entry parses under its own Try —
+          // one malformed value must cost that entry, not (via the outer
+          // catch) the whole movers baseline
+          val kv = """"([^"]+)":\s*(-?[0-9.eE+-]+)""".r
+            .findAllMatchIn(body).flatMap(m =>
+              scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
             .toMap
           if (kv.get("sf").map(_.toString).contains(sf.toDouble.toString))
             kv -- Seq("total_sec", "sf", "sentinel_pre", "sentinel_gen",
@@ -380,6 +385,24 @@ object Bench {
       kept -= droppable.next()
       dropped += 1
       line = render(kept, dropped)
+    }
+    // LAST-RESORT fallback: with a polluted baseline the mover machinery
+    // can mint 50+ undroppable __rep columns — enough to exceed the budget
+    // even after every droppable catalog entry is gone, and an over-budget
+    // line is truncated by the harness's 2000-char capture (the round-3
+    // whole-bench loss). Shedding fastest repeats then non-ref workload
+    // timings beats shedding the ENTIRE sweep; full precision is already
+    // safe in BENCH_FULL.json.
+    if (line.length > MaxLine) {
+      val lastResort = (
+        repeats.toSeq.sortBy(_._2).map { case (k, _) => s"${k}__rep" } ++
+          refWorkloads.toSeq.filter(k => results.get(k).exists(_ >= 0))
+            .sortBy(results(_))).iterator
+      while (line.length > MaxLine && lastResort.hasNext) {
+        kept -= lastResort.next()
+        dropped += 1
+        line = render(kept, dropped)
+      }
     }
     // print ONCE, after Spark shutdown, so the single JSON result line is
     // also the last stdout line (no interleaved executor teardown output)

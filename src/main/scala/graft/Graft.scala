@@ -70,11 +70,15 @@ object Graft {
 
   /** Incremental dedup of a new batch against an existing corpus's band-key
     * fingerprint index ([[Dedup.minhashBandKeys]] rows — persist it across
-    * runs; the corpus itself is never re-read). Returns (doc_id, kept). */
+    * runs; the corpus itself is never re-read). Returns (doc_id, kept).
+    * Uses [[Dedup]]'s default minhash geometry so an index built with
+    * default-argument `minhashBandKeys` matches — band keys from DIFFERENT
+    * (numHashes, bands) never collide and would silently report every
+    * corpus duplicate as kept, so build index and probe with the same
+    * facade (or identical explicit parameters). */
   def incrementalNearDups(corpusIndex: DataFrame, fresh: DataFrame,
                           idCol: String, textCol: String): DataFrame =
-    Dedup.incrementalMinhashVerdict(corpusIndex, fresh, idCol, textCol,
-      k = 5, numHashes = 8, bands = 4)
+    Dedup.incrementalMinhashVerdict(corpusIndex, fresh, idCol, textCol)
 
   def annTopK(corpus: DataFrame, id: String, vec: String,
               queries: DataFrame, k: Int): DataFrame =
@@ -103,8 +107,7 @@ object Graft {
   def streamingNearDupOwners(streamDf: DataFrame, idCol: String,
                              textCol: String): DataFrame =
     Dedup.streamingMinhashOwners(
-      Dedup.minhashBandKeys(streamDf, idCol, textCol, k = 5,
-        numHashes = 8, bands = 4))
+      Dedup.minhashBandKeys(streamDf, idCol, textCol))
 
   /** [[streamingNearDupOwners]] WARM-STARTED from an existing corpus: pass
     * the corpus (id, text) frame and its distinct band buckets seed the
@@ -114,10 +117,8 @@ object Graft {
   def streamingNearDupOwnersSeeded(streamDf: DataFrame, corpus: DataFrame,
                                    idCol: String, textCol: String): DataFrame =
     Dedup.streamingMinhashOwnersSeeded(
-      Dedup.minhashBandKeys(streamDf, idCol, textCol, k = 5,
-        numHashes = 8, bands = 4),
-      Dedup.minhashBandKeys(corpus, idCol, textCol, k = 5,
-        numHashes = 8, bands = 4))
+      Dedup.minhashBandKeys(streamDf, idCol, textCol),
+      Dedup.minhashBandKeys(corpus, idCol, textCol))
 
   /** Write a table bucketed+sorted on `key` so every later equi-join or
     * aggregation on it is shuffle-free (see [[Bucketing.writeBucketed]]). */

@@ -21,6 +21,35 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Shared harness for the two streaming MinHash-owner entries: feed
+    * `rows` (id-ordered) over TWO micro-batches through the owner stage
+    * built by `ownersOf` from the banded stream, then aggregate per-arrival
+    * owners into the keeper verdict (a doc is kept iff it owns every band
+    * it lands in). The banding geometry (k=5, 8 hashes, 4 bands — the
+    * oracles' constants), the feed protocol, and the verdict expression
+    * exist exactly once, so the seeded and unseeded entries cannot
+    * silently diverge. */
+  private def minhashOwnerVerdicts(s: SparkSession, rows: Seq[(Long, String)],
+      prefix: String)(ownersOf: DataFrame => DataFrame): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val banded = graft.operators.Dedup.minhashBandKeys(
+      src.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      k = 5, numHashes = 8, bands = 4)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    runAppendStream(s, ownersOf(banded), prefix) { q =>
+      src.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      src.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    }.groupBy("doc_id")
+      .agg((sum(when(col("owner") =!= col("doc_id"), 1).otherwise(0)) === 0)
+        .as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** Drive a streaming frame through a memory sink to completion and return
     * the sunk rows as a static frame. `feed` pushes source batches and calls
     * `processAllAvailable`. The memory-sink temp view and the checkpoint
@@ -246,25 +275,10 @@ object PipelineQueries {
     // there). MinhashStreamOrderSpec pins the out-of-order behavior.
     "stream_dedup_minhash" -> ((s, dir) => {
       import s.implicits._
-      implicit val sqlCtx = s.sqlContext
       val rows = docs(s, dir).select(col("doc_id").cast("long"), col("text"))
         .orderBy("doc_id").as[(Long, String)].collect()
-      val src = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String)]
-      val banded = graft.operators.Dedup.minhashBandKeys(
-        src.toDF().toDF("doc_id", "text"), "doc_id", "text",
-        k = 5, numHashes = 8, bands = 4)
-      val owners = graft.operators.Dedup.streamingMinhashOwners(banded)
-      val (b1, b2) = rows.splitAt(rows.length / 2)
-      runAppendStream(s, owners, "smh") { q =>
-        src.addData(b1.toIndexedSeq)
-        q.processAllAvailable()
-        src.addData(b2.toIndexedSeq)
-        q.processAllAvailable()
-      }.groupBy("doc_id")
-        .agg((sum(when(col("owner") =!= col("doc_id"), 1).otherwise(0)) === 0)
-          .as("kept"))
-        .orderBy("doc_id")
+      minhashOwnerVerdicts(s, rows.toIndexedSeq, "smh")(
+        graft.operators.Dedup.streamingMinhashOwners)
     }),
     // stream_dedup_minhash WARM-STARTED from a corpus fingerprint index:
     // even docs are reduced (batch-side) to their distinct band buckets and
@@ -275,30 +289,14 @@ object PipelineQueries {
     // dedup_incremental entry, whose oracle this reuses verbatim.
     "stream_dedup_incremental" -> ((s, dir) => {
       import s.implicits._
-      implicit val sqlCtx = s.sqlContext
       val d = docs(s, dir).select(col("doc_id").cast("long"), col("text"))
       val idx = graft.operators.Dedup.minhashBandKeys(
         d.where(col("doc_id") % 2 === 0), "doc_id", "text",
         k = 5, numHashes = 8, bands = 4)
       val rows = d.where(col("doc_id") % 2 === 1)
         .orderBy("doc_id").as[(Long, String)].collect()
-      val src = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String)]
-      val banded = graft.operators.Dedup.minhashBandKeys(
-        src.toDF().toDF("doc_id", "text"), "doc_id", "text",
-        k = 5, numHashes = 8, bands = 4)
-      val owners = graft.operators.Dedup
-        .streamingMinhashOwnersSeeded(banded, idx)
-      val (b1, b2) = rows.splitAt(rows.length / 2)
-      runAppendStream(s, owners, "sminc") { q =>
-        src.addData(b1.toIndexedSeq)
-        q.processAllAvailable()
-        src.addData(b2.toIndexedSeq)
-        q.processAllAvailable()
-      }.groupBy("doc_id")
-        .agg((sum(when(col("owner") =!= col("doc_id"), 1).otherwise(0)) === 0)
-          .as("kept"))
-        .orderBy("doc_id")
+      minhashOwnerVerdicts(s, rows.toIndexedSeq, "sminc")(
+        graft.operators.Dedup.streamingMinhashOwnersSeeded(_, idx))
     }),
     // cross-batch streaming exact dedup (Dedup.streamingDedup): the corpus
     // arrives in batch 1, then half of it AGAIN in batch 2 — dropDuplicates

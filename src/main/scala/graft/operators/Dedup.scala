@@ -312,10 +312,15 @@ object Dedup {
     // approaches the whole set and the filter buys nothing). The ceil must
     // be EXACT: double math rounds ⌈0.8·5⌉ up to 5 (0.8 is not a binary
     // fraction), shrinking the prefix and silently dropping pairs. So t is
-    // snapped to the rational num/10⁶ (exact for any 6-decimal threshold)
-    // and the ceil is pure integer arithmetic: ⌈num·sz/10⁶⌉ =
+    // snapped DOWNWARD to the rational num/10⁶ (exact for any 6-decimal
+    // threshold; floor, never round — rounding UP would give t' > t for
+    // thresholds like 2/3, shortening the prefix below the safe bound and
+    // losing pairs) and the ceil is pure integer arithmetic: ⌈num·sz/10⁶⌉ =
     // (num·sz + 10⁶ − 1) div 10⁶ — num·sz ≤ 10⁶·|shingles| fits a long.
-    val num = math.round(threshold * 1000000L)
+    // t' ≤ t only ever LENGTHENS the prefix (a candidate superset), and the
+    // final jaccard comparison uses the caller's exact t, so the output is
+    // identical to ngramJaccardPairs' for every representable threshold.
+    val num = math.floor(threshold * 1000000.0).toLong
     val pref = sh.withColumn("p", row_number().over(w))
       .join(sizes, "id")
       .where(col("p") <=

@@ -59,7 +59,12 @@ object SkylineStreamTWS {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       // fresh handle names ("local" held the old monolithic LocalState):
       // a pre-split checkpoint restarts with fresh state instead of
-      // crashing on a state-schema mismatch
+      // crashing on a state-schema mismatch. CAVEAT — "fresh" means the
+      // old antichain/barrier state is silently DISCARDED, which for an
+      // exact-skyline query is a wrong answer, not a recovery: do not
+      // resume a pre-split checkpoint with this code; start a new
+      // checkpoint and replay the source instead (the repo carries no
+      // persistent checkpoints, so nothing in-tree can hit this)
       sky = getHandle.getListState[Point]("local_sky",
         Encoders.product[Point], TTLConfig.NONE)
       sc = getHandle.getValueState[LocalScalars]("local_scalars",

@@ -33,8 +33,10 @@ class JaccardPrefixSpec extends AnyFunSuite {
 
   // 0.8 = the catalog default; 0.5/0.7/0.9 exercise the generalized
   // rational-ceil prefix math (0.7·10 and 0.8·5 are the classic double-
-  // rounding traps — exact integer ceil must not shrink the prefix)
-  for (t <- Seq(0.5, 0.7, 0.8, 0.9))
+  // rounding traps — exact integer ceil must not shrink the prefix);
+  // 2/3 and 0.66666666 have no 6-decimal representation, pinning the
+  // floor-not-round snap (round would give t' > t and drop pairs)
+  for (t <- Seq(0.5, 2.0 / 3.0, 0.66666666, 0.7, 0.8, 0.9))
     test(s"prefix-filtered join equals plain inverted-index join at t=$t") {
       val docs = fixture
       val plain = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5,

@@ -36,7 +36,7 @@ object Bench {
     "csv_file_source", "json_file_source", "multimodal_features",
     "sky_dominance_score", "dedup_embedding_bucketed", "dedup_semantic",
     "text_chunking", "domain_cap", "decontaminate", "text_repetition",
-    "mix_weights", "pack_sequences", "dedup_segments",
+    "mix_weights", "pack_sequences", "dedup_segments", "text_perplexity",
     "interval_join", "events_funnel", "events_retention",
     "events_latest", "events_zscore", "text_tfidf", "emb_quantize",
     "emb_centroids", "basket_pairs", "events_rolling_7d",

@@ -486,6 +486,50 @@ object TextQueries {
         .select("doc_id", "term", "tf", "df", "score", "rnk")
         .orderBy("doc_id", "rnk")
     }),
+    // perplexity-flavored LM quality filter (the CCNet shape): an add-one-
+    // smoothed bigram model counted over the REFERENCE half of the corpus
+    // (even doc_id) scores the TARGET half (odd doc_id) — p(w2|w1) =
+    // (c12+1)/(c1+V). Per-token probabilities are floored to fixed-point
+    // millionths BEFORE the per-doc sum, so the aggregate is an integer sum —
+    // order-independent and exactly reproducible in the oracle (the same
+    // discipline as emb_quantize; a float log-prob sum would hash-drift on
+    // summation order and libm log differences). Shapes for 100 TB: bigram
+    // extraction is a zero-shuffle array zip; c12 is one corpus-scale
+    // groupBy and the scoring join is (w1,w2)-co-partitioned (AQE handles
+    // hot-bigram skew); c1 is vocabulary-sized so it broadcasts; V is one row.
+    "text_perplexity" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("t"))
+      val bg = toks.where(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),
+            |(x, y) -> named_struct('w1', x, 'w2', y))""".stripMargin
+            .replace("\n", " "))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val train = bg.where(col("doc_id") % 2 === 0)
+      val c12 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val vocab = toks.where(col("doc_id") % 2 === 0)
+        .select(explode(col("t")).as("term"))
+        .agg(countDistinct(col("term")).as("v"))
+      bg.where(col("doc_id") % 2 === 1)
+        .join(c12, Seq("w1", "w2"), "left")
+        .join(broadcast(c1), Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          floor((coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
+              (coalesce(col("c1"), lit(0L)).cast("double") +
+                col("v").cast("double")) * lit(1000000.0))
+            .cast("long").as("p6"),
+          when(col("c12").isNull, lit(0L)).otherwise(lit(1L)).as("hit"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(col("hit")).as("n_hits"),
+          sum(col("p6")).as("sum_p6"),
+          floor(sum(col("p6")).cast("double") / count(lit(1)).cast("double"))
+            .cast("long").as("avg_p6"))
+        .orderBy("doc_id")
+    }),
     // int8 scalar quantization of the embedding column (the storage-
     // compression pass of an embedding pipeline): per-vector min/max affine
     // map onto [0,255] with floor. All outputs are integer aggregates of the
@@ -1112,6 +1156,35 @@ object TextQueries {
         |  ORDER BY score DESC, term ASC) AS rnk FROM scored)
         |SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"""
+        .stripMargin.replace("\n", " ")
+
+    // Same fixed-point arithmetic and association order as the Spark side:
+    // floor(((c12+1) / (c1+V)) * 1e6) per token, integer sums per doc.
+    m += "text_perplexity" ->
+      """WITH toks AS (SELECT doc_id,
+        |  regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+        |bgidx AS (SELECT doc_id, unnest(range(1, len(t))) AS i, t
+        |  FROM toks WHERE len(t) >= 2),
+        |bg AS (SELECT doc_id, t[CAST(i AS INT)] AS w1,
+        |  t[CAST(i AS INT) + 1] AS w2 FROM bgidx),
+        |trainbg AS (SELECT * FROM bg WHERE doc_id % 2 = 0),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM trainbg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM trainbg GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT term) AS v FROM
+        |  (SELECT unnest(t) AS term FROM toks WHERE doc_id % 2 = 0)),
+        |scored AS (SELECT b.doc_id,
+        |  CAST(floor(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE) /
+        |    (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + CAST(v.v AS DOUBLE))
+        |    * 1000000.0) AS BIGINT) AS p6,
+        |  CASE WHEN c12.c12 IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM bg b LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+        |  LEFT JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v
+        |  WHERE b.doc_id % 2 = 1)
+        |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(hit) AS BIGINT)
+        |  AS n_hits, CAST(SUM(p6) AS BIGINT) AS sum_p6,
+        |CAST(floor(CAST(SUM(p6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |  AS BIGINT) AS avg_p6
+        |FROM scored GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replace("\n", " ")
 
     m += "emb_quantize" ->

@@ -155,7 +155,7 @@ object Bench {
     val refWorkloads = Set("sky_1m_2d_anti", "sky_1m_2d_sort",
       "sky_1m_3d_anti", "sky_10m_2d_sort", "sky_500k_4d_bcast",
       "sky_1m_4d_bcast", "sky_500k_4d_xfilter", "sky_1m_3d_gridpar",
-      "sky_1m_3d_tree_uni")
+      "sky_1m_3d_tree_uni", "dedup_minhash_600k_sig", "dedup_minhash_600k")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // fail fast on a typo'd name — a silent no-op would masquerade as a
@@ -255,6 +255,24 @@ object Bench {
       SkylineOps.skylineTreeViaStrategy(
         Generators.generate(spark, "uniform", 1000000L, 3),
         "mr-angle", 10000.0, 8).length
+    }
+
+    // Pipeline scale-stress: the MinHash dedup path at 120x the documents
+    // fixture. The catalog entries prove correctness on 5k real docs; these
+    // prove the SHAPE holds when the corpus is 600k docs — a deterministic
+    // 40-word/1000-vocab synthetic corpus with 2% planted near-duplicates
+    // (39/40 words shared with the predecessor row), i.e. the mostly-unique
+    // web-crawl dup density. Random 40-word docs share almost no 4-hash
+    // band (P ~ s^4), so bucket fan-out stays linear and the banded join's
+    // cost is the planted-dup groups — the asymptotic claim, measured.
+    bench("dedup_minhash_600k_sig") {
+      graft.operators.Dedup.minhashSignatures(
+          Generators.syntheticCorpus(spark, 600000L), "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    bench("dedup_minhash_600k") {
+      graft.operators.Dedup.minhashCandidates(
+          Generators.syntheticCorpus(spark, 600000L), "doc_id", "text").count()
     }
 
     // section boundary: drop generator caches before the catalog sweep

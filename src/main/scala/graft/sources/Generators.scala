@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.Encoder
 
@@ -70,5 +70,24 @@ object Generators {
     spark.range(n).map { id =>
       Point(id, gen(rngFor(seed, id), dims, dMin, dMax))
     }
+  }
+
+  /** Deterministic synthetic text corpus for dedup scale-stress: n docs of
+    * 40 words drawn (Murmur3 on (seed-id, position)) from a 1000-word
+    * vocabulary; every id ≡ 1 (mod 50) is a planted near-duplicate of the
+    * predecessor row sharing 39/40 words — web-crawl dup density (2%) on an
+    * otherwise mostly-unique corpus. Zero shuffle, zero driver state; the
+    * id → text map is pure, so any two invocations at any parallelism agree
+    * row-for-row. */
+  def syntheticCorpus(spark: SparkSession, n: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val id = col("id")
+    val srcId = when(id % 50 === 1, id - 1).otherwise(id)
+    val words = (0 until 40).map { i =>
+      val seed = if (i == 39) id else srcId // dup rows differ in last word
+      concat(lit("w"), pmod(hash(seed, lit(i)), lit(1000)))
+    }
+    spark.range(n).select(id.as("doc_id"),
+      concat_ws(" ", words: _*).as("text"))
   }
 }

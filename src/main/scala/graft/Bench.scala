@@ -54,7 +54,8 @@ object Bench {
     "stream_sky2d", "stream_tws_sky2d", "stream_windowed_sky",
     "stream_sessionize", "stream_interval_join", "stream_term_counts",
     "stream_hist_quantiles", "stream_dedup",
-    "stream_dedup_minhash", "stream_dedup_incremental", "stream_late_drop")
+    "stream_dedup_minhash", "stream_dedup_incremental", "stream_perplexity",
+    "stream_late_drop")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -298,6 +298,38 @@ object PipelineQueries {
       minhashOwnerVerdicts(s, rows.toIndexedSeq, "sminc")(
         graft.operators.Dedup.streamingMinhashOwnersSeeded(_, idx))
     }),
+    // Score-on-ingest LM quality filtering: the DEPLOYED bigram model (c12 /
+    // c1 / V counted batch-side from the even half — the reference corpus)
+    // scores odd docs as they ARRIVE over two micro-batches. Bigram
+    // extraction is the stateless zip_with projection, the model lookups
+    // are stream-static left joins (c12 corpus-scale co-partitioned, c1
+    // broadcast, V a literal of the shipped model — the
+    // stream_hist_quantiles inlined-bounds precedent), and the only state
+    // is the per-doc integer partial sums of the complete-mode aggregation.
+    // Must hash-match text_perplexity's oracle verbatim: same model, same
+    // targets, same fixed-point arithmetic.
+    "stream_perplexity" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+        col("text"))
+      val (c12, c1, vocab) =
+        TextQueries.bigramLm(d.where(col("doc_id") % 2 === 0))
+      val v = vocab.head().getLong(0)
+      val rows = d.where(col("doc_id") % 2 === 1)
+        .orderBy("doc_id").as[(Long, String)].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val out = TextQueries.scorePerplexity(
+        TextQueries.bigramRows(src.toDF().toDF("doc_id", "text")), c12, c1, v)
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      runAppendStream(s, out, "sppl", mode = "complete") { q =>
+        src.addData(h1.toIndexedSeq)
+        q.processAllAvailable()
+        src.addData(h2.toIndexedSeq)
+        q.processAllAvailable()
+      }.orderBy("doc_id")
+    }),
     // cross-batch streaming exact dedup (Dedup.streamingDedup): the corpus
     // arrives in batch 1, then half of it AGAIN in batch 2 — dropDuplicates
     // state must suppress every second-batch repeat, so the appended rows

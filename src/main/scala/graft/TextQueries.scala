@@ -99,6 +99,65 @@ object TextQueries {
     s"${hash60Sql(s"concat('cms', CAST($rRef AS VARCHAR), '#', $termRef)")}" +
       s" % $CmsWidth"
 
+  // --- bigram language model (text_perplexity / stream_perplexity — the
+  // CCNet quality-filter shape: an add-one-smoothed bigram model counted
+  // over a REFERENCE corpus scores a TARGET corpus, p(w2|w1) =
+  // (c12+1)/(c1+V)). Per-token probabilities are floored to fixed-point
+  // millionths BEFORE the per-doc sum, so the aggregate is an integer sum —
+  // order-independent and exactly reproducible in the oracle (a float
+  // log-prob sum would hash-drift on summation order and libm log
+  // differences). 100 TB shapes: bigram extraction is a zero-shuffle array
+  // zip (and therefore runs unchanged on an unbounded stream); c12 is one
+  // corpus-scale groupBy and the scoring join is (w1,w2)-co-partitioned
+  // with AQE absorbing hot-bigram skew; c1 is vocabulary-sized so it
+  // broadcasts; V is a scalar (at deployment: a constant of the shipped
+  // model). ---
+
+  /** (doc_id, w1, w2) bigram rows of a (doc_id, text) frame. Stateless
+    * per-row projection — no shuffle, stream-safe. */
+  private[graft] def bigramRows(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),
+          |(x, y) -> named_struct('w1', x, 'w2', y))""".stripMargin
+          .replace("\n", " "))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** Train the smoothed bigram model over a reference frame: (c12 bigram
+    * counts, c1 context counts, 1-row vocabulary size). */
+  private[graft] def bigramLm(ref: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val bg = bigramRows(ref)
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = ref.select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+      .agg(countDistinct(col("term")).as("v"))
+    (c12, c1, vocab)
+  }
+
+  /** Score target bigram rows under the model: per doc n_bigrams, n_hits
+    * (bigrams seen in training), sum_p6, avg_p6 (fixed-point millionths).
+    * No ORDER BY — streaming callers sort after the sink. */
+  private[graft] def scorePerplexity(bg: DataFrame, c12: DataFrame,
+      c1: DataFrame, v: Long): DataFrame =
+    bg.join(c12, Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .select(col("doc_id"),
+        floor((coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("c1"), lit(0L)).cast("double") +
+              lit(v).cast("double")) * lit(1000000.0))
+          .cast("long").as("p6"),
+        when(col("c12").isNull, lit(0L)).otherwise(lit(1L)).as("hit"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("hit")).as("n_hits"),
+        sum(col("p6")).as("sum_p6"),
+        floor(sum(col("p6")).cast("double") / count(lit(1)).cast("double"))
+          .cast("long").as("avg_p6"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting
     "text_tokens" -> ((s, dir) =>
@@ -486,48 +545,14 @@ object TextQueries {
         .select("doc_id", "term", "tf", "df", "score", "rnk")
         .orderBy("doc_id", "rnk")
     }),
-    // perplexity-flavored LM quality filter (the CCNet shape): an add-one-
-    // smoothed bigram model counted over the REFERENCE half of the corpus
-    // (even doc_id) scores the TARGET half (odd doc_id) — p(w2|w1) =
-    // (c12+1)/(c1+V). Per-token probabilities are floored to fixed-point
-    // millionths BEFORE the per-doc sum, so the aggregate is an integer sum —
-    // order-independent and exactly reproducible in the oracle (the same
-    // discipline as emb_quantize; a float log-prob sum would hash-drift on
-    // summation order and libm log differences). Shapes for 100 TB: bigram
-    // extraction is a zero-shuffle array zip; c12 is one corpus-scale
-    // groupBy and the scoring join is (w1,w2)-co-partitioned (AQE handles
-    // hot-bigram skew); c1 is vocabulary-sized so it broadcasts; V is one row.
+    // perplexity-flavored LM quality filter: the even-doc_id half trains
+    // the bigram model, the odd half is scored (design + determinism notes
+    // on the bigramLm/scorePerplexity helpers above)
     "text_perplexity" -> ((s, dir) => {
-      val toks = docs(s, dir).select(col("doc_id"),
-        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("t"))
-      val bg = toks.where(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          """zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),
-            |(x, y) -> named_struct('w1', x, 'w2', y))""".stripMargin
-            .replace("\n", " "))).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val train = bg.where(col("doc_id") % 2 === 0)
-      val c12 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val vocab = toks.where(col("doc_id") % 2 === 0)
-        .select(explode(col("t")).as("term"))
-        .agg(countDistinct(col("term")).as("v"))
-      bg.where(col("doc_id") % 2 === 1)
-        .join(c12, Seq("w1", "w2"), "left")
-        .join(broadcast(c1), Seq("w1"), "left")
-        .crossJoin(broadcast(vocab))
-        .select(col("doc_id"),
-          floor((coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
-              (coalesce(col("c1"), lit(0L)).cast("double") +
-                col("v").cast("double")) * lit(1000000.0))
-            .cast("long").as("p6"),
-          when(col("c12").isNull, lit(0L)).otherwise(lit(1L)).as("hit"))
-        .groupBy("doc_id").agg(
-          count(lit(1)).as("n_bigrams"),
-          sum(col("hit")).as("n_hits"),
-          sum(col("p6")).as("sum_p6"),
-          floor(sum(col("p6")).cast("double") / count(lit(1)).cast("double"))
-            .cast("long").as("avg_p6"))
+      val d = docs(s, dir)
+      val (c12, c1, vocab) = bigramLm(d.where(col("doc_id") % 2 === 0))
+      val v = vocab.head().getLong(0)
+      scorePerplexity(bigramRows(d.where(col("doc_id") % 2 === 1)), c12, c1, v)
         .orderBy("doc_id")
     }),
     // int8 scalar quantization of the embedding column (the storage-
@@ -1160,7 +1185,10 @@ object TextQueries {
 
     // Same fixed-point arithmetic and association order as the Spark side:
     // floor(((c12+1) / (c1+V)) * 1e6) per token, integer sums per doc.
-    m += "text_perplexity" ->
+    // Shared verbatim with stream_perplexity: the streaming face scores the
+    // same odd docs under the same even-trained model, so streaming-equals-
+    // batch is checked against one SQL definition.
+    val perplexitySql =
       """WITH toks AS (SELECT doc_id,
         |  regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
         |bgidx AS (SELECT doc_id, unnest(range(1, len(t))) AS i, t
@@ -1186,6 +1214,8 @@ object TextQueries {
         |  AS BIGINT) AS avg_p6
         |FROM scored GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replace("\n", " ")
+    m += "text_perplexity" -> perplexitySql
+    m += "stream_perplexity" -> perplexitySql
 
     m += "emb_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,

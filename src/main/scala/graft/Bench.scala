@@ -156,7 +156,8 @@ object Bench {
     val refWorkloads = Set("sky_1m_2d_anti", "sky_1m_2d_sort",
       "sky_1m_3d_anti", "sky_10m_2d_sort", "sky_500k_4d_bcast",
       "sky_1m_4d_bcast", "sky_500k_4d_xfilter", "sky_1m_3d_gridpar",
-      "sky_1m_3d_tree_uni", "dedup_minhash_600k_sig", "dedup_minhash_600k")
+      "sky_1m_3d_tree_uni", "dedup_minhash_600k_sig", "dedup_minhash_600k",
+      "text_perplexity_600k")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // fail fast on a typo'd name — a silent no-op would masquerade as a
@@ -274,6 +275,19 @@ object Bench {
     bench("dedup_minhash_600k") {
       graft.operators.Dedup.minhashCandidates(
           Generators.syntheticCorpus(spark, 600000L), "doc_id", "text").count()
+    }
+    // the LM quality filter on the same 600k-doc corpus: ~23M bigram rows
+    // through the c12 groupBy and the (w1,w2)-co-partitioned scoring join —
+    // the corpus-scale shuffle pair that dominates this operator at 100 TB
+    bench("text_perplexity_600k") {
+      import org.apache.spark.sql.functions.col
+      val d = Generators.syntheticCorpus(spark, 600000L)
+      val (c12, c1, vocab) = TextQueries.bigramLm(
+        d.where(col("doc_id") % 2 === 0))
+      val v = vocab.head().getLong(0)
+      TextQueries.scorePerplexity(
+        TextQueries.bigramRows(d.where(col("doc_id") % 2 === 1)),
+        c12, c1, v).count()
     }
 
     // section boundary: drop generator caches before the catalog sweep

@@ -47,7 +47,7 @@ object Bench {
     "q_not_in_nulls", "bloom_semi_join", "table_profile", "fk_integrity", "fuzzy_join_del1", "events_ntile", "hll_distinct", "zorder_layout", "bucketed_join", "compaction_plan",
     "events_topk_users", "dataset_split", "text_length_buckets",
     "events_gapfill", "events_scd2", "gen_anti_sample",
-    "gen_uniform_sample", "gen_correlated_sample",
+    "gen_uniform_sample", "gen_correlated_sample", "dedup_substring",
     // streaming workloads LAST: their state-store churn and driver-side
     // MemoryStream replay pressure the heap; anything timed after them
     // reads 5-20x slow (single-JVM artifact)
@@ -157,7 +157,7 @@ object Bench {
       "sky_1m_3d_anti", "sky_10m_2d_sort", "sky_500k_4d_bcast",
       "sky_1m_4d_bcast", "sky_500k_4d_xfilter", "sky_1m_3d_gridpar",
       "sky_1m_3d_tree_uni", "dedup_minhash_600k_sig", "dedup_minhash_600k",
-      "text_perplexity_600k")
+      "text_perplexity_600k", "dedup_substring_600k")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // fail fast on a typo'd name — a silent no-op would masquerade as a
@@ -288,6 +288,17 @@ object Bench {
       TextQueries.scorePerplexity(
         TextQueries.bigramRows(d.where(col("doc_id") % 2 === 1)),
         c12, c1, v).count()
+    }
+    // ExactSubstr on the same corpus: planted dup rows repeat 39/40 words,
+    // so each contributes 32 duplicated 8-token spans — ~20M (doc,pos,hash)
+    // occurrence rows through the first-owner window-min shuffle, plus the
+    // excision projection. noop write (not count) so Catalyst can't prune
+    // the covered/clean columns or eliminate the outer join.
+    bench("dedup_substring_600k") {
+      graft.operators.Dedup.exactSubstrStats(
+          Generators.syntheticCorpus(spark, 600000L), "doc_id", "text",
+          clean = true)
+        .write.format("noop").mode("overwrite").save()
     }
 
     // section boundary: drop generator caches before the catalog sweep

@@ -47,6 +47,7 @@ object TextQueries {
   private val BANDS = 4
   private val WinnowK = 8
   private val WinnowW = 4
+  private val SubstrK = 8
 
   /** The ONE SQL definition of the winnowing selection (k-gram hashes →
     * w-windows → rightmost-min rank) — shared by the text_winnow and
@@ -266,6 +267,16 @@ object TextQueries {
     // from the rarest-first ~20% prefix inverted index only (PPJoin), then
     // exact verification — the oracle is dedup_ngram_jaccard's SQL with
     // the 0.8 threshold, so the gate proves the filter drops nothing
+    // ExactSubstr dedup (Lee et al. 2022): every 8-token span already seen
+    // in an earlier doc is duplicated; covered_tokens merges overlapping
+    // spans, clean_text is the doc with covered positions excised. Exact
+    // (no approximation) yet shuffle-bounded: spans travel as 64-bit
+    // hashes through one first-owner window-min shuffle, never a cross
+    // product.
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.exactSubstrStats(docs(s, dir), "doc_id", "text",
+          k = SubstrK, clean = true)
+        .orderBy("doc_id")),
     "dedup_jaccard_prefix" -> ((s, dir) =>
       Dedup.ngramJaccardPrefix(docs(s, dir), "doc_id", "text", k = 5,
           threshold = 0.8, maxDocFreq = 100)
@@ -761,6 +772,43 @@ object TextQueries {
     m += "dedup_exact" ->
       s"""SELECT md5($normSql) AS fingerprint, MIN(doc_id) AS doc_id,
          |COUNT(*) AS n_dups FROM documents GROUP BY 1 ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")
+
+    // ExactSubstr: same span enumeration as the Scala side (0-based start
+    // positions, k=8 token spans, keep-first-doc ownership), grouped by the
+    // span STRING where Spark groups by xxhash64(span) — equal unless a
+    // 64-bit collision manufactures a false duplicate, which this gate
+    // would catch. Covered positions = distinct union of the per-span
+    // ranges (overlap-merging for free); clean_text drops covered indices.
+    m += "dedup_substring" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN []
+         |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+         |  FROM documents),
+         |pos AS (SELECT doc_id, words,
+         |  unnest(range(1, greatest(len(words) - ${SubstrK - 2}, 1))) AS i
+         |  FROM w),
+         |occ AS (SELECT doc_id, i - 1 AS pos,
+         |  array_to_string(words[i:i + ${SubstrK - 1}], ' ') AS span FROM pos),
+         |fst AS (SELECT span, min(doc_id) AS first_doc FROM occ GROUP BY span),
+         |dup AS (SELECT o.doc_id, o.pos FROM occ o JOIN fst f USING (span)
+         |  WHERE o.doc_id > f.first_doc),
+         |dps AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS dps
+         |  FROM dup GROUP BY doc_id),
+         |covd AS (SELECT doc_id, dps,
+         |  list_distinct(flatten([range(p, p + $SubstrK) for p in dps])) AS cov
+         |  FROM dps)
+         |SELECT b.doc_id, CAST(len(b.words) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(len(c.dps), 0) AS BIGINT) AS n_dup_spans,
+         |  CAST(coalesce(len(c.cov), 0) AS BIGINT) AS covered_tokens,
+         |  CASE WHEN len(b.words) > 0 THEN
+         |    CAST(coalesce(len(c.cov), 0) AS DOUBLE) / CAST(len(b.words) AS DOUBLE)
+         |    ELSE 0.0 END AS dup_frac,
+         |  coalesce(array_to_string([b.words[i]
+         |    for i in range(1, len(b.words) + 1)
+         |    if not list_contains(coalesce(c.cov, []), i - 1)], ' '), '')
+         |    AS clean_text
+         |FROM w b LEFT JOIN covd c USING (doc_id) ORDER BY doc_id"""
         .stripMargin.replace("\n", " ")
 
     // winnowing: enumerate every w-window of gram hashes, rank by

@@ -529,4 +529,82 @@ object Dedup {
   def streamingDedup(stream: DataFrame, textCol: String): DataFrame =
     stream.withColumn("fingerprint", docFingerprint(col(textCol)))
       .dropDuplicates("fingerprint")
+
+  /** Exact substring deduplication (ExactSubstr, Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): a k-token span that already occurs in an
+    * earlier document (smaller id) is a duplicated span; per document
+    * this reports how many token positions such spans cover — the
+    * decision signal for span excision (see the `clean` flag) or a
+    * doc-level drop. Unlike MinHash/winnowing this is EXACT: every
+    * duplicated run of >= k tokens is found, none are missed.
+    *
+    * Scale shape (100 TB): tokenize + span-enumerate is a per-row
+    * projection; the explode is linear in corpus tokens; spans travel
+    * as 64-bit xxhash64 keys (never strings) through ONE hash-
+    * partitioned groupBy for the first-owner min and ONE equi-join
+    * back on the same key; the final per-doc rollup's state is only
+    * that document's duplicated positions. No doc-pair or span-pair
+    * cross product anywhere. The suffix-array of the original paper
+    * is a single-machine construction; this span-hash formulation is
+    * the standard shuffle-bounded equivalent for a cluster (k fixed,
+    * spans overlap so any >= k-token duplicate run is still caught in
+    * full: all its length-k subspans are duplicated and their covered
+    * positions union to the whole run).
+    *
+    * Output: (idCol, n_tokens, n_dup_spans, covered_tokens, dup_frac
+    * [, clean_text when `clean`]) — `clean_text` is the document with
+    * every covered token removed, the excision variant of the paper.
+    * Hash-collision note: grouping by xxhash64(span) instead of the
+    * span string trades a ~2^-64-per-pair false-dup chance for a
+    * string-free shuffle; at 100 TB that trade is mandatory. */
+  def exactSubstrStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, clean: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val words = when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    val base = df.select(col(idCol), words.as("words"))
+    // span start positions are 0-based; sequence() flips direction when
+    // stop < start, so the < k case must short-circuit to an empty array
+    val spanArr = when(size(col("words")) >= k,
+        transform(sequence(lit(0), size(col("words")) - k),
+          p => concat_ws(" ", slice(col("words"), p + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val occ = base
+      .select(col(idCol), posexplode(spanArr).as(Seq("pos", "span")))
+      .select(col(idCol), col("pos"), xxhash64(col("span")).as("h"))
+    // first-owner via window-min over the span hash: ONE shuffle + sort of
+    // the occurrence rows, where a groupBy+self-join would explode the span
+    // array twice and shuffle it twice. A boilerplate span hot in millions
+    // of docs serializes into one sort partition — Spark's external sort
+    // spills rather than OOMs, and k-token spans (vs single shingles) make
+    // such keys rare by construction.
+    val dup = occ
+      .withColumn("first_doc", min(col(idCol)).over(Window.partitionBy("h")))
+      .where(col(idCol) > col("first_doc"))
+      .groupBy(idCol)
+      .agg(sort_array(collect_set(col("pos"))).as("dps"))
+    val cov = array_distinct(flatten(transform(col("dps"),
+      p => sequence(p, p + k - 1))))
+    val joined = base.join(dup, Seq(idCol), "left")
+      .select(col(idCol), col("words"),
+        size(col("words")).cast("long").as("n_tokens"),
+        coalesce(size(col("dps")), lit(0)).cast("long").as("n_dup_spans"),
+        coalesce(when(col("dps").isNotNull, cov), array().cast("array<int>"))
+          .as("cov"))
+    val out = joined.select(col(idCol), col("words"), col("n_tokens"),
+      col("n_dup_spans"), size(col("cov")).cast("long").as("covered_tokens"),
+      when(col("n_tokens") > 0,
+          size(col("cov")).cast("double") / col("n_tokens").cast("double"))
+        .otherwise(lit(0.0)).as("dup_frac"),
+      col("cov"))
+    if (clean)
+      out.select(col(idCol), col("n_tokens"), col("n_dup_spans"),
+        col("covered_tokens"), col("dup_frac"),
+        concat_ws(" ", filter(col("words"),
+          (_, i) => !array_contains(col("cov"), i))).as("clean_text"))
+    else
+      out.drop("words", "cov")
+  }
 }

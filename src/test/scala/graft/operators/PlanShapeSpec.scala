@@ -48,4 +48,37 @@ class PlanShapeSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBcast)
     }
   }
+
+  test("exactSubstrStats shuffles only on the span hash and doc_id") {
+    import spark.implicits._
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val priorBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Seq((0L, "a b c d e f g h i j"), (1L, "a b c d e f g h x y"))
+        .toDF("doc_id", "text")
+      val out = Dedup.exactSubstrStats(docs, "doc_id", "text", clean = true)
+      val plan = out.queryExecution.executedPlan
+      assert(plan.collect {
+        case e if e.nodeName.contains("Cartesian") ||
+          e.nodeName.contains("BroadcastNestedLoop") => e
+      }.isEmpty, "span dedup must never cross-product")
+      val keySets = plan
+        .collect { case e: ShuffleExchangeExec => e.outputPartitioning }
+        .map {
+          case h: HashPartitioning =>
+            h.expressions.map(_.references.map(_.name).mkString).toSet
+          case other => fail(s"unexpected partitioning $other")
+        }
+      // the first-owner window-min hashes on the span hash `h`; the
+      // duplicated-position rollup and the final outer join hash on doc_id
+      assert(keySets.nonEmpty && keySets.forall(ks =>
+        ks == Set("h") || ks == Set("doc_id")),
+        s"unexpected exchange keys: $keySets")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBcast)
+    }
+  }
 }

@@ -683,4 +683,62 @@ object SkylineOps {
         (coalesce(col("_strict"), lit(0L)) + coalesce(col("_border"), lit(0L)))
           .as(countName))
   }
+
+  /** k-DOMINANT skyline (Chan et al., SIGMOD 2006): the rows not k-dominated
+    * by ANY row, where `u` k-dominates `t` iff u ≤ t in at least `k` of the
+    * `d` dimensions with a strict `<` in at least one of those k. (Any strict
+    * dimension is also a ≤ dimension, so the predicate reduces to
+    * `#{u.vi ≤ t.vi} ≥ k AND #{u.vi < t.vi} ≥ 1`.) k = d is the ordinary
+    * skyline; smaller k is MORE aggressive — useful exactly where the
+    * reference's 4-D runs drown in the curse of dimensionality
+    * (`java/org.main/FlinkSkyline.java` caps at 4 dims for this reason):
+    * relaxed dominance keeps the answer small as d grows.
+    *
+    * Scale shape: every k-dominant skyline point is an ordinary skyline
+    * point (a full dominator d-dominates, hence k-dominates, for any k ≤ d),
+    * so the candidates are exactly the skyline — computed by the fully
+    * distributed broadcast cross-filter merge — and verification is ONE
+    * streamed pass of the full input against the broadcast candidate set
+    * (k-dominance is not transitive, so candidates must be checked against
+    * every row, not just against each other). No self-join of the corpus
+    * anywhere; the only quadratic term is |input| × |skyline| inside a
+    * BroadcastNestedLoopJoin, with |skyline| bounded by the broadcast guard
+    * of [[skylineBroadcastFilter]]. Duplicates of a surviving row are all
+    * kept, like every other skyline path here. */
+  def kDominantSkylineDF(df: DataFrame, idCol: String, dimCols: Seq[String],
+                         k: Int): DataFrame =
+    kDominantFlagsDF(df, idCol, dimCols, k)
+      .where(col("is_kdom")).drop("is_kdom")
+
+  /** Per-skyline-point k-dominance verdict: the ordinary skyline rows with an
+    * `is_kdom` boolean — true iff NO input row k-dominates the point (the
+    * k-dominant skyline is the `is_kdom` subset). The flag form is the
+    * analyst-facing shape: the k-dominant answer is often tiny or empty
+    * (relaxed dominance is aggressive), and seeing WHICH skyline points were
+    * relegated — not just the survivors — is the useful report. Same
+    * broadcast-verify plan as [[kDominantSkylineDF]]. */
+  def kDominantFlagsDF(df: DataFrame, idCol: String, dimCols: Seq[String],
+                       k: Int): DataFrame = {
+    val d = dimCols.size
+    require(k >= 1 && k <= d, s"k must be in [1, $d], got $k")
+    val sky = skylineDFDistributed(df, idCol, dimCols)
+    if (k == d) return sky.withColumn("is_kdom", lit(true))
+    val cand = broadcast(
+      sky.select(col(idCol).as("_tid") +:
+        dimCols.zipWithIndex.map { case (c, i) => col(c).as(s"_t$i") }: _*))
+    val u = df.select(
+      dimCols.zipWithIndex.map { case (c, i) =>
+        col(c).cast("double").as(s"_u$i") }: _*)
+    def cnt(p: (Column, Column) => Column): Column =
+      dimCols.indices.map { i =>
+        when(p(col(s"_u$i"), col(s"_t$i")), 1).otherwise(0): Column
+      }.reduce(_ + _)
+    // one full scan of u, nested-loop-checked against the broadcast
+    // candidates; killed = candidate ids with at least one k-dominator
+    val killed = u.join(cand, cnt(_ <= _) >= k && cnt(_ < _) >= 1)
+      .select(col("_tid")).distinct().withColumn("_killed", lit(true))
+    sky.join(killed, sky(idCol) === killed("_tid"), "left")
+      .select(col(idCol) +: dimCols.map(col) :+
+        not(coalesce(col("_killed"), lit(false))).as("is_kdom"): _*)
+  }
 }

@@ -155,8 +155,7 @@ object PipelineQueries {
     "stream_windowed_sky" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rows = s.read.parquet(s"$dir/events.parquet").select(
+      val rows = graft.sources.EventsFixture.load(s, dir).select(
           col("event_id"),
           expr("ts div 1000000000").as("secs"),
           col("value").cast("double").as("v1"),
@@ -196,8 +195,7 @@ object PipelineQueries {
     "stream_sessionize" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rows = s.read.parquet(s"$dir/events.parquet").select(
+      val rows = graft.sources.EventsFixture.load(s, dir).select(
           col("user_id"),
           expr("ts div 1000000000").as("secs"),
           col("value").cast("double").as("value"))
@@ -232,8 +230,7 @@ object PipelineQueries {
     "stream_interval_join" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = graft.sources.EventsFixture.load(s, dir)
       val errRows = ev.where(col("event_type") === "error")
         .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"))
         .as[(Long, Long, Long)].collect()
@@ -358,8 +355,7 @@ object PipelineQueries {
     "stream_late_drop" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rows = s.read.parquet(s"$dir/events.parquet").select(
+      val rows = graft.sources.EventsFixture.load(s, dir).select(
           col("event_id"), expr("ts div 1000000000").as("secs"),
           col("value").cast("double"))
         .as[(Long, Long, Double)].collect()
@@ -417,9 +413,8 @@ object PipelineQueries {
     "stream_hist_quantiles" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val B = RelationalQueries.HistBins
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = graft.sources.EventsFixture.load(s, dir)
         .select(col("event_type"), col("value").cast("double").as("v"))
         .where(col("v").isNotNull)
       val bounds = ev.agg(min("v"), max("v")).head()

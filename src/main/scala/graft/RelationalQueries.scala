@@ -54,13 +54,11 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's reader rejects;
-    * read it as raw nanosecond longs (ordering-equivalent). The oracle side
-    * uses epoch_ns(ts) for the same integer view. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-  }
+  /** events.parquet's ts normalized to BIGINT nanoseconds (the integer
+    * view the catalog and the epoch_ns oracles are written against) —
+    * vintage handling lives in [[graft.sources.EventsFixture]]. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.sources.EventsFixture.load(s, dir)
 
   /** The reference's CSV wire-format parser (`ServiceTuple.fromString`,
     * `java/org.main/ServiceTuple.java:89-104`): "id,v1,v2,..." → (id, dims);

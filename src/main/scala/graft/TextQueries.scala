@@ -556,6 +556,15 @@ object TextQueries {
         .select("doc_id", "term", "tf", "df", "score", "rnk")
         .orderBy("doc_id", "rnk")
     }),
+    // BM25 top-20 for a fixed 4-term query (division-only odds idf +
+    // floor-to-millionths integer sums — design notes on
+    // TextAnalysis.bm25); deterministic tiebreak on doc_id
+    "text_bm25" -> ((s, dir) => {
+      graft.operators.TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
+          Seq("vector", "window", "merge", "stream"))
+        .orderBy(col("score_u6").desc, col("doc_id"))
+        .limit(20)
+    }),
     // perplexity-flavored LM quality filter: the even-doc_id half trains
     // the bigram model, the odd half is scored (design + determinism notes
     // on the bigramLm/scorePerplexity helpers above)
@@ -1229,6 +1238,39 @@ object TextQueries {
         |  ORDER BY score DESC, term ASC) AS rnk FROM scored)
         |SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"""
+        .stripMargin.replace("\n", " ")
+
+    // BM25: every subexpression is the same two-operand IEEE op sequence
+    // as the Column side (idf = (N - df + 0.5)/(df + 0.5); k1+1 left as
+    // (1.2 + 1.0) so BOTH engines fold it with the same IEEE add rather
+    // than one parsing a decimal literal the other computed); per-term
+    // scores floored to integer millionths before the per-doc sum.
+    m += "text_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |  FROM documents),
+        |tk AS (SELECT doc_id, term FROM toks WHERE length(term) >= 3),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk
+        |  WHERE term IN ('vector', 'window', 'merge', 'stream')
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |scored AS (SELECT tf.doc_id,
+        |  CAST(FLOOR(((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE)
+        |      + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)) *
+        |    ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |      (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |        (CAST(dl.dl AS DOUBLE) / s.avgdl)))) * 1000000.0)
+        |    AS BIGINT) AS score_u6
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats s)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+        |  CAST(SUM(score_u6) AS BIGINT) AS score_u6
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score_u6 DESC, doc_id LIMIT 20"""
         .stripMargin.replace("\n", " ")
 
     // Same fixed-point arithmetic and association order as the Spark side:

@@ -149,6 +149,65 @@ object TextAnalysis {
       .withColumn("off_in_seq", expr(s"start_off % $seqLen"))
   }
 
+  /** BM25 relevance of every document against a small fixed query-term
+    * set (Robertson/Sparck Jones probabilistic retrieval — the lexical
+    * ranking half of a RAG/retrieval pipeline; Okapi BM25 per Robertson &
+    * Zaragoza 2009, "The Probabilistic Relevance Framework").
+    *
+    * Determinism: idf uses the division-only odds form
+    * `(N - df + 0.5) / (df + 0.5)` — `ln()` is libm-dependent and would
+    * break bit parity with the oracle, and the log is monotone so the
+    * per-term ranking is order-isomorphic (documented delta: multi-term
+    * sums weight rare terms more than log-idf BM25 would). Every
+    * per-(doc, term) score is floored to integer millionths BEFORE the
+    * per-doc sum, so the aggregate is an order-free integer sum — the
+    * same fixed-point discipline as text_tfidf/text_perplexity.
+    *
+    * Scale shape (100 TB): the query-term filter lands directly on the
+    * token stream (scan-speed; only |Q| terms survive), so tf is a
+    * (doc, term)-keyed groupBy over a tiny slice; df aggregates that to
+    * |Q| rows and broadcasts; doc lengths are one corpus-keyed groupBy
+    * whose join to tf co-partitions on the doc id; avgdl/N is a one-row
+    * cross broadcast. Nothing driver-side, no corpus self-join.
+    *
+    * Output: (idCol, n_terms_matched, score_u6) for every document
+    * containing at least one query term; `score_u6` = BM25 score in
+    * integer millionths. N and avgdl are computed over documents with at
+    * least one token (tokenless docs can never match and carry no
+    * length signal). */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = df.select(col(idCol),
+        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
+          .as("term"))
+      .where(length(col("term")) >= 3)
+    val dl = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+    val tf = toks.where(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // expression order mirrors the oracle SQL token-for-token: each
+    // subexpression is the same two-operand IEEE op sequence on both
+    // engines, so the floor-to-millionths below cannot straddle an ulp
+    val idf = (col("n_docs").cast("double") - col("df").cast("double") +
+      lit(0.5)) / (col("df").cast("double") + lit(0.5))
+    val norm = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) *
+          (col("dl").cast("double") / col("avgdl"))))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        floor(idf * norm * lit(1000000.0)).as("score_u6"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum(col("score_u6")).as("score_u6"))
+  }
+
   /** Small multilingual marker vocabularies (public common stopwords). */
   val LangMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a"),

@@ -380,4 +380,37 @@ class CatalogAnalyticsSpec extends AnyFunSuite {
       assert(rs.map(_._4).distinct.length == 1)
     }
   }
+
+  test("text_bm25 catalog entry is a descending top-20 with bounded term matches") {
+    val rows = run("text_bm25").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    rows.foreach { case (_, matched, score) =>
+      assert(matched >= 1 && matched <= 4)
+      assert(score > 0)
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1))
+      case _ => ()
+    }
+  }
+
+  test("bm25 ranking laws on a planted corpus") {
+    import spark.implicits._
+    // doc 1: query term repeated; doc 2: one hit in same length; doc 3: no
+    // hits; doc 4: one hit in a much longer doc (length normalization)
+    val docs = Seq(
+      (1L, "vector vector vector sort sort"),
+      (2L, "vector sort sort sort sort"),
+      (3L, "sort join scan merge table"),
+      (4L, "vector " + Seq.fill(40)("sort").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.bm25(docs, "doc_id", "text",
+        Seq("vector"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(!out.contains(3L), "doc without query terms must not appear")
+    assert(out(1L) > out(2L), "higher tf must outrank at equal length")
+    assert(out(2L) > out(4L), "shorter doc must outrank at equal tf")
+  }
 }

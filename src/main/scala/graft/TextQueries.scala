@@ -475,6 +475,16 @@ object TextQueries {
           k = 10, nLists = 16, nProbe = 4)
         .orderBy("query_id", "rank")
     }),
+    // product-quantization ANN: corpus compressed to 8 sub-codes/vector
+    // against a 16-entry deterministic codebook, ranked by exact cosine on
+    // the reconstructed vectors (design notes on Similarity.pqTopK)
+    "ann_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqTopK(e, "vec_id", "embedding",
+          e.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, m = 8, ks = 16, dims = 64)
+        .orderBy("query_id", "rank")
+    }),
     // LSH-bucketed ANN (deterministic hyperplanes); full DuckDB oracle below
     // embeds the plane constants. Recall vs brute force asserted in specs.
     "ann_lsh" -> ((s, dir) => {
@@ -1195,6 +1205,41 @@ object TextQueries {
          |scored AS (SELECT p.query_id, a.nbr_id,
          |  list_cosine_similarity(p.qvec, a.cvec) AS cosine
          |  FROM assigned a JOIN probes p USING (list_id)),
+         |ranked AS (SELECT query_id, nbr_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, nbr_id ASC) AS rank FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, nbr_id, cosine
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+        .stripMargin.replace("\n", " ")
+
+    // PQ ANN oracle: same deterministic codebook sample (hash60 order, j =
+    // row position), per-subspace argmin on (list_distance ASC, j ASC) —
+    // decision parity with the Column-side sqrt-fold; reconstructed vectors
+    // are exact copies of sampled doubles so the output cosine rides the
+    // proven list_cosine_similarity path.
+    m += "ann_pq" ->
+      s"""WITH c AS (SELECT vec_id AS nbr_id, CAST(embedding AS DOUBLE[]) AS cvec
+         |  FROM embeddings),
+         |cb AS (SELECT * FROM (SELECT (ROW_NUMBER() OVER (
+         |    ORDER BY ${hash60Sql("concat('pq#', CAST(nbr_id AS VARCHAR))")} ASC,
+         |      nbr_id ASC)) - 1 AS j, cvec FROM c) WHERE j < 16),
+         |subc AS (SELECT nbr_id, r.s, list_slice(cvec, s * 8 + 1, s * 8 + 8) AS sv
+         |  FROM c CROSS JOIN range(8) r(s)),
+         |subcb AS (SELECT j, r.s, list_slice(cvec, s * 8 + 1, s * 8 + 8) AS cv
+         |  FROM cb CROSS JOIN range(8) r(s)),
+         |enc AS (SELECT nbr_id, s, j FROM (
+         |  SELECT subc.nbr_id, subc.s, subcb.j,
+         |    ROW_NUMBER() OVER (PARTITION BY subc.nbr_id, subc.s
+         |      ORDER BY list_distance(subc.sv, subcb.cv) ASC, subcb.j ASC) AS rn
+         |  FROM subc JOIN subcb USING (s)) WHERE rn = 1),
+         |recon AS (SELECT enc.nbr_id, flatten(list(subcb.cv ORDER BY enc.s)) AS rvec
+         |  FROM enc JOIN subcb ON enc.s = subcb.s AND enc.j = subcb.j
+         |  GROUP BY enc.nbr_id),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+         |  FROM embeddings WHERE vec_id < 5),
+         |scored AS (SELECT q.query_id, r.nbr_id,
+         |  list_cosine_similarity(q.qvec, r.rvec) AS cosine
+         |  FROM q CROSS JOIN recon r),
          |ranked AS (SELECT query_id, nbr_id, cosine,
          |  ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, nbr_id ASC) AS rank FROM scored)

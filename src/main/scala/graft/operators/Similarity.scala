@@ -158,6 +158,68 @@ object Similarity {
         col("nbr_id"), col("cosine"))
   }
 
+  /** Product-quantization ANN (Jegou, Douze & Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1)): each
+    * corpus vector is compressed to `m` sub-codes — per subspace, the index
+    * of the nearest of `ks` codebook entries — and queries rank corpus
+    * candidates by exact cosine against the RECONSTRUCTED (quantized)
+    * vectors. The stored representation shrinks from dims doubles to m
+    * small ints per vector (64x at dims=64/m=8/ks<=256), which is the
+    * operator's 100 TB value: the scan side reads code columns, never raw
+    * vectors, and the codebook is a literal inlined into the plan (the
+    * deterministicCentroids sample — no k-means RNG, reproducible on any
+    * engine). Encoding and reconstruction are pure per-row expressions; no
+    * shuffle touches the corpus until the final per-query top-k window.
+    *
+    * Determinism note: the sub-code argmin ranks (L2 distance ASC, code
+    * ASC) — identical codebook entries (duplicate sampled vectors) tie to
+    * the lower code on both engines; distances of DISTINCT entries tying
+    * to within one ulp is the only cross-engine divergence risk and is
+    * probability ~0 for real-valued embeddings. Reconstructed vectors are
+    * exact copies of sampled corpus doubles, so the output cosine is the
+    * proven cosineSimNative/list_cosine_similarity bit-parity path. */
+  def pqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+             queries: DataFrame, queryId: String, queryVec: String,
+             k: Int, m: Int, ks: Int, dims: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    require(ks >= 1, s"ks must be >= 1, got $ks")
+    val subDim = dims / m
+    val c = corpus.select(col(corpusId).as("nbr_id"), asDouble(col(corpusVec)).as("cvec"))
+    val q = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("qvec"))
+    val sample = deterministicCentroids(c, "nbr_id", "cvec", ks, "pq")
+    if (sample.isEmpty)
+      return q.limit(0).crossJoin(c.limit(0).select(col("nbr_id")))
+        .select(col("query_id"), lit(0L).as("rank"), col("nbr_id"),
+          lit(0.0).as("cosine"))
+    // codebook(s)(j) = sampled vector j's s-th subvector
+    val cb: IndexedSeq[IndexedSeq[Seq[Double]]] = (0 until m).map(s =>
+      sample.toIndexedSeq.map { case (_, v) =>
+        v.slice(s * subDim, (s + 1) * subDim).toSeq })
+    def subL2(vec: Column, s: Int, entry: Seq[Double]): Column =
+      sqrt(aggregate(
+        zip_with(slice(vec, s * subDim + 1, subDim), typedLit(entry),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+    def code(vec: Column, s: Int): Column =
+      element_at(array_sort(array(cb(s).indices.map(j =>
+        struct(subL2(vec, s, cb(s)(j)).as("d"), lit(j).as("j"))): _*)), 1)
+        .getField("j")
+    val coded = c.select(col("nbr_id") +:
+      (0 until m).map(s => code(col("cvec"), s).as(s"c$s")): _*)
+    val recon = flatten(array((0 until m).map(s =>
+      element_at(typedLit(cb(s)), col(s"c$s") + 1)): _*))
+    val scored = coded.withColumn("rvec", recon)
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("nbr_id"),
+        cosineSimNative(col("qvec"), col("rvec")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("cosine"))
+  }
+
   /** LSH-bucketed ANN: candidates = same-bucket pairs (plus queries always
     * examine their own bucket), ranked by exact cosine within the bucket.
     * Recall < 1.0 by construction; bucket count 2^nPlanes bounds work. */

@@ -184,6 +184,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ ANN: sampled codebook vectors reconstruct to cosine 1.0; recall sane") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val df = Seq.tabulate(200)(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    // a vector IN the deterministic codebook sample quantizes to itself
+    // (each subspace argmin hits its own entry at distance 0), so querying
+    // with it must surface itself at exact cosine 1.0
+    val sampled = Similarity.deterministicCentroids(
+      df.select(col("vec_id").as("nbr_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cvec")),
+      "nbr_id", "cvec", 16, "pq").map(_._1)
+    val qid0 = sampled.min
+    val q = df.where(col("vec_id") === qid0 || col("vec_id") < 3)
+    val pq = Similarity.pqTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 10, m = 4, ks = 16, dims = 16).collect()
+    val self = pq.filter(r => r.getLong(0) == qid0 && r.getLong(2) == qid0)
+    assert(self.length == 1 && self.head.getDouble(3) >= 1.0 - 1e-12,
+      s"codebook member must self-match at cosine ~1.0: ${self.mkString}")
+    // quantized ranking still overlaps the exact top-k
+    val bf = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, "vec_id",
+      "embedding", k = 10).collect()
+    val pqByQ = pq.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+    val bfByQ = bf.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+    bfByQ.foreach { case (qid, bfSet) =>
+      val got = pqByQ.getOrElse(qid, Set.empty)
+      assert(got.size == 10)
+      assert((got & bfSet).nonEmpty, s"query $qid: no overlap with exact top-10")
+    }
+  }
+
   test("brute-force ANN: self is rank 1 with cosine 1.0; LSH recall is sane") {
     import spark.implicits._
     val rng = new scala.util.Random(42)

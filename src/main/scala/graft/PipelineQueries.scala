@@ -403,6 +403,39 @@ object PipelineQueries {
         q.processAllAvailable()
       }.orderBy("term")
     }),
+    // Leaderboard-on-ingest: the corpus-scale stateful work — per
+    // (event_type, user_id) counts — aggregates in complete mode across
+    // two micro-batches through the state store; the bounded top-5
+    // readout (TopKAgg, <= k rows of state per mapper) runs on the final
+    // counts, the serving-layer read of a live leaderboard. Oracle =
+    // events_topk_users's SQL verbatim, so streaming-equals-batch is
+    // enforced by the hash gate itself.
+    "stream_topk_users" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = graft.sources.EventsFixture.load(s, dir)
+        .select(col("event_type"), col("user_id"))
+        .as[(String, Long)].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long)]
+      val counts = src.toDF().toDF("event_type", "user_id")
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      val finalCounts = runAppendStream(s, counts, "stk", mode = "complete") { q =>
+        src.addData(h1.toIndexedSeq)
+        q.processAllAvailable()
+        src.addData(h2.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val topk = udaf(new graft.operators.TopKAgg(5),
+        graft.operators.TopK.inputEncoder)
+      finalCounts.groupBy("event_type")
+        .agg(topk(col("n"), col("user_id")).as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
+          col("col.id").as("user_id"), col("col.v").as("n"))
+        .orderBy("event_type", "rk")
+    }),
     // The histogram quantile SKETCH maintained incrementally: the (type,
     // bin) counts aggregate in complete mode across two micro-batches —
     // the sketch's merge-by-addition property exercised through the state
@@ -662,6 +695,8 @@ object PipelineQueries {
     "stream_term_counts" -> (TextQueries.cmsTfSql + " ORDER BY term"),
     // incrementally-merged histogram sketch == the batch sketch
     "stream_hist_quantiles" -> RelationalQueries.oracleSql("hist_quantiles"),
+    // live leaderboard == the batch top-k readout
+    "stream_topk_users" -> RelationalQueries.oracleSql("events_topk_users"),
     // late replays dropped ⇒ every event counted exactly once, like batch
     "stream_late_drop" ->
       """WITH e AS (SELECT (epoch_ns(ts) // 1000000000) // 3600 * 3600

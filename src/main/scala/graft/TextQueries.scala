@@ -302,6 +302,29 @@ object TextQueries {
       Dedup.clusterNearDups(d.select(col("doc_id").as("id")), pairs)
         .orderBy("id")
     }),
+    // quality-aware canonical selection: within each near-dup cluster keep
+    // the BEST document (most tokens, ties → lowest id), not the min-id one
+    // — the policy real pipelines want (dedup should discard the truncated
+    // copy, not whichever crawled first). Same cluster labels as
+    // dedup_clusters; the argmax is one partial-aggregating groupBy on
+    // cluster_id (max of a (n_tokens, −id) struct = lexicographic argmax,
+    // deterministic) plus a cluster-keyed join back — co-partitioned,
+    // no windows over the corpus.
+    "dedup_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", k = 5,
+        threshold = 0.35).select(col("id_a"), col("id_b"))
+      val lab = Dedup.clusterNearDups(d.select(col("doc_id").as("id")), pairs)
+        .join(d.select(col("doc_id").as("id"),
+          graft.functions.tokenCount(col("text")).as("n_tokens")), "id")
+      val best = lab.groupBy("cluster_id")
+        .agg(max(struct(col("n_tokens").as("t"), (-col("id")).as("ni"))).as("b"))
+        .select(col("cluster_id"), (-col("b.ni")).as("keep_id"))
+      lab.join(best, "cluster_id")
+        .select(col("id"), col("cluster_id"), col("n_tokens"),
+          (col("id") === col("keep_id")).as("keep"))
+        .orderBy("id")
+    }),
     // simhash (relational bit-vote form)
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
@@ -537,6 +560,31 @@ object TextQueries {
           concat(lit("smpl#"), col("doc_id").cast("string"))) % 10 === 0)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")),
+    // fixed-SIZE per-stratum uniform sample: bottom-k by a portable hash
+    // rank (a KMV / bottom-k sketch — the distributed, mergeable analog of
+    // reservoir sampling; hash-rank order ≡ a uniform random permutation,
+    // but reproducible across engines, runs, and repartitioning). The
+    // bounded TopKAgg keeps ≤ k (rank, id) pairs per map task before the
+    // shuffle, so shuffle volume is O(k · strata · mappers) regardless of
+    // stratum size — the row_number() window formulation would shuffle and
+    // sort every row of every stratum. Complements sample_stratified
+    // (fixed RATE): this one guarantees exactly min(k, |stratum|) rows.
+    "sample_bottomk" -> ((s, dir) => {
+      val ranked = docs(s, dir).select(col("lang"),
+        graft.functions.hash60(
+          concat(lit("rsv#"), col("doc_id").cast("string"))).as("h"),
+        col("doc_id"))
+      val topk = udaf(new graft.operators.TopKAgg(50),
+        graft.operators.TopK.inputEncoder)
+      // TopKAgg ranks (v desc, id asc); v = −h turns that into the
+      // (h asc, id asc) bottom-k order of the oracle's window
+      ranked.groupBy("lang")
+        .agg(topk(-col("h"), col("doc_id")).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+          col("col.id").as("doc_id"), (-col("col.v")).as("h"))
+        .orderBy("lang", "rk")
+    }),
     // real-valued TF-IDF (complements the integer-only text_top_terms):
     // score = tf · N/(1+df). Division-only idf — ln() is libm-dependent and
     // would break bit parity with the oracle, and for fixed N the ranking is
@@ -639,6 +687,17 @@ object TextQueries {
     // double-rounds differently from the JVM's exact BigDecimal conversion.
     // The groupBy key space is |labels|·dims — tiny relative to the corpus —
     // so this is one partial-aggregating shuffle at any scale.
+    // single-pass Gram (second-moment) matrix — the distributed half of
+    // PCA/whitening. A typed Aggregator accumulates the Q20 fixed-point
+    // upper-triangle outer-product sums in a 16 KB buffer per map task
+    // (exact integers — order-independent, hash-gated); the relational
+    // alternative (posexplode², groupBy (i,j)) would materialize n·d²
+    // rows. The d×d eigensolve on this output is driver work by design
+    // (Embeddings.topEigen, spec-covered) — bounded by the embedding
+    // dimension, never by the corpus.
+    "emb_gram" -> ((s, dir) =>
+      graft.operators.Embeddings.gramMatrix(emb(s, dir), "embedding", 64)
+        .orderBy("i", "j")),
     "emb_centroids" -> ((s, dir) =>
       emb(s, dir)
         .select(col("label").cast("long").as("label"),
@@ -949,8 +1008,12 @@ object TextQueries {
     m += "dedup_ngram_jaccard" -> jaccardSql("0.35")
     m += "dedup_jaccard_prefix" -> jaccardSql("0.8")
 
-    m += "dedup_clusters" ->
-      s"""WITH RECURSIVE sh AS ($shinglesSql),
+    // the ONE SQL definition of the jaccard>=0.35 near-dup cluster labels
+    // (recursive min-label reachability), shared by dedup_clusters and
+    // dedup_keep_best so the edge/threshold rules cannot drift. Ends with
+    // the `lab(id, cluster_id)` CTE; consumers must open "WITH RECURSIVE".
+    val clusterLabCtes =
+      s"""sh AS ($shinglesSql),
          |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
          |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -963,11 +1026,29 @@ object TextQueries {
          |reach(src, dst) AS (
          |  SELECT src, dst FROM edges
          |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-         |SELECT d.doc_id AS id,
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT d.doc_id AS id,
          |  LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
-         |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-         |GROUP BY d.doc_id ORDER BY id""".stripMargin.replace("\n", " ")
+         |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |  GROUP BY d.doc_id)""".stripMargin
+    m += "dedup_clusters" ->
+      s"""WITH RECURSIVE $clusterLabCtes
+         |SELECT id, cluster_id FROM lab ORDER BY id"""
+        .stripMargin.replace("\n", " ")
+
+    // keep-best canonical selection: ROW_NUMBER() = 1 over (n_tokens desc,
+    // id asc) within the cluster ≡ the Spark side's struct-max argmax
+    m += "dedup_keep_best" ->
+      s"""WITH RECURSIVE $clusterLabCtes,
+         |tok AS (SELECT doc_id AS id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |    ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |  END AS n_tokens FROM documents)
+         |SELECT l.id, l.cluster_id, t.n_tokens,
+         |  (ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+         |    ORDER BY t.n_tokens DESC, l.id ASC)) = 1 AS keep
+         |FROM lab l JOIN tok t ON t.id = l.id
+         |ORDER BY l.id""".stripMargin.replace("\n", " ")
 
     val bitSums = (0 until 60).map(b =>
       s"SUM((h >> $b) & 1) AS c$b").mkString(", ")
@@ -1122,6 +1203,17 @@ object TextQueries {
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE ${hash60Sql("concat('smpl#', CAST(doc_id AS VARCHAR))")} % 10 = 0
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+    m += "sample_bottomk" ->
+      s"""WITH hv AS (SELECT lang, doc_id,
+         |  ${hash60Sql("concat('rsv#', CAST(doc_id AS VARCHAR))")} AS h
+         |  FROM documents),
+         |ranked AS (SELECT lang, doc_id, h,
+         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC)
+         |    AS rk FROM hv)
+         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, h
+         |FROM ranked WHERE rk <= 50 ORDER BY lang, rk"""
+        .stripMargin.replace("\n", " ")
 
     m += "text_chunking" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
@@ -1351,6 +1443,19 @@ object TextQueries {
         .stripMargin.replace("\n", " ")
     m += "text_perplexity" -> perplexitySql
     m += "stream_perplexity" -> perplexitySql
+
+    // emb_gram: the same Q20 quantization (floor of a power-of-two multiply
+    // — exact in IEEE double on both engines) and exact-integer product
+    // sums; the oracle's per-vector self-join materializes the n·d² rows
+    // the Spark-side Aggregator exists to avoid
+    m += "emb_gram" ->
+      """WITH q AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+        |  CAST(FLOOR(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT) AS qi
+        |  FROM (SELECT vec_id, unnest(embedding) AS e,
+        |    generate_subscripts(embedding, 1) AS i FROM embeddings))
+        |SELECT a.i AS i, b.i AS j, CAST(SUM(a.qi * b.qi) AS BIGINT) AS g
+        |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin.replace("\n", " ")
 
     m += "emb_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Single-pass Gram-matrix aggregation over quantized embedding vectors —
+  * the distributed half of PCA / whitening.
+  *
+  * Input rows are the Q20 fixed-point form of a d-vector
+  * (`floor(x · 2²⁰)` — exact in IEEE double, power-of-two multiply); the
+  * buffer accumulates the upper-triangle outer-product sums
+  * `G[i][j] = Σ_n q_n[i] · q_n[j]` as exact integers. Integer addition is
+  * associative and commutative, so the result is independent of partition
+  * count and merge order — the property that makes the operator
+  * exact-hash oracle-checkable.
+  *
+  * Scale rationale: the obvious relational formulation (posexplode twice,
+  * groupBy (i, j)) materializes n·d² rows — at 100 TB of 1k-dim vectors
+  * that is 10⁶× the input. This aggregate keeps the d·(d+1)/2-long buffer
+  * (d=64 → 2080 longs = 16 KB) per map task and reduces partials pairwise:
+  * one scan, zero explode, and a final reduction whose volume is
+  * `partitions · 16 KB` regardless of row count. The d² driver-side
+  * eigensolve on the result is legitimately driver work (64×64).
+  *
+  * Overflow bound: |q| ≤ |x|·2²⁰, so with |x| ≤ 8 each product is
+  * ≤ 2⁴⁶ and the Long sum holds > 2¹⁷ ≈ 130k billion-row shards of
+  * headroom (n · 2⁴⁶ < 2⁶³ ⇒ n < 1.3·10⁵ · 10⁹). Inputs outside [-8, 8]
+  * should be scaled first; embeddings are unit-norm-ish in practice.
+  */
+case class QVec(q: Seq[Long])
+
+class GramAgg(d: Int) extends Aggregator[QVec, Array[Long], Seq[Long]] {
+  private val len = d * (d + 1) / 2
+
+  override def zero: Array[Long] = new Array[Long](len)
+
+  override def reduce(buf: Array[Long], in: QVec): Array[Long] = {
+    val v = in.q.toArray
+    require(v.length == d, s"expected $d components, got ${v.length}")
+    var idx = 0
+    var i = 0
+    while (i < d) {
+      val qi = v(i)
+      var j = i
+      while (j < d) {
+        buf(idx) += qi * v(j)
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < len) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+}
+
+object Embeddings {
+
+  /** Q20 quantization scale (2²⁰). */
+  val QScale = 1048576.0
+
+  /** Quantize an ARRAY column of floats/doubles to Q20 longs. */
+  def quantizeQ20(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(QScale)).cast("long"))
+
+  /** Upper-triangle Gram matrix of the `vecCol` embedding column as
+    * (i, j, g) rows, i ≤ j, g the exact integer sum of Q20 products.
+    * One aggregation — no explode, no shuffle of vector data (partials
+    * merge pairwise). */
+  def gramMatrix(df: DataFrame, vecCol: String, d: Int): DataFrame = {
+    // one-field product input: the single call-site column maps to QVec.q
+    // (same udaf application pattern as TopKAgg's two-column site)
+    val gram = udaf(new GramAgg(d), Encoders.product[QVec])
+    val agg = df
+      .select(quantizeQ20(col(vecCol)).as("q"))
+      .agg(gram(col("q")).as("g"))
+    // linear index k of the (i, j) upper-triangle walk (i-major, j from i
+    // to d-1; row i starts at offset(i) = i·d − i·(i−1)/2). Inverting:
+    // i = ⌊d + ½ − √((d+½)² − 2k)⌋, and at the exact row boundaries the
+    // radicand is the perfect square (d−i+½)², so the floor is exact in
+    // IEEE double — no off-by-one at any k.
+    val dHalf = d.toDouble + 0.5
+    agg.select(posexplode(col("g")).as(Seq("k", "g")))
+      .select(col("k").cast("long").as("k"), col("g"))
+      .withColumn("i", expr(
+        s"CAST($dHalf - sqrt($dHalf * $dHalf - 2.0D * k) AS BIGINT)"))
+      .withColumn("j", (col("k") - col("i") * lit(d.toLong)
+        + col("i") * (col("i") - 1) / 2 + col("i")).cast("long"))
+      .select(col("i"), col("j"), col("g"))
+  }
+
+  /** Dominant eigenpair of a symmetric d×d matrix by power iteration —
+    * the driver-side half of PCA (d×d is bounded, never data-sized).
+    * Deterministic: fixed all-ones start, fixed iteration count, sign
+    * convention = largest-|component| entry positive (first on ties). */
+  def topEigen(g: Array[Array[Double]], iters: Int = 200): (Double, Array[Double]) = {
+    val d = g.length
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    var it = 0
+    while (it < iters) {
+      val w = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var s = 0.0
+        var j = 0
+        while (j < d) { s += g(i)(j) * v(j); j += 1 }
+        w(i) = s
+        i += 1
+      }
+      var n2 = 0.0
+      var k = 0
+      while (k < d) { n2 += w(k) * w(k); k += 1 }
+      val n = math.sqrt(n2)
+      require(n > 0.0, "power iteration hit the zero vector (rank-0 input?)")
+      lambda = n
+      var m = 0
+      while (m < d) { w(m) /= n; m += 1 }
+      v = w
+      it += 1
+    }
+    // sign convention: the largest-|x| component (earliest on ties) positive
+    var best = 0
+    var i = 1
+    while (i < d) { if (math.abs(v(i)) > math.abs(v(best))) best = i; i += 1 }
+    if (v(best) < 0.0) { var m = 0; while (m < d) { v(m) = -v(m); m += 1 } }
+    (lambda, v)
+  }
+
+  /** Expand (i, j, g) upper-triangle rows (as collected from
+    * [[gramMatrix]]) into the full symmetric matrix, rescaled from Q20²
+    * back to input units. The collect is d·(d+1)/2 rows — bounded by the
+    * embedding dimension, never by the corpus. */
+  def toDense(rows: Seq[(Int, Int, Long)], d: Int): Array[Array[Double]] = {
+    val m = Array.ofDim[Double](d, d)
+    rows.foreach { case (i, j, g) =>
+      val x = g.toDouble / (QScale * QScale)
+      m(i)(j) = x
+      m(j)(i) = x
+    }
+    m
+  }
+
+  /** Project each row's embedding onto a fixed loading vector (the PCA
+    * readout): dot product against the literal loadings — broadcast-free,
+    * codegen'd, one scan. */
+  def project(df: DataFrame, vecCol: String, loadings: Array[Double]): Column = {
+    val lit64 = array(loadings.toIndexedSeq.map(lit(_)): _*)
+    graft.functions.dotProduct(
+      transform(col(vecCol), x => x.cast("double")), lit64)
+  }
+}

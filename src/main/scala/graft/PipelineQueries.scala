@@ -436,6 +436,40 @@ object PipelineQueries {
           col("col.id").as("user_id"), col("col.v").as("n"))
         .orderBy("event_type", "rk")
     }),
+    // Streaming reservoir sample: the bottom-k (KMV) hash-rank sample
+    // maintained INSIDE the state store — here the TopKAgg runs in the
+    // streaming aggregation itself, so per-stratum state is the ≤ k best
+    // (rank, id) pairs no matter how many documents flow past (the
+    // unbounded-state hazard a keep-everything-sample-at-read design
+    // would hit). Two complete-mode micro-batches; oracle =
+    // sample_bottomk's SQL verbatim, so the sample a consumer reads
+    // mid-stream equals the batch sample over the same prefix.
+    "stream_sample_bottomk" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = docs(s, dir).select(col("lang"),
+          graft.functions.hash60(
+            concat(lit("rsv#"), col("doc_id").cast("string"))).as("h"),
+          col("doc_id"))
+        .as[(String, Long, Long)].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long, Long)]
+      val topk = udaf(new graft.operators.TopKAgg(50),
+        graft.operators.TopK.inputEncoder)
+      val agg = src.toDF().toDF("lang", "h", "doc_id")
+        .groupBy("lang").agg(topk(-col("h"), col("doc_id")).as("top"))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      runAppendStream(s, agg, "sbk", mode = "complete") { q =>
+        src.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        src.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+      }
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+          col("col.id").as("doc_id"), (-col("col.v")).as("h"))
+        .orderBy("lang", "rk")
+    }),
     // The histogram quantile SKETCH maintained incrementally: the (type,
     // bin) counts aggregate in complete mode across two micro-batches —
     // the sketch's merge-by-addition property exercised through the state
@@ -697,6 +731,8 @@ object PipelineQueries {
     "stream_hist_quantiles" -> RelationalQueries.oracleSql("hist_quantiles"),
     // live leaderboard == the batch top-k readout
     "stream_topk_users" -> RelationalQueries.oracleSql("events_topk_users"),
+    // in-store reservoir sample == the batch bottom-k sample
+    "stream_sample_bottomk" -> TextQueries.oracleSql("sample_bottomk"),
     // late replays dropped ⇒ every event counted exactly once, like batch
     "stream_late_drop" ->
       """WITH e AS (SELECT (epoch_ns(ts) // 1000000000) // 3600 * 3600

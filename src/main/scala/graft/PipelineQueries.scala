@@ -470,6 +470,35 @@ object PipelineQueries {
           col("col.id").as("doc_id"), (-col("col.v")).as("h"))
         .orderBy("lang", "rk")
     }),
+    // Streaming second-moment (Gram) tracking — incremental PCA's input
+    // statistic maintained through the state store: GramAgg's 16 KB
+    // fixed-point buffer IS the streaming state (exact integers, so
+    // merge order across micro-batches cannot change the result), and a
+    // mid-stream read gives the covariance of everything seen so far
+    // without any replay. Two complete-mode micro-batches; oracle =
+    // emb_gram's SQL verbatim.
+    "stream_emb_gram" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(graft.operators.Embeddings.quantizeQ20(col("embedding"))
+          .as("q"))
+        .as[Seq[Long]].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Seq[Long]]
+      val gram = udaf(new graft.operators.GramAgg(64),
+        org.apache.spark.sql.Encoders.product[graft.operators.QVec])
+      val agg = src.toDF().toDF("q").agg(gram(col("q")).as("g"))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val fin = runAppendStream(s, agg, "sgram", mode = "complete") { q =>
+        src.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        src.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      graft.operators.Embeddings.expandTriangle(fin, "g", 64)
+        .orderBy("i", "j")
+    }),
     // The histogram quantile SKETCH maintained incrementally: the (type,
     // bin) counts aggregate in complete mode across two micro-batches —
     // the sketch's merge-by-addition property exercised through the state
@@ -733,6 +762,8 @@ object PipelineQueries {
     "stream_topk_users" -> RelationalQueries.oracleSql("events_topk_users"),
     // in-store reservoir sample == the batch bottom-k sample
     "stream_sample_bottomk" -> TextQueries.oracleSql("sample_bottomk"),
+    // incrementally-merged Gram state == the batch second-moment matrix
+    "stream_emb_gram" -> TextQueries.oracleSql("emb_gram"),
     // late replays dropped ⇒ every event counted exactly once, like batch
     "stream_late_drop" ->
       """WITH e AS (SELECT (epoch_ns(ts) // 1000000000) // 3600 * 3600

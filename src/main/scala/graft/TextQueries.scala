@@ -297,8 +297,13 @@ object TextQueries {
     // the jaccard>=0.35 similarity graph; cluster_id = canonical (min) doc
     "dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
+      // the same df<=100 hot-shingle cap as dedup_ngram_jaccard: an
+      // uncapped inverted index puts every pair of documents sharing a
+      // stop-shingle into one join group (group size = df², measured 175 s
+      // at sf0.1 vs ~2 s capped) — the cap IS the scale shape, and the
+      // oracle applies it identically
       val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", k = 5,
-        threshold = 0.35).select(col("id_a"), col("id_b"))
+        threshold = 0.35, maxDocFreq = 100).select(col("id_a"), col("id_b"))
       Dedup.clusterNearDups(d.select(col("doc_id").as("id")), pairs)
         .orderBy("id")
     }),
@@ -313,7 +318,7 @@ object TextQueries {
     "dedup_keep_best" -> ((s, dir) => {
       val d = docs(s, dir)
       val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", k = 5,
-        threshold = 0.35).select(col("id_a"), col("id_b"))
+        threshold = 0.35, maxDocFreq = 100).select(col("id_a"), col("id_b"))
       val lab = Dedup.clusterNearDups(d.select(col("doc_id").as("id")), pairs)
         .join(d.select(col("doc_id").as("id"),
           graft.functions.tokenCount(col("text")).as("n_tokens")), "id")
@@ -1010,10 +1015,15 @@ object TextQueries {
 
     // the ONE SQL definition of the jaccard>=0.35 near-dup cluster labels
     // (recursive min-label reachability), shared by dedup_clusters and
-    // dedup_keep_best so the edge/threshold rules cannot drift. Ends with
-    // the `lab(id, cluster_id)` CTE; consumers must open "WITH RECURSIVE".
+    // dedup_keep_best so the edge/threshold rules cannot drift. Same
+    // df<=100 hot-shingle cap as jaccardSql, applied before both the
+    // intersection join and the set sizes. Ends with the
+    // `lab(id, cluster_id)` CTE; consumers must open "WITH RECURSIVE".
     val clusterLabCtes =
-      s"""sh AS ($shinglesSql),
+      s"""sh0 AS ($shinglesSql),
+         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN (
+         |  SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 100) f
+         |  ON sh0.shingle = f.shingle),
          |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
          |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -365,10 +365,27 @@ object Dedup {
     */
   def clusterNearDups(ids: DataFrame, pairs: DataFrame,
                       maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .cache()
+    val spark = ids.sparkSession
+    // lineage pin (the Graph.pin pattern): materialize to a persisted Row
+    // RDD and rebuild the frame from it. cache() alone is NOT enough here —
+    // it short-circuits execution but each round's LOGICAL plan still
+    // embeds every previous round plus the full candidate-pair subplan, so
+    // analysis/canonicalization work grows quadratically with rounds, and
+    // a downstream consumer that misses the cache re-executes the entire
+    // iterative chain from unpersisted parents
+    def pin(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = spark.createDataFrame(rdd, df.schema)
+      out.count() // materialize now, under our control
+      (out, rdd)
+    }
+    // pin the (possibly expensive) pair plan once: every round joins edges
+    val (edges, edgesHandle) = pin(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
     var labels = ids.select(col("id"), col("id").as("cluster_id"))
+    var labelsHandle: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -380,15 +397,16 @@ object Dedup {
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .cache()
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+      val (p, handle) = pin(next)
+      val changed = p.as("n").join(labels.as("o"), Seq("id"))
         .where(col("n.cluster_id") =!= col("o.cluster_id")).count()
-      labels.unpersist()
-      labels = next
+      labelsHandle.foreach(_.unpersist())
+      labelsHandle = Some(handle)
+      labels = p
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
+    edgesHandle.unpersist()
     // partially-converged labels are silently WRONG downstream: local-minimum
     // nodes still carry their own id, pass the `id === cluster_id` canonical
     // filter, and duplicate documents survive dedup — fail loudly instead

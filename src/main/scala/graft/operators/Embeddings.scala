@@ -87,13 +87,18 @@ object Embeddings {
     val agg = df
       .select(quantizeQ20(col(vecCol)).as("q"))
       .agg(gram(col("q")).as("g"))
-    // linear index k of the (i, j) upper-triangle walk (i-major, j from i
-    // to d-1; row i starts at offset(i) = i·d − i·(i−1)/2). Inverting:
-    // i = ⌊d + ½ − √((d+½)² − 2k)⌋, and at the exact row boundaries the
-    // radicand is the perfect square (d−i+½)², so the floor is exact in
-    // IEEE double — no off-by-one at any k.
+    expandTriangle(agg, "g", d)
+  }
+
+  /** Expand a one-row frame holding a packed upper-triangle array column
+    * into (i, j, g) rows. Linear index k of the (i, j) walk (i-major, j
+    * from i to d-1; row i starts at offset(i) = i·d − i·(i−1)/2).
+    * Inverting: i = ⌊d + ½ − √((d+½)² − 2k)⌋, and at the exact row
+    * boundaries the radicand is the perfect square (d−i+½)², so the floor
+    * is exact in IEEE double — no off-by-one at any k. */
+  def expandTriangle(packed: DataFrame, arrCol: String, d: Int): DataFrame = {
     val dHalf = d.toDouble + 0.5
-    agg.select(posexplode(col("g")).as(Seq("k", "g")))
+    packed.select(posexplode(col(arrCol)).as(Seq("k", "g")))
       .select(col("k").cast("long").as("k"), col("g"))
       .withColumn("i", expr(
         s"CAST($dHalf - sqrt($dHalf * $dHalf - 2.0D * k) AS BIGINT)"))

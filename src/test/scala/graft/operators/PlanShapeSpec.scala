@@ -81,4 +81,61 @@ class PlanShapeSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBcast)
     }
   }
+
+  test("gramMatrix: one single-partition exchange of partial buffers, no explode before the agg") {
+    import spark.implicits._
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val df = (0 until 20).map(i => Tuple1(Seq.fill(4)(i * 0.01))).toDF("embedding")
+    val plan = Embeddings.gramMatrix(df, "embedding", 4)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: ShuffleExchangeExec => e.outputPartitioning
+    }
+    // the whole reduction is ONE exchange, and it carries 16 KB buffers —
+    // SinglePartition, not a hash repartition of row data
+    assert(exchanges.length == 1, s"expected 1 exchange, got $exchanges")
+    assert(exchanges.head.numPartitions == 1,
+      s"expected SinglePartition buffer reduction: ${exchanges.head}")
+    // both aggregation halves exist (map-side partial + final merge), and
+    // the Generate (posexplode of the 2080-cell result) sits ABOVE the
+    // final aggregate — never below the exchange where it would explode
+    // per-row data
+    val aggs = plan.collect { case a if a.nodeName.contains("Aggregate") => a }
+    assert(aggs.length >= 2, s"expected partial+final aggregates: $aggs")
+    val generateSubtrees = plan.collect {
+      case g if g.nodeName.contains("Generate") => g
+    }
+    assert(generateSubtrees.length == 1)
+    assert(generateSubtrees.head.collect {
+      case e: ShuffleExchangeExec => e }.length == 1,
+      "the explode must consume the already-reduced buffer (exchange below it)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
+  test("bottom-k sample: TopKAgg partially aggregates below the stratum exchange") {
+    import spark.implicits._
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = (0L until 100L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+        .toDF("doc_id", "lang")
+      val topk = org.apache.spark.sql.functions.udaf(new TopKAgg(5),
+        TopK.inputEncoder)
+      import org.apache.spark.sql.functions._
+      val out = docs.groupBy("lang")
+        .agg(topk(-col("doc_id"), col("doc_id")).as("top"))
+      val plan = out.queryExecution.executedPlan
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.length == 1)
+      // a partial aggregate below the exchange = each map task ships <= k
+      // entries per stratum, the whole point of the bounded aggregator
+      val partialBelow = exchanges.head.collect {
+        case a if a.nodeName.contains("Aggregate") => a
+      }
+      assert(partialBelow.nonEmpty,
+        "expected a map-side partial TopKAgg below the stratum exchange")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
 }

@@ -145,6 +145,28 @@ object Embeddings {
     (lambda, v)
   }
 
+  /** Top-m eigenpairs of a symmetric PSD d×d matrix (e.g. a Gram matrix
+    * from [[gramMatrix]]) by power iteration with deflation — the full
+    * driver-side PCA readout. After each component the matrix is deflated
+    * by λ·v·vᵀ, so successive iterations converge to the next-largest
+    * eigenpair; for whitening, scale each projection by 1/√λ. Still d×d
+    * driver work — bounded by the embedding dimension, never the corpus. */
+  def topEigens(g: Array[Array[Double]], m: Int,
+      iters: Int = 200): Seq[(Double, Array[Double])] = {
+    val d = g.length
+    val work = Array.tabulate(d, d)((i, j) => g(i)(j))
+    (0 until math.min(m, d)).map { _ =>
+      val (lam, v) = topEigen(work, iters)
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { work(i)(j) -= lam * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      (lam, v)
+    }
+  }
+
   /** Expand (i, j, g) upper-triangle rows (as collected from
     * [[gramMatrix]]) into the full symmetric matrix, rescaled from Q20²
     * back to input units. The collect is d·(d+1)/2 rows — bounded by the

@@ -77,6 +77,27 @@ class EmbeddingsSpec extends AnyFunSuite {
     axisSS.foreach(a => assert(proj >= a - 1e-6))
   }
 
+  test("topEigens: deflation recovers an ordered orthogonal eigenbasis") {
+    // diag(5, 3, 1) rotated is overkill — diagonal already exercises the
+    // ordering, deflation, and orthogonality contracts
+    val g = Array(
+      Array(5.0, 0.0, 0.0),
+      Array(0.0, 3.0, 0.0),
+      Array(0.0, 0.0, 1.0))
+    val eigs = Embeddings.topEigens(g, 3)
+    assert(eigs.map(_._1).zip(Seq(5.0, 3.0, 1.0))
+      .forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    // each eigenvector is an axis (up to the sign convention), and the
+    // basis is orthonormal
+    for (Seq((_, u), (_, v)) <- eigs.combinations(2)) {
+      val dot = u.zip(v).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot) < 1e-9)
+    }
+    eigs.foreach { case (_, v) =>
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+    }
+  }
+
   test("gram aggregation rejects a wrong-width vector loudly") {
     import spark.implicits._
     val bad = Seq(Tuple1(Seq(1.0, 2.0))).toDF("embedding")

@@ -513,6 +513,17 @@ object TextQueries {
           k = 10, m = 8, ks = 16, dims = 64)
         .orderBy("query_id", "rank")
     }),
+    // IVF + PQ composed (the billion-vector IVFADC architecture): coarse
+    // hash-sampled centroids partition the corpus, per-vector RESIDUALS
+    // are PQ-encoded against a shared 16-entry residual codebook, queries
+    // ADC-score reconstructed vectors inside their 3 probed lists only
+    "ann_ivf_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqTopK(e, "vec_id", "embedding",
+          e.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nLists = 8, nProbe = 3, m = 8, ks = 16, dims = 64)
+        .orderBy("query_id", "rank")
+    }),
     // LSH-bucketed ANN (deterministic hyperplanes); full DuckDB oracle below
     // embeds the plane constants. Recall vs brute force asserted in specs.
     "ann_lsh" -> ((s, dir) => {
@@ -1348,6 +1359,83 @@ object TextQueries {
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, nbr_id, cosine
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         .stripMargin.replace("\n", " ")
+
+    // IVFADC oracle: re-derives the positional centroid table, the corpus
+    // assignment (raw-cosine ranking with the NaN→-infinity guard — the
+    // ann_ivf convention), the residuals, the sampled-vector residual
+    // codebook, the per-subspace argmin codes, and the
+    // centroid-plus-decoded-residual reconstruction entirely in SQL.
+    // Elementwise adds/subtracts of identical doubles are exact on both
+    // engines, so the final cosine rides the proven
+    // cosineSimNative/list_cosine_similarity parity path.
+    locally {
+      val nanGuard = (e: String) =>
+        s"(CASE WHEN isnan($e) THEN CAST('-infinity' AS DOUBLE) ELSE $e END)"
+      m += "ann_ivf_pq" ->
+        s"""WITH c AS (SELECT vec_id AS nbr_id, CAST(embedding AS DOUBLE[]) AS cvec
+           |  FROM embeddings),
+           |cent0 AS (SELECT * FROM (SELECT (ROW_NUMBER() OVER (
+           |    ORDER BY ${hash60Sql("concat('ivfpq#', CAST(nbr_id AS VARCHAR))")} ASC,
+           |      nbr_id ASC)) - 1 AS p, cvec AS centroid FROM c) WHERE p < 8),
+           |asg0 AS (SELECT nbr_id, cvec, p FROM (
+           |  SELECT c.nbr_id, c.cvec, cent0.p,
+           |    ROW_NUMBER() OVER (PARTITION BY c.nbr_id ORDER BY
+           |      ${nanGuard("list_cosine_similarity(c.cvec, cent0.centroid)")} DESC,
+           |      cent0.p ASC) AS r
+           |  FROM c CROSS JOIN cent0) WHERE r = 1),
+           |mexp AS (SELECT p, generate_subscripts(cvec, 1) - 1 AS pos,
+           |  unnest(cvec) AS x FROM asg0),
+           |cmean AS (SELECT p, pos,
+           |  CAST(SUM(CAST(floor(x * 1073741824.0) AS BIGINT)) AS DOUBLE)
+           |    / 1073741824.0 / CAST(COUNT(*) AS DOUBLE) AS mv
+           |  FROM mexp GROUP BY p, pos),
+           |cent AS (SELECT p, list(mv ORDER BY pos) AS centroid
+           |  FROM cmean GROUP BY p),
+           |casg AS (SELECT nbr_id, cvec, p, centroid FROM (
+           |  SELECT c.nbr_id, c.cvec, cent.p, cent.centroid,
+           |    ROW_NUMBER() OVER (PARTITION BY c.nbr_id ORDER BY
+           |      ${nanGuard("list_cosine_similarity(c.cvec, cent.centroid)")} DESC,
+           |      cent.p ASC) AS r
+           |  FROM c CROSS JOIN cent) WHERE r = 1),
+           |cres AS (SELECT nbr_id, p, centroid,
+           |  [cvec[i] - centroid[i] FOR i IN range(1, 65)] AS rv FROM casg),
+           |cbsel AS (SELECT * FROM (SELECT (ROW_NUMBER() OVER (
+           |    ORDER BY ${hash60Sql("concat('ivfpqcb#', CAST(nbr_id AS VARCHAR))")} ASC,
+           |      nbr_id ASC)) - 1 AS j, nbr_id FROM c) WHERE j < 16),
+           |cbres AS (SELECT cbsel.j, cres.rv FROM cbsel JOIN cres USING (nbr_id)),
+           |subr AS (SELECT nbr_id, r.s, list_slice(rv, s * 8 + 1, s * 8 + 8) AS sv
+           |  FROM cres CROSS JOIN range(8) r(s)),
+           |subcb AS (SELECT j, r.s, list_slice(rv, s * 8 + 1, s * 8 + 8) AS cv
+           |  FROM cbres CROSS JOIN range(8) r(s)),
+           |enc AS (SELECT nbr_id, s, j FROM (
+           |  SELECT subr.nbr_id, subr.s, subcb.j,
+           |    ROW_NUMBER() OVER (PARTITION BY subr.nbr_id, subr.s
+           |      ORDER BY list_distance(subr.sv, subcb.cv) ASC, subcb.j ASC) AS rn
+           |  FROM subr JOIN subcb USING (s)) WHERE rn = 1),
+           |reconr AS (SELECT enc.nbr_id, flatten(list(subcb.cv ORDER BY enc.s)) AS rres
+           |  FROM enc JOIN subcb ON enc.s = subcb.s AND enc.j = subcb.j
+           |  GROUP BY enc.nbr_id),
+           |recon AS (SELECT cres.nbr_id, cres.p,
+           |  [cres.centroid[i] + reconr.rres[i] FOR i IN range(1, 65)] AS rvec
+           |  FROM cres JOIN reconr USING (nbr_id)),
+           |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+           |  FROM embeddings WHERE vec_id < 5),
+           |qp AS (SELECT query_id, qvec, p FROM (
+           |  SELECT q.query_id, q.qvec, cent.p,
+           |    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+           |      ${nanGuard("list_cosine_similarity(q.qvec, cent.centroid)")} DESC,
+           |      cent.p ASC) AS r
+           |  FROM q CROSS JOIN cent) WHERE r <= 3),
+           |scored AS (SELECT qp.query_id, recon.nbr_id,
+           |  list_cosine_similarity(qp.qvec, recon.rvec) AS cosine
+           |  FROM qp JOIN recon USING (p)),
+           |ranked AS (SELECT query_id, nbr_id, cosine,
+           |  ROW_NUMBER() OVER (PARTITION BY query_id
+           |    ORDER BY cosine DESC, nbr_id ASC) AS rank FROM scored)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, nbr_id, cosine
+           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+          .stripMargin.replace("\n", " ")
+    }
 
     // LSH ANN oracle (bucket SQL helper defined at object level): embeds the
     // hyperplane constants as literals with left-associative dot folds.

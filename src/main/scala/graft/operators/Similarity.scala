@@ -195,21 +195,172 @@ object Similarity {
     val cb: IndexedSeq[IndexedSeq[Seq[Double]]] = (0 until m).map(s =>
       sample.toIndexedSeq.map { case (_, v) =>
         v.slice(s * subDim, (s + 1) * subDim).toSeq })
-    def subL2(vec: Column, s: Int, entry: Seq[Double]): Column =
-      sqrt(aggregate(
-        zip_with(slice(vec, s * subDim + 1, subDim), typedLit(entry),
-          (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x))
-    def code(vec: Column, s: Int): Column =
-      element_at(array_sort(array(cb(s).indices.map(j =>
-        struct(subL2(vec, s, cb(s)(j)).as("d"), lit(j).as("j"))): _*)), 1)
-        .getField("j")
     val coded = c.select(col("nbr_id") +:
-      (0 until m).map(s => code(col("cvec"), s).as(s"c$s")): _*)
+      (0 until m).map(s => pqCode(col("cvec"), s, cb(s), subDim).as(s"c$s")): _*)
     val recon = flatten(array((0 until m).map(s =>
       element_at(typedLit(cb(s)), col(s"c$s") + 1)): _*))
     val scored = coded.withColumn("rvec", recon)
       .crossJoin(broadcast(q))
+      .select(col("query_id"), col("nbr_id"),
+        cosineSimNative(col("qvec"), col("rvec")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("cosine"))
+  }
+
+  /** L2 distance of `vec`'s s-th subvector against a literal codebook entry
+    * (sequential fold — matches DuckDB's list_distance ranking use). */
+  private def pqSubL2(vec: Column, s: Int, entry: Seq[Double],
+      subDim: Int): Column =
+    sqrt(aggregate(
+      zip_with(slice(vec, s * subDim + 1, subDim), typedLit(entry),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Sub-code for subspace s: argmin (L2 asc, code asc) over the literal
+    * codebook — pure per-row expression, no join. */
+  private def pqCode(vec: Column, s: Int, cbS: IndexedSeq[Seq[Double]],
+      subDim: Int): Column =
+    element_at(array_sort(array(cbS.indices.map(j =>
+      struct(pqSubL2(vec, s, cbS(j), subDim).as("d"), lit(j).as("j"))): _*)), 1)
+      .getField("j")
+
+  /** IVF + PQ composed (Jegou et al. 2011's IVFADC, cosine-adapted like
+    * [[pqTopK]]): the corpus is partitioned by a coarse quantizer
+    * (deterministic hash-sampled centroids, as [[ivfTopK]]), each vector's
+    * RESIDUAL from its centroid is PQ-encoded against a shared residual
+    * codebook, and a query scores reconstructed vectors
+    * (centroid + decoded residual) in its `nProbe` probed lists only.
+    * This is the standard billion-vector architecture: storage per vector
+    * is one small list id + m sub-codes (the raw vector is never read at
+    * query time), candidate work is |corpus|/nLists · nProbe per query,
+    * and both the centroid set and the codebook are plan literals — the
+    * corpus is touched by one assignment scan, one fixed-point mean
+    * aggregation (a single Lloyd refinement of the hash seeds — see the
+    * inline note), one encode scan, and one inverted-list join (query);
+    * no shuffle until the final top-k window.
+    *
+    * Residual encoding (not raw-vector encoding, as [[pqTopK]]) is what
+    * makes the composition worth having: residuals concentrate near zero,
+    * so the same ks codebook entries quantize them far more accurately
+    * than the raw spread — the PQ paper's central observation. */
+  def ivfPqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                queries: DataFrame, queryId: String, queryVec: String,
+                k: Int, nLists: Int, nProbe: Int, m: Int, ks: Int,
+                dims: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val subDim = dims / m
+    val c = corpus.select(col(corpusId).as("nbr_id"), asDouble(col(corpusVec)).as("cvec"))
+    val q = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("qvec"))
+    // coarse SEEDS with POSITIONAL list ids 0..nLists-1 (stable lookup
+    // key for the literal centroid table; corpus ids would force a join)
+    val centRows = deterministicCentroids(c, "nbr_id", "cvec", nLists, "ivfpq")
+    val cbRows = deterministicCentroids(c, "nbr_id", "cvec", ks, "ivfpqcb")
+    if (centRows.isEmpty || cbRows.isEmpty)
+      return q.limit(0).crossJoin(c.limit(0).select(col("nbr_id")))
+        .select(col("query_id"), lit(0L).as("rank"), col("nbr_id"),
+          lit(0.0).as("cosine"))
+    val seeds: Array[(Long, Array[Double])] =
+      centRows.zipWithIndex.map { case ((_, v), p) => (p.toLong, v) }
+    // ONE exact Lloyd refinement step: assign every vector to its nearest
+    // seed, then replace each seed with its list MEAN — hash-sampled data
+    // points are unbiased but high-variance quantizers, and residuals only
+    // concentrate (the property residual PQ needs) around means. The mean
+    // uses the emb_centroids fixed-point discipline — floor(x·2³⁰) decimal
+    // sums, then /2³⁰/n — so the oracle recomputes bit-identical centroids;
+    // a float AVG would be partition-order dependent and break the hash
+    // gate. One extra corpus pass, one (nLists·dims)-key aggregation; the
+    // collected means are nLists·dims doubles — bounded driver work.
+    // Every seed assigns to itself (self-cosine 1.0 is the max), so no
+    // list is empty and positions survive the refinement.
+    val assigned0 = c
+      .withColumn("cnrm", sqrt(VectorExpressions.sqNormNative(col("cvec"))))
+      .withColumn("p",
+        element_at(nearestCentroids(col("cvec"), col("cnrm"), seeds), 1)
+          .getField("list_id"))
+    val meanRows = assigned0
+      .select(col("p"), posexplode(col("cvec")))
+      .groupBy("p", "pos")
+      .agg(sum(floor(col("col") * lit(1073741824.0)).cast("decimal(28,0)"))
+          .as("sq"),
+        count(lit(1)).as("n"))
+      .select(col("p"), col("pos"),
+        (col("sq").cast("double") / lit(1073741824.0) / col("n").cast("double"))
+          .as("mv"))
+      .collect()
+    val dims0 = seeds.head._2.length
+    val meanByP: Map[Long, Array[Double]] = meanRows
+      .groupBy(_.getLong(0))
+      .map { case (p, rows) =>
+        val arr = new Array[Double](dims0)
+        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        p -> arr
+      }
+    val cents: Array[(Long, Array[Double])] =
+      seeds.map { case (p, seed) => (p, meanByP.getOrElse(p, seed)) }
+    val centVecs: Seq[Seq[Double]] = cents.toIndexedSeq.map(_._2.toSeq)
+    // driver-side replica of the Column-side assignment rule (guarded
+    // cosine desc, position asc; same sequential fold arithmetic), used to
+    // derive the RESIDUAL codebook from the sampled vectors — bounded
+    // driver work (ks · nLists · dims)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def norm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    def assignPos(v: Array[Double]): Int = {
+      val nv = norm(v)
+      var best = 0; var bestCos = Double.NegativeInfinity
+      var p = 0
+      while (p < cents.length) {
+        val cvec = cents(p)._2
+        val raw = dot(v, cvec) / (nv * norm(cvec))
+        val cos =
+          if (raw.isNaN) Double.NegativeInfinity
+          else math.min(math.max(raw, -1.0), 1.0)
+        if (cos > bestCos) { bestCos = cos; best = p }
+        p += 1
+      }
+      best
+    }
+    // cbRes(s)(j) = sampled vector j's residual subvector for subspace s
+    val cbResiduals: IndexedSeq[Array[Double]] = cbRows.toIndexedSeq.map {
+      case (_, v) =>
+        val cvec = cents(assignPos(v))._2
+        Array.tabulate(v.length)(i => v(i) - cvec(i))
+    }
+    val cbRes: IndexedSeq[IndexedSeq[Seq[Double]]] = (0 until m).map(s =>
+      cbResiduals.map(_.slice(s * subDim, (s + 1) * subDim).toSeq))
+    // corpus encode: ONE scan — assign list, form residual, take m codes
+    val assigned = c
+      .withColumn("cnrm", sqrt(VectorExpressions.sqNormNative(col("cvec"))))
+      .withColumn("list_id",
+        element_at(nearestCentroids(col("cvec"), col("cnrm"), cents), 1)
+          .getField("list_id"))
+      .withColumn("rvec", zip_with(col("cvec"),
+        element_at(typedLit(centVecs), (col("list_id") + 1).cast("int")),
+        (a, b) => a - b))
+    val coded = assigned.select(col("nbr_id") +: col("list_id") +:
+      (0 until m).map(s => pqCode(col("rvec"), s, cbRes(s), subDim).as(s"c$s")): _*)
+    // reconstruction = centroid + decoded residual (exact doubles on both
+    // engines: elementwise adds of literal values)
+    val reconRes = flatten(array((0 until m).map(s =>
+      element_at(typedLit(cbRes(s)), col(s"c$s") + 1)): _*))
+    val recon = coded.withColumn("rvec", zip_with(
+      element_at(typedLit(centVecs), (col("list_id") + 1).cast("int")),
+      reconRes, (a, b) => a + b))
+    // query probes its nProbe nearest lists; candidates come from the
+    // inverted-list join only
+    val probes = q
+      .withColumn("qnrm", sqrt(VectorExpressions.sqNormNative(col("qvec"))))
+      .select(col("query_id"), col("qvec"),
+        explode(slice(nearestCentroids(col("qvec"), col("qnrm"), cents),
+          1, nProbe)).as("_p"))
+      .select(col("query_id"), col("qvec"), col("_p.list_id").as("list_id"))
+    val scored = recon.join(broadcast(probes), Seq("list_id"))
       .select(col("query_id"), col("nbr_id"),
         cosineSimNative(col("qvec"), col("rvec")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))

@@ -184,6 +184,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVFADC: recall sane, and residual coding reconstructs better than raw PQ") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val df = Seq.tabulate(200)(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 4)
+    val ivfpq = Similarity.ivfPqTopK(df, "vec_id", "embedding", q, "vec_id",
+      "embedding", k = 10, nLists = 8, nProbe = 3, m = 4, ks = 16, dims = 16)
+      .collect()
+    val bf = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, "vec_id",
+      "embedding", k = 10).collect()
+    val byQ = ivfpq.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+    bf.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+      .foreach { case (qid, bfSet) =>
+        val got = byQ.getOrElse(qid, Set.empty)
+        assert((got & bfSet).nonEmpty, s"query $qid: no overlap with exact top-10")
+      }
+    // the paper's central claim, measured on the SELF-match rows (query ==
+    // candidate, so the cosine is purely reconstruction quality): residual
+    // PQ after coarse quantization reconstructs better on average than raw
+    // PQ with the identical m/ks budget — ON CLUSTERED DATA, the regime
+    // IVF exists for (on iid gaussian noise the hash-sampled centroids
+    // barely shrink residuals and the claim measurably fails — tried).
+    // Mixture of 8 well-separated centers, points = center + small noise;
+    // probe every list and take k large enough that each query's own
+    // reconstruction always surfaces.
+    val centers = Seq.tabulate(8)(_ =>
+      Array.fill(16)(rng.nextGaussian().toFloat * 5f))
+    val clustered = Seq.tabulate(200) { i =>
+      val cc = centers(i % 8)
+      (i.toLong, cc.map(x => x + 0.3f * rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val qAll = clustered.where(col("vec_id") < 40)
+    def selfCos(rows: Array[org.apache.spark.sql.Row]): Map[Long, Double] =
+      rows.filter(r => r.getLong(0) == r.getLong(2))
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val selfIvfPq = selfCos(Similarity.ivfPqTopK(clustered, "vec_id", "embedding",
+      qAll, "vec_id", "embedding", k = 200, nLists = 8, nProbe = 8,
+      m = 4, ks = 16, dims = 16).collect())
+    val selfPq = selfCos(Similarity.pqTopK(clustered, "vec_id", "embedding",
+      qAll, "vec_id", "embedding", k = 200, m = 4, ks = 16, dims = 16)
+      .collect())
+    assert(selfIvfPq.size == 40 && selfPq.size == 40)
+    val meanIvfPq = selfIvfPq.values.sum / selfIvfPq.size
+    val meanPq = selfPq.values.sum / selfPq.size
+    assert(meanIvfPq > meanPq,
+      f"residual coding should reconstruct better: ivfpq=$meanIvfPq%.4f pq=$meanPq%.4f")
+  }
+
   test("PQ ANN: sampled codebook vectors reconstruct to cosine 1.0; recall sane") {
     import spark.implicits._
     val rng = new scala.util.Random(11)

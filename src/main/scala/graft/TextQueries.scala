@@ -714,6 +714,13 @@ object TextQueries {
     "emb_gram" -> ((s, dir) =>
       graft.operators.Embeddings.gramMatrix(emb(s, dir), "embedding", 64)
         .orderBy("i", "j")),
+    // seeded k-means, two EXACT Lloyd iterations (assignment = literal
+    // argmax per row; means = the proven fixed-point Q30 sums) — the
+    // classic clustering primitive as a first-class hash-gated operator
+    "emb_kmeans" -> ((s, dir) =>
+      graft.operators.Embeddings.kmeansCentroids(emb(s, dir), "vec_id",
+          "embedding", k = 8, iters = 2)
+        .orderBy("p", "pos")),
     "emb_centroids" -> ((s, dir) =>
       emb(s, dir)
         .select(col("label").cast("long").as("label"),
@@ -1567,6 +1574,46 @@ object TextQueries {
         |list_min(qv) AS q_min, list_max(qv) AS q_max,
         |CAST(len(list_filter(qv, x -> x = 0)) AS BIGINT) AS n_zero
         |FROM q ORDER BY vec_id""".stripMargin.replace("\n", " ")
+
+    // emb_kmeans: two unrolled Lloyd iterations — each is the ann_ivf_pq
+    // refinement pattern (raw-cosine argmax with the NaN→-infinity guard,
+    // then the exact Q30 fixed-point mean); the final LEFT JOIN keeps an
+    // iteration-1 centroid wherever iteration 2 emptied its list, matching
+    // the Spark side's previous-centroid fallback
+    locally {
+      val ng = (e: String) =>
+        s"(CASE WHEN isnan($e) THEN CAST('-infinity' AS DOUBLE) ELSE $e END)"
+      val meanOf = (src: String, exp: String, cm: String) =>
+        s"""$exp AS (SELECT p, generate_subscripts(cvec, 1) - 1 AS pos,
+           |  unnest(cvec) AS x FROM $src),
+           |$cm AS (SELECT p, pos,
+           |  CAST(SUM(CAST(floor(x * 1073741824.0) AS BIGINT)) AS DOUBLE)
+           |    / 1073741824.0 / CAST(COUNT(*) AS DOUBLE) AS mv
+           |  FROM $exp GROUP BY p, pos)""".stripMargin
+      val asgOf = (cent: String, asg: String) =>
+        s"""$asg AS (SELECT kid, cvec, p FROM (
+           |  SELECT c.kid, c.cvec, $cent.p,
+           |    ROW_NUMBER() OVER (PARTITION BY c.kid ORDER BY
+           |      ${ng(s"list_cosine_similarity(c.cvec, $cent.centroid)")} DESC,
+           |      $cent.p ASC) AS r
+           |  FROM c CROSS JOIN $cent) WHERE r = 1)""".stripMargin
+      m += "emb_kmeans" ->
+        s"""WITH c AS (SELECT vec_id AS kid, CAST(embedding AS DOUBLE[]) AS cvec
+           |  FROM embeddings),
+           |cent0 AS (SELECT * FROM (SELECT (ROW_NUMBER() OVER (
+           |    ORDER BY ${hash60Sql("concat('km#', CAST(kid AS VARCHAR))")} ASC,
+           |      kid ASC)) - 1 AS p, cvec AS centroid FROM c) WHERE p < 8),
+           |${asgOf("cent0", "asg0")},
+           |${meanOf("asg0", "mexp0", "cm1")},
+           |cent1 AS (SELECT p, list(mv ORDER BY pos) AS centroid
+           |  FROM cm1 GROUP BY p),
+           |${asgOf("cent1", "asg1")},
+           |${meanOf("asg1", "mexp1", "cm2")}
+           |SELECT cm1.p AS p, CAST(cm1.pos AS BIGINT) AS pos,
+           |  COALESCE(cm2.mv, cm1.mv) AS centroid
+           |FROM cm1 LEFT JOIN cm2 ON cm1.p = cm2.p AND cm1.pos = cm2.pos
+           |ORDER BY cm1.p, cm1.pos""".stripMargin.replace("\n", " ")
+    }
 
     m += "emb_centroids" ->
       """WITH e AS (SELECT CAST(label AS BIGINT) AS label,

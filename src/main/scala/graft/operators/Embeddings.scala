@@ -145,6 +145,62 @@ object Embeddings {
     (lambda, v)
   }
 
+  /** Seeded k-means with `iters` EXACT Lloyd iterations: seeds are the
+    * deterministic hash sample ([[Similarity.deterministicCentroids]] —
+    * no RNG), each iteration assigns every vector to its nearest centroid
+    * by clamped cosine (literal argmax — a per-row expression, no join,
+    * no shuffle of vector data) and recomputes centroids as fixed-point
+    * means (floor(x·2³⁰) integer sums — partition-order independent, so
+    * the result is exact-hash reproducible on any engine; a float AVG
+    * would not be). A list that loses every member keeps its previous
+    * centroid (iteration 1 cannot: every seed self-assigns).
+    *
+    * Scale shape per iteration: one corpus scan + one partial-aggregating
+    * shuffle on (k·dims) keys; centroids live as plan literals and the
+    * driver holds only k·dims doubles. Returns (p, pos, centroid) rows.
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    val c = df.select(col(idCol).as("kid"),
+      transform(col(vecCol), x => x.cast("double")).as("cvec"))
+    val seeds = Similarity.deterministicCentroids(c, "kid", "cvec", k, "km")
+      .zipWithIndex.map { case ((_, v), p) => (p.toLong, v) }
+    require(seeds.nonEmpty, "k-means needs a non-empty corpus")
+    var cents = seeds
+    var it = 0
+    while (it < iters) {
+      val asg = c
+        .withColumn("cnrm",
+          sqrt(graft.functions.VectorExpressions.sqNormNative(col("cvec"))))
+        .withColumn("p",
+          element_at(Similarity.nearestCentroids(col("cvec"), col("cnrm"),
+            cents), 1).getField("list_id"))
+      val meanRows = asg
+        .select(col("p"), posexplode(col("cvec")))
+        .groupBy("p", "pos")
+        .agg(sum(floor(col("col") * lit(1073741824.0)).cast("decimal(28,0)"))
+            .as("sq"),
+          count(lit(1)).as("n"))
+        .select(col("p"), col("pos"),
+          (col("sq").cast("double") / lit(1073741824.0) /
+            col("n").cast("double")).as("mv"))
+        .collect()
+      val d = seeds.head._2.length
+      val meanByP = meanRows.groupBy(_.getLong(0)).map { case (p, rows) =>
+        val arr = new Array[Double](d)
+        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        p -> arr
+      }
+      cents = cents.map { case (p, prev) => (p, meanByP.getOrElse(p, prev)) }
+      it += 1
+    }
+    import spark.implicits._
+    cents.toSeq.flatMap { case (p, v) =>
+      v.zipWithIndex.map { case (x, i) => (p, i.toLong, x) }
+    }.toDF("p", "pos", "centroid")
+  }
+
   /** Top-m eigenpairs of a symmetric PSD d×d matrix (e.g. a Gram matrix
     * from [[gramMatrix]]) by power iteration with deflation — the full
     * driver-side PCA readout. After each component the matrix is deflated

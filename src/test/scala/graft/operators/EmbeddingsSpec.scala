@@ -98,6 +98,46 @@ class EmbeddingsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansCentroids: full shape, partitioning-invariant, objective improves") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val centers = Seq.tabulate(4)(_ => Array.fill(8)(rng.nextGaussian() * 4))
+    val data = Seq.tabulate(120) { i =>
+      (i.toLong, centers(i % 4).map(x => x + 0.25 * rng.nextGaussian()).toSeq)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val out = Embeddings.kmeansCentroids(df, "vec_id", "embedding",
+      k = 4, iters = 2).collect()
+    assert(out.length == 4 * 8)
+    assert(out.map(_.getLong(0)).toSet === Set(0L, 1L, 2L, 3L))
+    // same result from any input partitioning (fixed-point means)
+    val out2 = Embeddings.kmeansCentroids(df.repartition(7), "vec_id",
+      "embedding", k = 4, iters = 2).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ===
+      out2.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    // Lloyd refinement helps: mean best-cosine of the corpus against the
+    // 2-iteration centroids beats the raw hash seeds
+    def cents(rows: Array[org.apache.spark.sql.Row]): Seq[Array[Double]] =
+      rows.groupBy(_.getLong(0)).toSeq.map { case (_, rs) =>
+        val a = new Array[Double](8)
+        rs.foreach(r => a(r.getLong(1).toInt) = r.getDouble(2))
+        a
+      }
+    def cos(a: Seq[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val seeds = Similarity.deterministicCentroids(
+      df.select(col("vec_id").as("kid"),
+        transform(col("embedding"), x => x.cast("double")).as("cvec")),
+      "kid", "cvec", 4, "km").map(_._2)
+    val refined = cents(out)
+    def objective(cs: Seq[Array[Double]]): Double =
+      data.map { case (_, v) => cs.map(c => cos(v, c)).max }.sum / data.size
+    assert(objective(refined) > objective(seeds.toSeq),
+      f"refined=${objective(refined)}%.4f seeds=${objective(seeds.toSeq)}%.4f")
+  }
+
   test("gram aggregation rejects a wrong-width vector loudly") {
     import spark.implicits._
     val bad = Seq(Tuple1(Seq(1.0, 2.0))).toDF("embedding")

@@ -47,7 +47,8 @@ object Bench {
     "funnel_latency", "distinct_sketch", "events_dist_ranks",
     "q_not_in_nulls", "bloom_semi_join", "table_profile", "fk_integrity", "fuzzy_join_del1", "events_ntile", "hll_distinct", "zorder_layout", "bucketed_join", "compaction_plan",
     "events_topk_users", "dataset_split", "text_length_buckets",
-    "sample_bottomk", "emb_gram", "emb_kmeans", "dedup_keep_best",
+    "sample_bottomk", "sample_weighted", "text_normalize",
+    "emb_gram", "emb_kmeans", "dedup_keep_best",
     "events_gapfill", "events_scd2", "gen_anti_sample",
     "gen_uniform_sample", "gen_correlated_sample", "dedup_substring",
     // streaming workloads LAST: their state-store churn and driver-side

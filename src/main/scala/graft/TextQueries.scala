@@ -601,6 +601,59 @@ object TextQueries {
           col("col.id").as("doc_id"), (-col("col.v")).as("h"))
         .orderBy("lang", "rk")
     }),
+    // WEIGHTED sample without replacement — Ohlsson's sequential Poisson
+    // (priority) sampling: each row draws priority q = u / w (u uniform, w
+    // the weight) and the k smallest priorities form the sample, giving
+    // inclusion probability ∝ w. Here u is the portable 60-bit hash rank
+    // (reproducible permutation, same trick as sample_bottomk) and w is the
+    // document length in chars, so long documents are proportionally more
+    // likely to be drawn — the standard way to sample training docs by token
+    // mass rather than per-doc. The priority is EXACT INTEGER division
+    // (hash60 div n_chars, ties → doc_id): order-equivalent to the real-
+    // valued q at ~2^50 resolution, with zero cross-engine float risk. Same
+    // bounded-TopKAgg shape as sample_bottomk: ≤ k pairs per map task cross
+    // the shuffle, never a full-corpus sort.
+    "sample_weighted" -> ((s, dir) => {
+      val ranked = docs(s, dir).where(col("n_chars") > 0)
+        .select(graft.functions.hash60(
+          concat(lit("wsmp#"), col("doc_id").cast("string"))).as("h"),
+          col("doc_id"), col("n_chars"))
+        // SQL `div` = exact 64-bit integer division (both operands ≥ 0, so
+        // Spark's truncating div ≡ DuckDB's flooring //)
+        .select(expr("h div n_chars").as("pri"),
+          col("doc_id"), col("n_chars"))
+      val topk = udaf(new graft.operators.TopKAgg(60),
+        graft.operators.TopK.inputEncoder)
+      ranked.agg(topk(-col("pri"), col("doc_id")).as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast("long").as("rk"),
+          col("col.id").as("doc_id"), (-col("col.v")).as("pri"))
+        .join(docs(s, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .select(col("rk"), col("doc_id"), col("n_chars"), col("pri"))
+        .orderBy("rk")
+    }),
+    // Unicode canonicalization at scan speed: inject a deterministic mix of
+    // precomposed (á é ö ñ via translate) and DECOMPOSED (u + combining
+    // diaeresis U+0308) accents into the ASCII fixture text, then NFC-
+    // normalize (composes u+◌̈ → ü) and strip accents (NFD + drop Mn marks)
+    // with the native expressions. The oracle runs DuckDB's utf8proc
+    // nfc_normalize/strip_accents over the same injection — a genuine
+    // differential test of two independent Unicode implementations, gated
+    // on md5 of the normalized bytes and the (post-composition) lengths.
+    "text_normalize" -> ((s, dir) => {
+      import graft.functions.UnicodeExpressions.{nfcNormalize, stripAccents}
+      val inj = regexp_replace(
+        translate(col("text"), "aeon", "\u00e1\u00e9\u00f6\u00f1"),
+        "u", "u\u0308")
+      docs(s, dir)
+        .select(col("doc_id"), nfcNormalize(inj).as("nfc"))
+        .select(col("doc_id"),
+          length(col("nfc")).cast("long").as("nfc_chars"),
+          md5(col("nfc").cast("binary")).as("nfc_md5"),
+          length(stripAccents(col("nfc"))).cast("long").as("plain_chars"),
+          md5(stripAccents(col("nfc")).cast("binary")).as("plain_md5"))
+        .orderBy("doc_id")
+    }),
     // real-valued TF-IDF (complements the integer-only text_top_terms):
     // score = tf · N/(1+df). Division-only idf — ln() is libm-dependent and
     // would break bit parity with the oracle, and for fixed N the ranking is
@@ -1241,6 +1294,33 @@ object TextQueries {
          |    AS rk FROM hv)
          |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, h
          |FROM ranked WHERE rk <= 50 ORDER BY lang, rk"""
+        .stripMargin.replace("\n", " ")
+
+    // sequential Poisson priority = hash60 // n_chars (exact integer div on
+    // both engines); k = 60 smallest, ties by doc_id
+    m += "sample_weighted" ->
+      s"""WITH w AS (SELECT doc_id, n_chars,
+         |  ${hash60Sql("concat('wsmp#', CAST(doc_id AS VARCHAR))")} // n_chars
+         |    AS pri FROM documents WHERE n_chars > 0),
+         |ranked AS (SELECT doc_id, n_chars, pri,
+         |  ROW_NUMBER() OVER (ORDER BY pri ASC, doc_id ASC) AS rk FROM w)
+         |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_chars, pri
+         |FROM ranked WHERE rk <= 60 ORDER BY rk"""
+        .stripMargin.replace("\n", " ")
+
+    // same accent injection (chr() codepoints, encoding-proof), then
+    // DuckDB's independent utf8proc normalizer — differential vs the JVM one
+    m += "text_normalize" ->
+      """WITH inj AS (SELECT doc_id,
+        |  replace(translate(text, 'aeon',
+        |    chr(225) || chr(233) || chr(246) || chr(241)),
+        |    'u', 'u' || chr(776)) AS t FROM documents),
+        |n AS (SELECT doc_id, nfc_normalize(t) AS nfc FROM inj)
+        |SELECT doc_id, CAST(length(nfc) AS BIGINT) AS nfc_chars,
+        |  md5(nfc) AS nfc_md5,
+        |  CAST(length(strip_accents(nfc)) AS BIGINT) AS plain_chars,
+        |  md5(strip_accents(nfc)) AS plain_md5
+        |FROM n ORDER BY doc_id"""
         .stripMargin.replace("\n", " ")
 
     m += "text_chunking" ->

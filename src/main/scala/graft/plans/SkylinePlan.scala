@@ -175,7 +175,7 @@ object SkylineExtensions {
     * apply at session build; driver-owned sessions need this path). Exposes
     * the skyline planner strategy plus the engine's SQL function surface:
     * sky_dominates, graft_dot, graft_sqnorm, graft_cosine, graft_hash60,
-    * graft_shingles, graft_mrangle. */
+    * graft_shingles, graft_mrangle, graft_nfc, graft_strip_accents. */
   def register(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(SkylineStrategy))
       spark.experimental.extraStrategies =
@@ -201,6 +201,10 @@ object SkylineExtensions {
     reg.createOrReplaceTempFunction("graft_mrangle",
       exprs => graft.functions.MrAngleExpr(exprs(0),
         intArg(exprs(1), "graft_mrangle(n)")), "built-in")
+    reg.createOrReplaceTempFunction("graft_nfc",
+      exprs => graft.functions.NfcNormalizeExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_strip_accents",
+      exprs => graft.functions.StripAccentsExpr(exprs(0)), "built-in")
   }
 }
 

@@ -57,6 +57,7 @@ object Bench {
     "stream_sky2d", "stream_tws_sky2d", "stream_windowed_sky",
     "stream_sessionize", "stream_interval_join", "stream_term_counts",
     "stream_hist_quantiles", "stream_topk_users", "stream_sample_bottomk",
+    "stream_sample_weighted",
     "stream_emb_gram", "stream_dedup",
     "stream_dedup_minhash", "stream_dedup_incremental", "stream_perplexity",
     "stream_late_drop")

@@ -470,6 +470,41 @@ object PipelineQueries {
           col("col.id").as("doc_id"), (-col("col.v")).as("h"))
         .orderBy("lang", "rk")
     }),
+    // Streaming WEIGHTED sample (sequential Poisson, as sample_weighted):
+    // the ≤ k smallest integer priorities (hash60 div n_chars) live in the
+    // state store via the same bounded TopKAgg — state is k pairs total
+    // regardless of stream length, and a mid-stream read equals the batch
+    // sample over the prefix. Oracle = sample_weighted's SQL verbatim.
+    "stream_sample_weighted" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = docs(s, dir).where(col("n_chars") > 0)
+        .select(graft.functions.hash60(
+            concat(lit("wsmp#"), col("doc_id").cast("string"))).as("h"),
+          col("doc_id"), col("n_chars"))
+        .select(expr("h div n_chars").as("pri"), col("doc_id"))
+        .as[(Long, Long)].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val topk = udaf(new graft.operators.TopKAgg(60),
+        graft.operators.TopK.inputEncoder)
+      val agg = src.toDF().toDF("pri", "doc_id")
+        .agg(topk(-col("pri"), col("doc_id")).as("top"))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      runAppendStream(s, agg, "swt", mode = "complete") { q =>
+        src.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        src.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+      }
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast("long").as("rk"),
+          col("col.id").as("doc_id"), (-col("col.v")).as("pri"))
+        .join(docs(s, dir).select(col("doc_id"), col("n_chars")),
+          Seq("doc_id"))
+        .select(col("rk"), col("doc_id"), col("n_chars"), col("pri"))
+        .orderBy("rk")
+    }),
     // Streaming second-moment (Gram) tracking — incremental PCA's input
     // statistic maintained through the state store: GramAgg's 16 KB
     // fixed-point buffer IS the streaming state (exact integers, so
@@ -762,6 +797,7 @@ object PipelineQueries {
     "stream_topk_users" -> RelationalQueries.oracleSql("events_topk_users"),
     // in-store reservoir sample == the batch bottom-k sample
     "stream_sample_bottomk" -> TextQueries.oracleSql("sample_bottomk"),
+    "stream_sample_weighted" -> TextQueries.oracleSql("sample_weighted"),
     // incrementally-merged Gram state == the batch second-moment matrix
     "stream_emb_gram" -> TextQueries.oracleSql("emb_gram"),
     // late replays dropped ⇒ every event counted exactly once, like batch

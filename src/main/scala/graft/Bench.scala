@@ -159,7 +159,8 @@ object Bench {
     // inflates tail workloads 5-20x; never diagnose a regression from a
     // full-sweep number). Unset (driver runs) = everything.
     val refWorkloads = Set("sky_1m_2d_anti", "sky_1m_2d_sort",
-      "sky_1m_3d_anti", "sky_10m_2d_sort", "sky_500k_4d_bcast",
+      "sky_1m_3d_anti", "sky_10m_2d_sort", "sky_10m_3d_bcast",
+      "sky_500k_4d_bcast",
       "sky_1m_4d_bcast", "sky_500k_4d_xfilter", "sky_1m_3d_gridpar",
       "sky_1m_3d_tree_uni", "dedup_minhash_600k_sig", "dedup_minhash_600k",
       "text_perplexity_600k", "dedup_substring_600k")
@@ -248,6 +249,15 @@ object Bench {
       SkylineOps.skylineBroadcastFilter(
         Generators.generate(spark, "anti-correlated", 500000L, 4),
         maxBroadcastPoints = 20000).count()
+    }
+    // dimensionality x cardinality corner the reference never reached
+    // (its 4-D cap was 1M): 3-D anti-correlated at 10M records through the
+    // broadcast cross-filter; past the broadcast bound this degrades into
+    // the distributed pairwise path, so the entry exercises whichever merge
+    // the union size dictates at this scale
+    bench("sky_10m_3d_bcast") {
+      SkylineOps.skylineBroadcastFilter(
+        Generators.generate(spark, "anti-correlated", 10000000L, 3)).count()
     }
     // grid-parallel global merge vs the tree merge on the SAME uniform
     // data, so the strategy tradeoff is visible in one sweep. Measured:

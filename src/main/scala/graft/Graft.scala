@@ -133,6 +133,30 @@ object Graft {
                     nClusters: Int, threshold: Double = 0.9): DataFrame =
     Dedup.semanticDedup(df, idCol, vecCol, nClusters, threshold)
 
+  /** Deterministic fixed-rate sample (portable hash-mod filter). */
+  def sampleRate(df: DataFrame, idCol: String, modulus: Int): DataFrame =
+    Sampling.rateSample(df, idCol, modulus)
+
+  /** Fixed-size uniform sample per stratum (bottom-k / KMV hash ranks). */
+  def sampleBottomK(df: DataFrame, strataCol: String, idCol: String,
+                    k: Int): DataFrame =
+    Sampling.bottomK(df, strataCol, idCol, k)
+
+  /** Weighted sample without replacement (sequential Poisson priorities):
+    * inclusion probability ∝ `weightCol` — e.g. sample training documents
+    * by token mass rather than per-doc. */
+  def sampleWeighted(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame =
+    Sampling.weightedBottomK(df, idCol, weightCol, k)
+
+  /** Unicode NFC normalization / accent stripping as native codegen'd
+    * columns — canonicalize text BEFORE fingerprinting or shingling so
+    * decomposed and precomposed spellings dedup together. */
+  def nfcNormalize(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    functions.UnicodeExpressions.nfcNormalize(c)
+  def stripAccents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    functions.UnicodeExpressions.stripAccents(c)
+
   def textQuality(df: DataFrame, textCol: String): DataFrame =
     TextAnalysis.withQualityScore(df, textCol)
 

@@ -571,9 +571,7 @@ object TextQueries {
     // deterministic hash-mod sampling, stratified by construction (each
     // stratum keeps ~1/10 of its rows; reproducible across engines/runs)
     "sample_stratified" -> ((s, dir) =>
-      docs(s, dir)
-        .where(graft.functions.hash60(
-          concat(lit("smpl#"), col("doc_id").cast("string"))) % 10 === 0)
+      graft.operators.Sampling.rateSample(docs(s, dir), "doc_id", 10)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")),
     // fixed-SIZE per-stratum uniform sample: bottom-k by a portable hash
@@ -585,22 +583,9 @@ object TextQueries {
     // stratum size — the row_number() window formulation would shuffle and
     // sort every row of every stratum. Complements sample_stratified
     // (fixed RATE): this one guarantees exactly min(k, |stratum|) rows.
-    "sample_bottomk" -> ((s, dir) => {
-      val ranked = docs(s, dir).select(col("lang"),
-        graft.functions.hash60(
-          concat(lit("rsv#"), col("doc_id").cast("string"))).as("h"),
-        col("doc_id"))
-      val topk = udaf(new graft.operators.TopKAgg(50),
-        graft.operators.TopK.inputEncoder)
-      // TopKAgg ranks (v desc, id asc); v = −h turns that into the
-      // (h asc, id asc) bottom-k order of the oracle's window
-      ranked.groupBy("lang")
-        .agg(topk(-col("h"), col("doc_id")).as("top"))
-        .select(col("lang"), posexplode(col("top")))
-        .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
-          col("col.id").as("doc_id"), (-col("col.v")).as("h"))
-        .orderBy("lang", "rk")
-    }),
+    "sample_bottomk" -> ((s, dir) =>
+      graft.operators.Sampling.bottomK(docs(s, dir), "lang", "doc_id", 50)
+        .orderBy("lang", "rk")),
     // WEIGHTED sample without replacement — Ohlsson's sequential Poisson
     // (priority) sampling: each row draws priority q = u / w (u uniform, w
     // the weight) and the k smallest priorities form the sample, giving
@@ -613,25 +598,12 @@ object TextQueries {
     // valued q at ~2^50 resolution, with zero cross-engine float risk. Same
     // bounded-TopKAgg shape as sample_bottomk: ≤ k pairs per map task cross
     // the shuffle, never a full-corpus sort.
-    "sample_weighted" -> ((s, dir) => {
-      val ranked = docs(s, dir).where(col("n_chars") > 0)
-        .select(graft.functions.hash60(
-          concat(lit("wsmp#"), col("doc_id").cast("string"))).as("h"),
-          col("doc_id"), col("n_chars"))
-        // SQL `div` = exact 64-bit integer division (both operands ≥ 0, so
-        // Spark's truncating div ≡ DuckDB's flooring //)
-        .select(expr("h div n_chars").as("pri"),
-          col("doc_id"), col("n_chars"))
-      val topk = udaf(new graft.operators.TopKAgg(60),
-        graft.operators.TopK.inputEncoder)
-      ranked.agg(topk(-col("pri"), col("doc_id")).as("top"))
-        .select(posexplode(col("top")))
-        .select((col("pos") + 1).cast("long").as("rk"),
-          col("col.id").as("doc_id"), (-col("col.v")).as("pri"))
+    "sample_weighted" -> ((s, dir) =>
+      graft.operators.Sampling
+        .weightedBottomK(docs(s, dir), "doc_id", "n_chars", 60)
         .join(docs(s, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
         .select(col("rk"), col("doc_id"), col("n_chars"), col("pri"))
-        .orderBy("rk")
-    }),
+        .orderBy("rk")),
     // Unicode canonicalization at scan speed: inject a deterministic mix of
     // precomposed (á é ö ñ via translate) and DECOMPOSED (u + combining
     // diaeresis U+0308) accents into the ASCII fixture text, then NFC-

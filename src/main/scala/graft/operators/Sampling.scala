@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling operators. All three use the
+  * portable 60-bit md5 hash rank in place of a random draw — a reproducible
+  * uniform permutation that is stable across runs, repartitioning, engines
+  * (the DuckDB oracles recompute it bit-for-bit), and incremental appends.
+  *
+  * Scale shapes: the rate sample is a pure filter (scan speed, no shuffle);
+  * both bottom-k forms run through the bounded [[TopKAgg]], so every map
+  * task reduces its slice to ≤ k (rank, id) pairs before the shuffle —
+  * shuffle volume O(k · strata · mappers) regardless of input size, never a
+  * full sort. Cited shapes: KMV/bottom-k sketches (Bar-Yossef et al.) for
+  * the uniform form; Ohlsson's sequential Poisson sampling for the
+  * weighted form.
+  */
+object Sampling {
+
+  private def rank(idCol: Column, tag: String): Column =
+    graft.functions.hash60(concat(lit(tag + "#"), idCol.cast("string")))
+
+  /** Fixed-RATE sample: keep rows whose hash rank falls in 1/`modulus` of
+    * the key space (deterministic analog of `sample(fraction)`). */
+  def rateSample(df: DataFrame, idCol: String, modulus: Int,
+                 tag: String = "smpl"): DataFrame =
+    df.where(pmod(rank(col(idCol), tag), lit(modulus)) === 0)
+
+  /** Fixed-SIZE uniform sample per stratum: bottom-k by hash rank (KMV).
+    * Returns (strataCol, rk, idCol, h) with rk = 1..min(k, |stratum|). */
+  def bottomK(df: DataFrame, strataCol: String, idCol: String, k: Int,
+              tag: String = "rsv"): DataFrame = {
+    val topk = udaf(new TopKAgg(k), TopK.inputEncoder)
+    df.select(col(strataCol), rank(col(idCol), tag).as("h"), col(idCol))
+      .groupBy(strataCol)
+      // TopKAgg ranks (v desc, id asc); v = −h ⇒ (h asc, id asc) bottom-k
+      .agg(topk(-col("h"), col(idCol)).as("top"))
+      .select(col(strataCol), posexplode(col("top")))
+      .select(col(strataCol), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as(idCol), (-col("col.v")).as("h"))
+  }
+
+  /** WEIGHTED sample without replacement — Ohlsson's sequential Poisson
+    * (priority) sampling: priority q = u / w (u the hash rank, w the
+    * weight), k smallest priorities win, inclusion probability ∝ w. The
+    * priority is EXACT 64-bit integer division (`hash60 div w`, ties by
+    * id) — order-equivalent to the real-valued q at ~2^50 resolution with
+    * zero cross-engine float risk. Rows with w ≤ 0 are excluded. Returns
+    * (rk, idCol, pri) with rk = 1..min(k, n). */
+  def weightedBottomK(df: DataFrame, idCol: String, weightCol: String,
+                      k: Int, tag: String = "wsmp"): DataFrame = {
+    val topk = udaf(new TopKAgg(k), TopK.inputEncoder)
+    df.where(col(weightCol) > 0)
+      .select(rank(col(idCol), tag).as("h"), col(idCol), col(weightCol))
+      .select(expr(s"h div $weightCol").as("pri"), col(idCol))
+      .agg(topk(-col("pri"), col(idCol)).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as(idCol), (-col("col.v")).as("pri"))
+  }
+}

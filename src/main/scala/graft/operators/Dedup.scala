@@ -356,16 +356,27 @@ object Dedup {
 
   /** Near-duplicate clustering: connected components over the similarity
     * graph, labels = smallest doc id reachable (the cluster's canonical
-    * document). Iterative min-label propagation WITH pointer jumping —
-    * each round is an edge join + groupBy plus a label self-join
-    * (shuffle-bounded), converging in O(log diameter) rounds; pipelines
-    * keep one row per cluster afterwards. Deterministic.
+    * document). Deterministic, two execution paths behind one semantics
+    * (the skyline broadcast-merge precedent — size-gate BEFORE any driver
+    * fetch, distributed fallback past the bound):
     *
-    * @param ids   all node ids (docs), one column `id`
+    *  - edge list ≤ `maxLocalEdges`: single driver union-find over the
+    *    collected edges (near-dup EDGES are many orders smaller than the
+    *    corpus — they exist only where documents near-duplicate — so at
+    *    typical dup densities this bound holds far beyond the corpus sizes
+    *    where the corpus itself stopped fitting anywhere). O(E α) total,
+    *    no iterative rounds at all.
+    *  - otherwise: iterative min-label propagation WITH pointer jumping —
+    *    each round an edge join + groupBy or a label self-join
+    *    (shuffle-bounded), converging in O(log diameter) rounds.
+    *
+    * @param ids   all node ids (docs), one column `id` (integral)
     * @param pairs undirected edges (id_a, id_b)
+    * @param maxLocalEdges gate for the local path (0 forces iterative)
     */
   def clusterNearDups(ids: DataFrame, pairs: DataFrame,
-                      maxIters: Int = 50): DataFrame = {
+                      maxIters: Int = 50,
+                      maxLocalEdges: Long = 4000000L): DataFrame = {
     val spark = ids.sparkSession
     // lineage pin (the Graph.pin pattern): materialize to a persisted Row
     // RDD and rebuild the frame from it. cache() alone is NOT enough here —
@@ -385,6 +396,35 @@ object Dedup {
     val (edges, edgesHandle) = pin(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    // LOCAL FAST PATH — the count is already materialized by the pin, so
+    // the gate costs nothing and no driver fetch happens before it passes
+    if (edges.count() <= maxLocalEdges && maxLocalEdges > 0) {
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      edgesHandle.unpersist()
+      // union-find; the larger root always attaches under the smaller, so
+      // every root IS its component's minimum id (the iterative path's
+      // label) by induction
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      import spark.implicits._
+      val lab = parent.keys.toSeq.map(id => (id, find(id)))
+        .toDF("__lid", "__lcluster")
+      return ids.join(lab, ids("id") === col("__lid"), "left")
+        .select(ids("id"),
+          coalesce(col("__lcluster"), ids("id")).as("cluster_id"))
+    }
     var labels = ids.select(col("id"), col("id").as("cluster_id"))
     var labelsHandle: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     var converged = false

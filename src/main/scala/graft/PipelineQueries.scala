@@ -601,6 +601,39 @@ object PipelineQueries {
     // subset out as CSV / JSON-lines, read it back through spark.read.csv /
     // spark.read.json with an explicit schema, and hash-match the parquet
     // oracle — proves the file-source parse paths end to end.
+    // Hive-style partitioned parquet layout: write partitionBy(lang), read
+    // back with a partition predicate — the scan must prune to the one
+    // lang=en directory (PartitionFilters, asserted by PlanShapeSpec), the
+    // partition column coming from the path, not the data files. This is
+    // THE layout lever at 100 TB: a predicate on the partition key skips
+    // whole directories before any I/O.
+    "partitioned_source" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("partsrc").toString
+      docs(s, dir).select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+      s.read.parquet(tmp)
+        .where(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    // Schema evolution across file generations: an old batch (doc_id, lang)
+    // and a new batch with an added column (doc_id, lang, n_chars) coexist
+    // in one dataset; mergeSchema unions the schemas and backfills the
+    // missing column with NULL — the append-only contract a long-lived
+    // corpus store needs (new extraction fields must not force a rewrite
+    // of petabytes of old files).
+    "schema_evolution" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("schevo").toString
+      docs(s, dir).where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=old")
+      docs(s, dir).where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=new")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .select(col("doc_id"), col("gen"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     "csv_file_source" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("csvsrc").toString
       s.read.parquet(s"$dir/orders.parquet")
@@ -867,6 +900,14 @@ object PipelineQueries {
         |list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos_q0
         |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
         |CROSS JOIN q ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
+    "partitioned_source" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "schema_evolution" ->
+      """SELECT doc_id,
+        |CASE WHEN doc_id % 2 = 0 THEN 'old' ELSE 'new' END AS gen, lang,
+        |CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE NULL END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "csv_file_source" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey"""

@@ -138,4 +138,28 @@ class PlanShapeSpec extends AnyFunSuite {
         "expected a map-side partial TopKAgg below the stratum exchange")
     } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
   }
+
+  test("partitioned layout: a partition-key predicate prunes directories, not rows") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("prunespec").toString
+    Seq((0L, 10L, "en"), (1L, 20L, "de"), (2L, 30L, "en"), (3L, 40L, "fr"))
+      .toDF("doc_id", "n_chars", "lang")
+      .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    val q = spark.read.parquet(tmp).where($"lang" === "en")
+      .select($"doc_id", $"n_chars")
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1)
+    val scan = scans.head
+    // the lang predicate must land in partitionFilters (directory pruning
+    // before I/O), NOT dataFilters (row filtering after reading bytes)
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "lang")),
+      s"lang predicate not in partitionFilters: ${scan.partitionFilters}")
+    assert(!scan.dataFilters.exists(_.references.exists(_.name == "lang")),
+      s"lang predicate leaked into dataFilters: ${scan.dataFilters}")
+    // and only the lang=en directory's files survive pruning
+    assert(scan.relation.location.inputFiles.length > 1)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L))
+  }
 }

@@ -34,7 +34,8 @@ object Bench {
     "asof_next_error",
     "events_hopping", "q_grouping_sets", "events_pivot", "events_unpivot",
     "sql_functions",
-    "csv_file_source", "json_file_source", "partitioned_source",
+    "csv_file_source", "json_file_source", "orc_file_source",
+    "partitioned_source",
     "schema_evolution", "multimodal_features",
     "sky_dominance_score", "dedup_embedding_bucketed", "dedup_semantic",
     "text_chunking", "domain_cap", "decontaminate", "text_repetition",

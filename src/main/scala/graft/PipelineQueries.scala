@@ -634,6 +634,18 @@ object PipelineQueries {
         .select(col("doc_id"), col("gen"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
     }),
+    // ORC round-trip (the third columnar format in the source matrix after
+    // parquet and csv/json): same subset, same oracle SQL — proves the ORC
+    // read/write path end to end including predicate-pushdown-capable types
+    "orc_file_source" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("orcsrc").toString
+      s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp).orderBy("o_orderkey")
+    }),
     "csv_file_source" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("csvsrc").toString
       s.read.parquet(s"$dir/orders.parquet")
@@ -900,6 +912,10 @@ object PipelineQueries {
         |list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos_q0
         |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
         |CROSS JOIN q ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
+    "orc_file_source" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey % 11 = 0 ORDER BY o_orderkey"""
+        .stripMargin.replace("\n", " "),
     "partitioned_source" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin.replace("\n", " "),

@@ -51,9 +51,12 @@ object Sampling {
   def weightedBottomK(df: DataFrame, idCol: String, weightCol: String,
                       k: Int, tag: String = "wsmp"): DataFrame = {
     val topk = udaf(new TopKAgg(k), TopK.inputEncoder)
+    // internal names can't collide with user columns; backticks guard
+    // exotic user column names in the div expression
     df.where(col(weightCol) > 0)
-      .select(rank(col(idCol), tag).as("h"), col(idCol), col(weightCol))
-      .select(expr(s"h div $weightCol").as("pri"), col(idCol))
+      .select(rank(col(idCol), tag).as("__wrank"),
+        col(weightCol).as("__wweight"), col(idCol))
+      .select(expr("`__wrank` div `__wweight`").as("pri"), col(idCol))
       .agg(topk(-col("pri"), col(idCol)).as("top"))
       .select(posexplode(col("top")))
       .select((col("pos") + 1).cast("long").as("rk"),

@@ -142,16 +142,42 @@ object SkylineStrategy extends SparkStrategy {
 
 /** Session extension wiring: `spark.withExtensions(new SkylineExtensions)` or
   * `spark.sql.extensions=graft.plans.SkylineExtensions`. Injects the planner
-  * strategy and the `sky_dominates` SQL function. */
+  * strategy and the same SQL function surface as
+  * [[SkylineExtensions.register]] (a config-loaded session must not see a
+  * poorer catalog than a programmatic one). */
 class SkylineExtensions extends (SparkSessionExtensions => Unit) {
+  private def inject(e: SparkSessionExtensions, name: String,
+                     cls: Class[_], b: Seq[Expression] => Expression): Unit =
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        cls.getName, name),
+      b))
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => SkylineStrategy)
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("sky_dominates"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[graft.functions.DominatesExpr].getName, "sky_dominates"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.DominatesExpr(exprs(0), exprs(1))))
+    inject(e, "sky_dominates", classOf[graft.functions.DominatesExpr],
+      exprs => graft.functions.DominatesExpr(exprs(0), exprs(1)))
+    inject(e, "graft_dot", classOf[graft.functions.DotProductExpr],
+      exprs => graft.functions.DotProductExpr(exprs(0), exprs(1)))
+    inject(e, "graft_sqnorm", classOf[graft.functions.SqNormExpr],
+      exprs => graft.functions.SqNormExpr(exprs(0)))
+    inject(e, "graft_shingles", classOf[graft.functions.CharShinglesExpr],
+      exprs => graft.functions.CharShinglesExpr(exprs(0),
+        SkylineExtensions.intArgPublic(exprs(1), "graft_shingles(k)")))
+    inject(e, "graft_mrangle", classOf[graft.functions.MrAngleExpr],
+      exprs => graft.functions.MrAngleExpr(exprs(0),
+        SkylineExtensions.intArgPublic(exprs(1), "graft_mrangle(n)")))
+    inject(e, "graft_nfc", classOf[graft.functions.NfcNormalizeExpr],
+      exprs => graft.functions.NfcNormalizeExpr(exprs(0)))
+    inject(e, "graft_strip_accents", classOf[graft.functions.StripAccentsExpr],
+      exprs => graft.functions.StripAccentsExpr(exprs(0)))
+    // composite trees (no single expression class backs them; the info
+    // class is the dominant sub-expression)
+    inject(e, "graft_cosine", classOf[graft.functions.DotProductExpr],
+      exprs => SkylineExtensions.cosineExpr(exprs(0), exprs(1)))
+    inject(e, "graft_hash60", classOf[graft.functions.DotProductExpr],
+      exprs => SkylineExtensions.hash60ExprPublic(exprs(0)))
   }
 }
 
@@ -163,6 +189,21 @@ object SkylineExtensions {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$name expects a literal int, got $other")
+  }
+
+  /** [[intArg]] for the extensions-class injection sites. */
+  private[plans] def intArgPublic(e: Expression, name: String): Int =
+    intArg(e, name)
+
+  private[plans] def hash60ExprPublic(c: Expression): Expression =
+    hash60Expr(c)
+
+  /** Clamped cosine as a Catalyst tree (shared by both injection paths). */
+  private[plans] def cosineExpr(a: Expression, b: Expression): Expression = {
+    val dot = graft.functions.DotProductExpr(a, b)
+    val denom = Multiply(Sqrt(graft.functions.SqNormExpr(a)),
+      Sqrt(graft.functions.SqNormExpr(b)))
+    Least(Seq(Greatest(Seq(Divide(dot, denom), Literal(-1.0))), Literal(1.0)))
   }
 
   /** md5-derived portable 60-bit hash as a Catalyst tree (the SQL-function
@@ -187,12 +228,8 @@ object SkylineExtensions {
       exprs => graft.functions.DotProductExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_sqnorm",
       exprs => graft.functions.SqNormExpr(exprs(0)), "built-in")
-    reg.createOrReplaceTempFunction("graft_cosine", exprs => {
-      val dot = graft.functions.DotProductExpr(exprs(0), exprs(1))
-      val denom = Multiply(Sqrt(graft.functions.SqNormExpr(exprs(0))),
-        Sqrt(graft.functions.SqNormExpr(exprs(1))))
-      Least(Seq(Greatest(Seq(Divide(dot, denom), Literal(-1.0))), Literal(1.0)))
-    }, "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      exprs => cosineExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_hash60",
       exprs => hash60Expr(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_shingles",

@@ -61,6 +61,30 @@ class SkylinePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("extensions-class path injects the full function surface") {
+    // the config-loaded path (spark.sql.extensions) must register the same
+    // catalog as runtime register(); apply() on a fresh extensions object
+    // exercises every injection site's builder wiring
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new SkylineExtensions().apply(ext)   // throws on any malformed triple
+    // the composite builders shared by both paths evaluate correctly
+    import org.apache.spark.sql.graftbridge.ColumnBridge.column
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+    def arr(xs: Double*) =
+      CreateArray(xs.map(x => Literal(x): org.apache.spark.sql.catalyst.expressions.Expression))
+    val r = spark.range(1).select(
+      column(SkylineExtensions.cosineExpr(arr(1.0, 0.0), arr(1.0, 0.0))).as("c1"),
+      column(SkylineExtensions.cosineExpr(arr(1.0, 0.0), arr(0.0, 1.0))).as("c0"),
+      column(SkylineExtensions.hash60ExprPublic(Literal("42"))).as("h"))
+      .head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+    // hash60("42") = first 15 hex chars of md5("42") as a long — recompute
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("42".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    assert(r.getLong(2) == java.lang.Long.parseLong(hex, 16))
+  }
+
   test("dominance expression matches the kernel on random vectors") {
     import spark.implicits._
     val rng = new scala.util.Random(31)

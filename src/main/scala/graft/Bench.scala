@@ -51,6 +51,7 @@ object Bench {
     "events_topk_users", "dataset_split", "text_length_buckets",
     "sample_bottomk", "sample_weighted", "text_normalize",
     "emb_gram", "emb_kmeans", "dedup_keep_best",
+    "cdc_apply", "sky_grouped",
     "events_gapfill", "events_scd2", "gen_anti_sample",
     "gen_uniform_sample", "gen_correlated_sample", "dedup_substring",
     // streaming workloads LAST: their state-store churn and driver-side
@@ -62,7 +63,7 @@ object Bench {
     "stream_sample_weighted",
     "stream_emb_gram", "stream_dedup",
     "stream_dedup_minhash", "stream_dedup_incremental", "stream_perplexity",
-    "stream_late_drop")
+    "stream_cdc_apply", "stream_late_drop")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -133,6 +133,27 @@ object Graft {
                     nClusters: Int, threshold: Double = 0.9): DataFrame =
     Dedup.semanticDedup(df, idCol, vecCol, nClusters, threshold)
 
+  /** CDC MERGE: apply a changelog of upserts/delete-tombstones (latest-wins
+    * by `seqCols` per `keyCol`) onto a base snapshot — one partial-agg
+    * shuffle + one equi-join, never a per-row base rescan. */
+  def applyChangelog(base: DataFrame, changelog: DataFrame, keyCol: String,
+                     seqCols: Seq[String], opCol: String,
+                     payloadCols: Seq[String]): DataFrame =
+    Cdc.applyChangelog(base, changelog, keyCol, seqCols, opCol, payloadCols)
+
+  /** Collapse a changelog to current state per key (runs incrementally
+    * under Structured Streaming too — state is one struct per key). */
+  def changelogLatest(changelog: DataFrame, keyCol: String,
+                      seqCols: Seq[String], opCol: String,
+                      payloadCols: Seq[String]): DataFrame =
+    Cdc.latestState(changelog, keyCol, seqCols, opCol, payloadCols)
+
+  /** Per-group Pareto frontier (e.g. per brand/tenant) in one aggregation —
+    * grouping shards the global merge across keys. */
+  def skylineGrouped(df: DataFrame, groupCols: Seq[String], idCol: String,
+                     dims: Seq[String]): DataFrame =
+    SkylineOps.skylineGroupedDF(df, groupCols, idCol, dims)
+
   /** Deterministic fixed-rate sample (portable hash-mod filter). */
   def sampleRate(df: DataFrame, idCol: String, modulus: Int): DataFrame =
     Sampling.rateSample(df, idCol, modulus)

@@ -436,6 +436,41 @@ object PipelineQueries {
           col("col.id").as("user_id"), col("col.v").as("n"))
         .orderBy("event_type", "rk")
     }),
+    // CDC latest-state maintained INCREMENTALLY: the orders changelog
+    // arrives as a stream in two batches; Cdc.latestState's max_by
+    // aggregation runs under complete mode (state per key = ONE struct —
+    // bounded by key count, not changelog volume), and the final snapshot
+    // is merged onto the batch base exactly like cdc_apply. Same oracle ⇒
+    // the gate proves streaming-incremental == batch MERGE.
+    "stream_cdc_apply" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = s.read.parquet(s"$dir/orders.parquet").select(
+          // o_orderdate arrives as TIMESTAMP_NTZ; the session runs UTC so
+          // the cast to instant is identity and the long is order-faithful
+          col("o_custkey"), expr("unix_micros(cast(o_orderdate as timestamp))"),
+          col("o_orderkey"),
+          when(col("o_orderkey") % 13 === 0, lit("D")).otherwise(lit("U")),
+          col("o_totalprice"))
+        .as[(Long, Long, Long, String, Double)].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, String, Double)]
+      val latest = graft.operators.Cdc.latestState(
+        src.toDF().toDF("custkey", "date_us", "o_orderkey", "op", "bal"),
+        "custkey", Seq("date_us", "o_orderkey"), "op", Seq("bal"))
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      val snap = runAppendStream(s, latest, "cdc", mode = "complete") { q =>
+        src.addData(h1.toIndexedSeq)
+        q.processAllAvailable()
+        src.addData(h2.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      graft.operators.Cdc.merge(
+        s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").as("custkey"), col("c_acctbal").as("bal")),
+        snap, "custkey", Seq("bal"))
+        .orderBy("custkey")
+    }),
     // Streaming reservoir sample: the bottom-k (KMV) hash-rank sample
     // maintained INSIDE the state store — here the TopKAgg runs in the
     // streaming aggregation itself, so per-stratum state is the ≤ k best
@@ -840,6 +875,8 @@ object PipelineQueries {
     "stream_hist_quantiles" -> RelationalQueries.oracleSql("hist_quantiles"),
     // live leaderboard == the batch top-k readout
     "stream_topk_users" -> RelationalQueries.oracleSql("events_topk_users"),
+    // incrementally-collapsed changelog + merge == the batch CDC MERGE
+    "stream_cdc_apply" -> RelationalQueries.oracleSql("cdc_apply"),
     // in-store reservoir sample == the batch bottom-k sample
     "stream_sample_bottomk" -> TextQueries.oracleSql("sample_bottomk"),
     "stream_sample_weighted" -> TextQueries.oracleSql("sample_weighted"),

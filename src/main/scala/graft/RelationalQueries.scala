@@ -1011,7 +1011,26 @@ object RelationalQueries {
         .withColumn("valid_to_us",
           lead(col("valid_from_us"), 1).over(w))
         .orderBy("user_id", "valid_from_us", "event_id")
-    })
+    }),
+    // CDC MERGE: orders as a changelog over customer account balances —
+    // latest-wins collapse per custkey (one partial-aggregating shuffle;
+    // every 13th orderkey is a delete tombstone), then ONE full-outer join
+    // onto the customer snapshot. Keys never ordered on → pass through as
+    // 'base'; churned keys take the delta payload or vanish on tombstone.
+    // The Delta/Hudi MERGE INTO shape with no per-row base rescan anywhere.
+    "cdc_apply" -> ((s, dir) =>
+      graft.operators.Cdc.applyChangelog(
+        base = t(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_acctbal").as("bal")),
+        changelog = t(s, dir, "orders").select(
+          col("o_custkey").as("custkey"),
+          col("o_orderdate"), col("o_orderkey"),
+          when(col("o_orderkey") % 13 === 0, lit("D")).otherwise(lit("U"))
+            .as("op"),
+          col("o_totalprice").as("bal")),
+        keyCol = "custkey", seqCols = Seq("o_orderdate", "o_orderkey"),
+        opCol = "op", payloadCols = Seq("bal"))
+        .orderBy("custkey"))
   )
 
   // --- bloom geometry (single source of truth for bloom_semi_join and its
@@ -1356,6 +1375,19 @@ object RelationalQueries {
         |  LEAD(valid_from_us) OVER (PARTITION BY user_id
         |    ORDER BY valid_from_us, event_id) AS valid_to_us
         |FROM e ORDER BY user_id, valid_from_us, event_id""".stripMargin.replace("\n", " "),
+    "cdc_apply" ->
+      """WITH ch AS (SELECT o_custkey AS custkey,
+        |  CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+        |  o_totalprice AS bal,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders),
+        |d AS (SELECT custkey, op, bal FROM ch WHERE rn = 1)
+        |SELECT COALESCE(c.c_custkey, d.custkey) AS custkey,
+        |  CASE WHEN d.custkey IS NULL THEN c.c_acctbal ELSE d.bal END AS bal,
+        |  CASE WHEN d.custkey IS NULL THEN 'base' ELSE 'cdc' END AS src
+        |FROM customer c FULL OUTER JOIN d ON c.c_custkey = d.custkey
+        |WHERE d.op IS NULL OR d.op <> 'D'
+        |ORDER BY custkey""".stripMargin.replace("\n", " "),
     "events_latest" ->
       """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
         |value AS last_value FROM (

@@ -142,6 +142,16 @@ object SkylineQueries {
       SkylineOps.dominatedCounts2D(partPoints(s, dir), "id", "v1", "v2",
           DOMAIN, g = 64)
         .orderBy(col("n_dominated").desc, col("id").asc)),
+    // per-group skyline: one aggregation, every brand's own (size, price)
+    // Pareto frontier; grouping shards the global merge across brands (the
+    // per-tenant frontier shape — free merge parallelism at scale)
+    "sky_grouped" -> ((s, dir) =>
+      SkylineOps.skylineGroupedDF(
+        t(s, dir, "part").select(col("p_brand").as("brand"),
+          col("p_partkey").as("id"), col("p_size").cast("double").as("v1"),
+          col("p_retailprice").as("v2")),
+        Seq("brand"), "id", Seq("v1", "v2"))
+        .orderBy("brand", "id")),
     // F2: grid dominance pre-filter (midpoint pruning)
     "grid_prefilter" -> ((s, dir) =>
       partPoints(s, dir)
@@ -233,6 +243,13 @@ object SkylineQueries {
          |    AS n_dominators FROM pts t)
          |SELECT id, v1, v2, n_dominators FROM cnt
          |WHERE n_dominators < 3 ORDER BY id""".stripMargin.replace("\n", " "),
+    "sky_grouped" ->
+      """WITH pts AS (SELECT p_brand AS brand, p_partkey AS id,
+        |CAST(p_size AS DOUBLE) AS v1, p_retailprice AS v2 FROM part)
+        |SELECT t.brand, t.id, t.v1, t.v2 FROM pts t WHERE NOT EXISTS (
+        |SELECT 1 FROM pts u WHERE u.brand = t.brand AND u.v1 <= t.v1
+        |AND u.v2 <= t.v2 AND (u.v1 < t.v1 OR u.v2 < t.v2))
+        |ORDER BY t.brand, t.id""".stripMargin.replace("\n", " "),
     "grid_prefilter" ->
       s"""WITH pts AS ($partPointsSql) SELECT id, v1, v2 FROM pts
          |WHERE v1 < ${DOMAIN / 2} OR v2 < ${DOMAIN / 2} ORDER BY id"""

@@ -547,6 +547,31 @@ object SkylineOps {
         element_at(col("values"), i + 1).as(c) }: _*)
   }
 
+  /** Per-group skyline in ONE aggregation: every group gets its own Pareto
+    * frontier (e.g. the price/size frontier per brand). The typed
+    * [[SkylineAgg]] runs as a udaf under hash aggregation, so each map task
+    * keeps one local antichain per group key (partial aggregation — only
+    * non-dominated points cross the single shuffle) and the final merge is
+    * sharded across groups by the hash exchange instead of funneling through
+    * one global task. Grouping is therefore *free parallelism* for the global
+    * phase — the more groups, the wider the merge — which is exactly how a
+    * per-tenant / per-category frontier should execute at 100 TB. */
+  def skylineGroupedDF(df: DataFrame, groupCols: Seq[String], idCol: String,
+                       dimCols: Seq[String]): DataFrame = {
+    val skyU = udaf(new SkylineAgg(), ExpressionEncoder[Point]())
+    val prepared = df.select(
+      groupCols.map(col) ++ Seq(
+        col(idCol).cast("long").as("id"),
+        array(dimCols.map(c => col(c).cast("double")): _*).as("values"),
+        lit(-1).as("originPartition")): _*)
+    prepared.groupBy(groupCols.map(col): _*)
+      .agg(skyU(col("id"), col("values"), col("originPartition")).as("sky"))
+      .select(groupCols.map(col) :+ explode(col("sky")).as("p"): _*)
+      .select(groupCols.map(col) ++ (col("p.id").as(idCol) +:
+        dimCols.zipWithIndex.map { case (c, i) =>
+          element_at(col("p.values"), i + 1).as(c) }): _*)
+  }
+
   /** [[skylineDF]] whose GLOBAL phase is the fully-parallel broadcast
     * cross-filter merge ([[skylineBroadcastFilter]]): per-partition local
     * antichains, then every candidate dominance-checked against the

@@ -194,4 +194,26 @@ class SkylineOpsSpec extends AnyFunSuite {
       assert(gotDominated == expDominated, s"dominated seed=$seed g=$g")
     }
   }
+
+  test("grouped skyline equals per-group brute force incl in-group duplicates") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    // small value range forces duplicate points WITHIN groups (all must
+    // survive together) and 3 groups of very different sizes
+    val rows = Seq.tabulate(900)(i =>
+      (s"g${i % 3}", i.toLong, rng.nextInt(12).toDouble, rng.nextInt(12).toDouble))
+    val df = rows.toDF("grp", "id", "v1", "v2")
+    val got = SkylineOps.skylineGroupedDF(df, Seq("grp"), "id", Seq("v1", "v2"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val exp = rows.filter { case (g, _, x, y) =>
+      !rows.exists { case (ug, _, ux, uy) =>
+        ug == g && ux <= x && uy <= y && (ux < x || uy < y) }
+    }.map(t => (t._1, t._2)).toSet
+    assert(got === exp)
+    // and the grouped result restricted to one group equals the ungrouped
+    // skyline of that group's rows (grouping = independent frontiers)
+    val g0 = SkylineOps.skylineDF(df.where($"grp" === "g0"), "id", Seq("v1", "v2"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got.collect { case ("g0", id) => id } === g0)
+  }
 }

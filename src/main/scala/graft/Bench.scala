@@ -35,7 +35,7 @@ object Bench {
     "events_hopping", "q_grouping_sets", "events_pivot", "events_unpivot",
     "sql_functions",
     "csv_file_source", "json_file_source", "orc_file_source",
-    "partitioned_source",
+    "partitioned_source", "dpp_prune",
     "schema_evolution", "multimodal_features",
     "sky_dominance_score", "dedup_embedding_bucketed", "dedup_semantic",
     "text_chunking", "domain_cap", "decontaminate", "text_repetition",
@@ -166,7 +166,7 @@ object Bench {
       "sky_500k_4d_bcast",
       "sky_1m_4d_bcast", "sky_500k_4d_xfilter", "sky_1m_3d_gridpar",
       "sky_1m_3d_tree_uni", "dedup_minhash_600k_sig", "dedup_minhash_600k",
-      "text_perplexity_600k", "dedup_substring_600k")
+      "text_perplexity_600k", "dedup_substring_600k", "cdc_apply_5m")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // fail fast on a typo'd name — a silent no-op would masquerade as a
@@ -316,6 +316,24 @@ object Bench {
       graft.operators.Dedup.exactSubstrStats(
           Generators.syntheticCorpus(spark, 600000L), "doc_id", "text",
           clean = true)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // CDC MERGE at volume: a 5M-row synthetic changelog (distinct-date
+    // churn per key, 1/13 delete tombstones) collapsed latest-wins onto a
+    // 1M-key base with 500k inserted keys — the daily-ingest shape whose
+    // catalog twin (cdc_apply) proves correctness at fixture scale. The
+    // whole cost is ONE partial-agg shuffle of the changelog + one
+    // co-partitioned full-outer join; nothing scales with base x changelog.
+    bench("cdc_apply_5m") {
+      import org.apache.spark.sql.functions._
+      val base = spark.range(1000000L)
+        .select(col("id").as("k"), (col("id") % 997).cast("double").as("v"))
+      val changelog = spark.range(5000000L).select(
+        (col("id") % 1500000L).as("k"), col("id").as("seq"),
+        when(col("id") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        (col("id") % 1009).cast("double").as("v"))
+      graft.operators.Cdc.applyChangelog(base, changelog, "k", Seq("seq"),
+          "op", Seq("v"))
         .write.format("noop").mode("overwrite").save()
     }
 

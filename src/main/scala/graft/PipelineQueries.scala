@@ -651,6 +651,27 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
     }),
+    // Dynamic partition pruning: the fact side is partitioned by lang on
+    // disk, and the dim's selective predicate (a hash of the value) is only
+    // decidable at runtime — static pruning cannot fire, so Catalyst plans
+    // a dynamicpruning subquery that first evaluates the dim, broadcasts
+    // the surviving keys, and skips whole fact DIRECTORIES before any I/O.
+    // At 100 TB this is the difference between scanning one day's
+    // partitions and scanning the table. DppSpec pins the plan shape
+    // (PartitionFilters: [dynamicpruning#...]); this entry gates the values.
+    "dpp_prune" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("dppsrc").toString
+      docs(s, dir).select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+      val fact = s.read.parquet(tmp)
+      val dim = docs(s, dir).select(col("lang")).distinct()
+        .where(pmod(graft.functions.hash60(
+          concat(lit("dpp#"), col("lang"))), lit(4L)) < 2)
+      fact.join(dim, Seq("lang"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+    }),
     // Schema evolution across file generations: an old batch (doc_id, lang)
     // and a new batch with an added column (doc_id, lang, n_chars) coexist
     // in one dataset; mergeSchema unions the schemas and backfills the
@@ -956,6 +977,14 @@ object PipelineQueries {
     "partitioned_source" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "dpp_prune" ->
+      """WITH dim AS (SELECT lang FROM (SELECT DISTINCT lang FROM documents)
+        |WHERE CAST(concat('0x', substr(md5(concat('dpp#', lang)), 1, 15))
+        |  AS BIGINT) % 4 < 2)
+        |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d JOIN dim USING (lang)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin.replace("\n", " "),
     "schema_evolution" ->
       """SELECT doc_id,
         |CASE WHEN doc_id % 2 = 0 THEN 'old' ELSE 'new' END AS gen, lang,

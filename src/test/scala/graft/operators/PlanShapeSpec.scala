@@ -162,4 +162,59 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scan.relation.location.inputFiles.length > 1)
     assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L))
   }
+
+  test("cdc applyChangelog: partial max_by below ONE key exchange, one join, no extra shuffle") {
+    import spark.implicits._
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val priorBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val base = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+      val changelog = Seq((1L, 1L, "U", 11.0), (3L, 1L, "U", 30.0))
+        .toDF("k", "seq", "op", "v")
+      val plan = Cdc.applyChangelog(base, changelog, "k", Seq("seq"), "op",
+        Seq("v")).queryExecution.executedPlan
+      // the collapse aggregates PARTIALLY before its exchange: changelog
+      // volume crosses the wire at most once, as one row per key per task
+      val planStr = plan.toString
+      assert(planStr.contains("partial_max_by"),
+        s"no map-side combine in:\n$planStr")
+      // every exchange hashes on the merge key — a shuffle on any other key
+      // means the MERGE stopped being a co-partitioned single join
+      val keyed = plan.collect { case e: ShuffleExchangeExec =>
+        e.outputPartitioning }.collect {
+        case h: HashPartitioning =>
+          h.expressions.map(_.references.map(_.name).mkString).toSet }
+      assert(keyed.nonEmpty && keyed.forall(_ == Set("k")),
+        s"unexpected exchange keys: $keyed")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBcast)
+    }
+  }
+
+  test("grouped skyline: partial antichain aggregation below the single group exchange") {
+    import spark.implicits._
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Seq(("a", 1L, 1.0, 2.0), ("a", 2L, 2.0, 1.0), ("b", 3L, 5.0, 5.0))
+        .toDF("grp", "id", "v1", "v2")
+      val plan = SkylineOps.skylineGroupedDF(df, Seq("grp"), "id",
+        Seq("v1", "v2")).queryExecution.executedPlan
+      val planStr = plan.toString
+      // partial ObjectHashAggregate = per-map-task local skyline per group;
+      // only non-dominated points cross the one hash exchange on grp
+      assert(planStr.contains("ObjectHashAggregate"), planStr)
+      val keyed = plan.collect { case e: ShuffleExchangeExec =>
+        e.outputPartitioning }.collect {
+        case h: HashPartitioning =>
+          h.expressions.map(_.references.map(_.name).mkString).toSet }
+      assert(keyed.count(_ == Set("grp")) == 1,
+        s"exactly one group exchange expected: $keyed")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+    }
+  }
 }

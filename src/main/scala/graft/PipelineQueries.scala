@@ -436,6 +436,33 @@ object PipelineQueries {
           col("col.id").as("user_id"), col("col.v").as("n"))
         .orderBy("event_type", "rk")
     }),
+    // Stream-static enrichment: the canonical ingest-time join — every
+    // arriving event enriched against a broadcast dimension snapshot.
+    // Stream-static inner joins are STATELESS (no watermark, no state
+    // store; the dim is re-broadcast per micro-batch), so this is the
+    // pattern that attaches customer/segment metadata to a 100 TB event
+    // firehose without any shuffle of the stream side.
+    "stream_enrich" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = graft.sources.EventsFixture.load(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .as[(Long, Long, Double)].collect()
+      val dim = s.read.parquet(s"$dir/customer.parquet").select(
+        col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("long").as("nation_key"))
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Double)]
+      val out = src.toDF().toDF("event_id", "user_id", "value")
+        .join(broadcast(dim), Seq("user_id"))
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      runAppendStream(s, out, "enr") { q =>
+        src.addData(h1.toIndexedSeq)
+        q.processAllAvailable()
+        src.addData(h2.toIndexedSeq)
+        q.processAllAvailable()
+      }.orderBy("event_id")
+    }),
     // CDC latest-state maintained INCREMENTALLY: the orders changelog
     // arrives as a stream in two batches; Cdc.latestState's max_by
     // aggregation runs under complete mode (state per key = ONE struct —
@@ -898,6 +925,12 @@ object PipelineQueries {
     "stream_topk_users" -> RelationalQueries.oracleSql("events_topk_users"),
     // incrementally-collapsed changelog + merge == the batch CDC MERGE
     "stream_cdc_apply" -> RelationalQueries.oracleSql("cdc_apply"),
+    // stateless per-event enrichment == the batch dimension join
+    "stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.value,
+        |c.c_mktsegment AS segment, CAST(c.c_nationkey AS BIGINT) AS nation_key
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |ORDER BY e.event_id""".stripMargin.replace("\n", " "),
     // in-store reservoir sample == the batch bottom-k sample
     "stream_sample_bottomk" -> TextQueries.oracleSql("sample_bottomk"),
     "stream_sample_weighted" -> TextQueries.oracleSql("sample_weighted"),

@@ -51,7 +51,8 @@ object Bench {
     "events_topk_users", "dataset_split", "text_length_buckets",
     "sample_bottomk", "sample_weighted", "text_normalize",
     "emb_gram", "emb_kmeans", "dedup_keep_best",
-    "cdc_apply", "sky_grouped",
+    "cdc_apply", "sky_grouped", "dedup_simhash_pairs",
+    "validate_rules", "validate_quarantine", "text_boilerplate",
     "events_gapfill", "events_scd2", "gen_anti_sample",
     "gen_uniform_sample", "gen_correlated_sample", "dedup_substring",
     // streaming workloads LAST: their state-store churn and driver-side

@@ -16,6 +16,23 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Rule suite for validate_rules / validate_quarantine: (name, Spark
+    * predicate, the SAME predicate in DuckDB SQL). One definition feeds
+    * both catalog faces and both oracles so the semantics cannot drift;
+    * the literals are bit-identical doubles on both engines. Suite order
+    * (alphabetical) is also the `failed` column's join order. */
+  private val lineitemRules
+      : Seq[(String, org.apache.spark.sql.Column, String)] = Seq(
+    ("disc_le_008", col("l_discount") <= 0.08, "l_discount <= 0.08"),
+    ("flag_domain", col("l_returnflag").isin("A", "N", "R"),
+      "l_returnflag IN ('A','N','R')"),
+    ("price_positive", col("l_extendedprice") > 0, "l_extendedprice > 0"),
+    ("qty_le_30", col("l_quantity") <= 30, "l_quantity <= 30"),
+    ("qty_range", col("l_quantity").between(1, 50),
+      "l_quantity BETWEEN 1 AND 50"),
+    ("status_domain", col("l_linestatus").isin("O", "F"),
+      "l_linestatus IN ('O','F')"))
+
   /** Histogram-sketch bin count, shared by hist_quantiles and its streaming
     * twin (stream_hist_quantiles) so the binning/readout arithmetic cannot
     * drift between them. */
@@ -219,6 +236,22 @@ object RelationalQueries {
         t(s, dir, "part"), "p_partkey")
       e1.unionAll(e2).unionAll(e3).unionAll(e4).orderBy("fk_edge")
     }),
+    // declarative constraint suite (the Deequ shape): 6 rules over
+    // lineitem in ONE conditional-aggregation scan — the per-ingest data
+    // quality gate. NULL predicate = violation (unknown is not valid).
+    "validate_rules" -> ((s, dir) =>
+      operators.Validate.checkRules(t(s, dir, "lineitem"),
+        lineitemRules.map { case (n, p, _) => (n, p) })),
+    // row-level complement of the suite: every violating row with the
+    // comma-joined names of the rules it breaks (stateless filter+project;
+    // the clean-path filter is this predicate negated)
+    "validate_quarantine" -> ((s, dir) =>
+      operators.Validate.quarantine(t(s, dir, "lineitem"),
+          lineitemRules.map { case (n, p, _) => (n, p) },
+          Seq("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+            "l_returnflag"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+          "l_returnflag", "failed")),
     // fuzzy join via deletion-neighborhood blocking: probes are customer
     // names with ONE deterministically-deleted character; each canonical
     // name explodes into its |name| single-deletion variants and the match
@@ -1146,6 +1179,31 @@ object RelationalQueries {
         |  (SELECT COUNT(*) FROM lineitem x WHERE NOT EXISTS
         |    (SELECT 1 FROM part p WHERE p.p_partkey = x.l_partkey))
         |FROM lineitem) ORDER BY fk_edge""".stripMargin.replace("\n", " "),
+    "validate_rules" -> {
+      val sums = lineitemRules.map { case (n, _, sql) =>
+        s"CAST(SUM(CASE WHEN NOT COALESCE($sql, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_$n"
+      }.mkString(", ")
+      val arms = lineitemRules.map { case (n, _, _) =>
+        s"SELECT '$n' AS rule, v_$n AS violations, n_rows FROM agg"
+      }.mkString(" UNION ALL ")
+      s"""WITH agg AS (SELECT COUNT(*) AS n_rows, $sums FROM lineitem)
+         |SELECT rule, violations, n_rows, violations = 0 AS ok
+         |FROM ($arms) ORDER BY rule""".stripMargin.replace("\n", " ")
+    },
+    "validate_quarantine" -> {
+      val tags = lineitemRules.map { case (n, _, sql) =>
+        s"CASE WHEN NOT COALESCE($sql, FALSE) THEN '$n' END"
+      }.mkString("[", ", ", "]")
+      s"""SELECT * FROM (
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+         |  l_returnflag,
+         |  array_to_string(list_filter($tags, x -> x IS NOT NULL), ',')
+         |    AS failed
+         |FROM lineitem)
+         |WHERE failed <> ''
+         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount,
+         |  l_returnflag, failed""".stripMargin.replace("\n", " ")
+    },
     "fuzzy_join_del1" ->
       """WITH cust AS (SELECT c_custkey, lower(trim(c_name)) AS name FROM customer),
         |probes AS (SELECT c_custkey + 1000000 AS probe_id,

@@ -195,6 +195,13 @@ object TextQueries {
       TextAnalysis.withFingerprint(docs(s, dir), "text")
         .select("doc_id", "fingerprint")
         .orderBy("doc_id")),
+    // CCNet-style corpus-level boilerplate removal: 10-token segments
+    // appearing in >2 distinct documents are deleted in place (distinct-
+    // count groupBy + anti-join + in-order reassembly; no corpus window)
+    "text_boilerplate" -> ((s, dir) =>
+      TextAnalysis.removeBoilerplate(docs(s, dir), "doc_id", "text",
+          segTokens = 10, maxDf = 2)
+        .orderBy("doc_id")),
     // winnowing fingerprints (MOSS selection): every 4-window's rightmost-
     // minimum 8-gram hash — guarantees any ≥11-char match between two docs
     // shares a fingerprint at ~2/5 the density of full shingling. One-pass
@@ -333,6 +340,20 @@ object TextQueries {
     // simhash (relational bit-vote form)
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+    // Hamming-ball simhash join via pigeonhole banding (4 × 15-bit
+    // blocks ⇒ lossless at d ≤ 3). The fixture has no organic near-dup
+    // pairs at this radius, so — like dedup_embedding_bucketed — the
+    // corpus is unioned with a one-token-appended copy of itself (ids
+    // +1e6): long docs land within the ball, short ones scatter, and the
+    // all-pairs exact-Hamming oracle proves the banding loses nothing.
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val planted = d.select(col("doc_id"), col("text")).unionAll(
+        d.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zqv")).as("text")))
+      Dedup.simhashHammingPairs(planted, "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
     // embedding-cosine near-duplicate pairs
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDups(emb(s, dir), "vec_id", "embedding", 0.90)
@@ -895,6 +916,29 @@ object TextQueries {
       s"""SELECT doc_id, md5($normSql) AS fingerprint FROM documents
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+    // boilerplate removal: DuckDB recomputes the segment cut (1-based
+    // list slices), the distinct-doc frequencies, and the in-order
+    // string_agg reassembly independently of the Spark plan
+    m += "text_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |segs AS (SELECT doc_id, j AS idx,
+        |  array_to_string(t[j*10+1 : j*10+10], ' ') AS seg
+        |  FROM toks, unnest(range(0, ((len(t)-1)//10)+1)) AS u(j)),
+        |hot AS (SELECT seg FROM segs GROUP BY seg
+        |  HAVING COUNT(DISTINCT doc_id) > 2),
+        |kept AS (SELECT s.* FROM segs s WHERE NOT EXISTS
+        |  (SELECT 1 FROM hot h WHERE h.seg = s.seg)),
+        |rebuilt AS (SELECT doc_id,
+        |  string_agg(seg, ' ' ORDER BY idx) AS clean_text,
+        |  COUNT(*) AS n_kept FROM kept GROUP BY doc_id),
+        |totals AS (SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id)
+        |SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(t.n_segs AS BIGINT) AS n_segs
+        |FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin.replace("\n", " ")
+
     m += "dedup_exact" ->
       s"""SELECT md5($normSql) AS fingerprint, MIN(doc_id) AS doc_id,
          |COUNT(*) AS n_dups FROM documents GROUP BY 1 ORDER BY doc_id"""
@@ -1114,6 +1158,23 @@ object TextQueries {
          |counted AS (SELECT doc_id, COUNT(*) AS n, $bitSums FROM hashed GROUP BY doc_id)
          |SELECT doc_id, CAST($bitSet AS BIGINT) AS simhash FROM counted
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+    // the oracle is the ALL-PAIRS exact Hamming join over the same planted
+    // corpus — proving the Spark side's pigeonhole banding drops no pair
+    m += "dedup_simhash_pairs" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text || ' zqv' AS text
+         |  FROM documents),
+         |toks AS (SELECT DISTINCT doc_id, tok FROM (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM corpus)),
+         |hashed AS (SELECT doc_id, ${hash60Sql("tok")} AS h FROM toks),
+         |counted AS (SELECT doc_id, COUNT(*) AS n, $bitSums FROM hashed GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST($bitSet AS BIGINT) AS simhash FROM counted)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
 
     m += "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -354,6 +354,56 @@ object Dedup {
         graft.functions.MinhashExpressions
           .simhashNative(normText(col(textCol))).as("simhash"))
 
+  /** SimHash near-duplicate PAIRS within Hamming distance `maxHamming`,
+    * via pigeonhole banding — the standard scale shape for Hamming joins
+    * (Manku/Jain/Sarma, WWW'07 web-crawl dedup). The 60-bit simhash is
+    * split into `maxHamming + 1` disjoint blocks; two hashes within
+    * Hamming distance d differ in at most d blocks, so they must agree
+    * EXACTLY on at least one block. Candidate pairs are therefore
+    * enumerated from per-block equi-joins only (join key = (block index,
+    * block bits) — never a cross join) and verified with the exact
+    * popcount of the XOR. Guaranteed lossless vs the all-pairs join —
+    * which is exactly what the DuckDB oracle computes. At 100 TB the
+    * banded table shuffle-partitions on (block index, block bits); the
+    * only skew risk is a degenerate block value shared by a huge doc
+    * population (e.g. the all-zero block of very short docs).
+    * `maxBlockFreq` caps such join groups — but dropping a hot block CAN
+    * lose pairs whose only agreeing block it was, so the default is
+    * uncapped (lossless); set a cap only when recall loss under
+    * adversarial skew is acceptable. */
+  def simhashHammingPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3,
+                          maxBlockFreq: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 60,
+      s"maxHamming must be in [0, 60), got $maxHamming")
+    val blocks = maxHamming + 1
+    val bitsPer = 60 / blocks // last block absorbs the 60 % blocks remainder
+    val sh = simhash(df, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash"))
+    val blockCols = (0 until blocks).map { b =>
+      val width = if (b == blocks - 1) 60 - bitsPer * b else bitsPer
+      shiftrightunsigned(col("simhash"), bitsPer * b)
+        .bitwiseAND(lit((1L << width) - 1))
+    }
+    val banded0 = sh.select(col("id"), col("simhash"),
+      posexplode(array(blockCols: _*)).as(Seq("blk", "bits")))
+    val banded =
+      if (maxBlockFreq == Int.MaxValue) banded0
+      else banded0.join(
+        banded0.groupBy("blk", "bits").agg(count(lit(1)).as("_bf"))
+          .where(col("_bf") <= maxBlockFreq).select(col("blk"), col("bits")),
+        Seq("blk", "bits"), "left_semi")
+    val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+      .cast("long")
+    banded.as("a").join(banded.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bits") === col("b.bits") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming.as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Near-duplicate clustering: connected components over the similarity
     * graph, labels = smallest doc id reachable (the cluster's canonical
     * document). Deterministic, two execution paths behind one semantics

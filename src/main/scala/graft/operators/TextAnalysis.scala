@@ -208,6 +208,52 @@ object TextAnalysis {
         sum(col("score_u6")).as("score_u6"))
   }
 
+  /** Corpus-level boilerplate removal (the CCNet/RefinedWeb shape): the
+    * document is cut into fixed `segTokens`-token segments, each segment's
+    * DISTINCT-document frequency is counted corpus-wide, and segments
+    * appearing in more than `maxDf` documents (navigation chrome, cookie
+    * banners, licence blocks — anything templated across pages) are
+    * deleted IN PLACE; the survivors are re-joined in original order.
+    * Documents whose every segment was boilerplate survive with empty
+    * `clean_text` (the caller decides whether to drop them).
+    *
+    * Scale shape: explode → one distinct-count groupBy on the segment
+    * text → one equi-join back → one per-doc reassembly groupBy. The
+    * segment table is ~|tokens|/segTokens rows; no window over the corpus
+    * and no driver collect. The reassembly array is bounded by document
+    * length, not corpus size. Returns (id, clean_text, n_kept, n_segs).
+    */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                        segTokens: Int = 10, maxDf: Int = 2): DataFrame = {
+    require(segTokens > 0 && maxDf >= 1,
+      s"segTokens/maxDf must be positive, got $segTokens/$maxDf")
+    val toks = df
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("t"))
+      .withColumn("n_tok", size(col("t")))
+    // segment text is materialized INSIDE the transform (the
+    // dedup_segments discipline: exploding the index while carrying the
+    // token array would copy the whole document once per segment)
+    val segs = toks.select(col("id"),
+      posexplode(expr(s"transform(sequence(0, (n_tok - 1) div $segTokens), " +
+        s"j -> concat_ws(' ', slice(t, j * $segTokens + 1, $segTokens)))"))
+        .as(Seq("idx", "seg")))
+    val hot = segs.groupBy("seg")
+      .agg(countDistinct(col("id")).as("_df"))
+      .where(col("_df") > maxDf)
+      .select(col("seg"))
+    val kept = segs.join(hot, Seq("seg"), "left_anti")
+    val rebuilt = kept.groupBy("id").agg(
+      array_join(transform(array_sort(collect_list(struct(col("idx"),
+        col("seg")))), x => x.getField("seg")), " ").as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    segs.groupBy("id").agg(count(lit(1)).as("n_segs"))
+      .join(rebuilt, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("n_segs"))
+  }
+
   /** Small multilingual marker vocabularies (public common stopwords). */
   val LangMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a"),

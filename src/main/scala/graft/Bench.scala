@@ -53,6 +53,7 @@ object Bench {
     "emb_gram", "emb_kmeans", "dedup_keep_best",
     "cdc_apply", "sky_grouped", "dedup_simhash_pairs",
     "validate_rules", "validate_quarantine", "text_boilerplate",
+    "bpe_pair_counts", "events_mad_outliers",
     "events_gapfill", "events_scd2", "gen_anti_sample",
     "gen_uniform_sample", "gen_correlated_sample", "dedup_substring",
     // streaming workloads LAST: their state-store churn and driver-side
@@ -64,7 +65,7 @@ object Bench {
     "stream_sample_weighted",
     "stream_emb_gram", "stream_dedup",
     "stream_dedup_minhash", "stream_dedup_incremental", "stream_perplexity",
-    "stream_cdc_apply", "stream_enrich", "stream_late_drop")
+    "stream_cdc_apply", "stream_enrich", "stream_validate", "stream_late_drop")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

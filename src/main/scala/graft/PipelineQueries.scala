@@ -436,6 +436,34 @@ object PipelineQueries {
           col("col.id").as("user_id"), col("col.v").as("n"))
         .orderBy("event_type", "rk")
     }),
+    // Quality-gate-on-ingest: the Validate rule suite as a complete-mode
+    // streaming aggregation — the per-rule violation counters accumulate
+    // across micro-batches in the state store and the final table must
+    // equal the batch validate_rules verdict (same oracle SQL verbatim,
+    // same shared rule definitions: streaming == batch enforced by the
+    // hash gate). The stack() unpivot runs on the 1-row aggregate after
+    // the stateful stage, exactly as in batch.
+    "stream_validate" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_quantity"), col("l_discount"),
+          col("l_extendedprice"), col("l_returnflag"), col("l_linestatus"))
+        .as[(Double, Double, Double, String, String)].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Double, Double, Double, String, String)]
+      val out = graft.operators.Validate.checkRules(
+        src.toDF().toDF("l_quantity", "l_discount", "l_extendedprice",
+          "l_returnflag", "l_linestatus"),
+        RelationalQueries.lineitemRules.map { case (n, p, _) => (n, p) })
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      runAppendStream(s, out, "sval", mode = "complete") { q =>
+        src.addData(h1.toIndexedSeq)
+        q.processAllAvailable()
+        src.addData(h2.toIndexedSeq)
+        q.processAllAvailable()
+      }.orderBy("rule")
+    }),
     // Stream-static enrichment: the canonical ingest-time join — every
     // arriving event enriched against a broadcast dimension snapshot.
     // Stream-static inner joins are STATELESS (no watermark, no state
@@ -923,6 +951,8 @@ object PipelineQueries {
     "stream_hist_quantiles" -> RelationalQueries.oracleSql("hist_quantiles"),
     // live leaderboard == the batch top-k readout
     "stream_topk_users" -> RelationalQueries.oracleSql("events_topk_users"),
+    // quality-gate-on-ingest == the batch rule suite (same SQL)
+    "stream_validate" -> RelationalQueries.oracleSql("validate_rules"),
     // incrementally-collapsed changelog + merge == the batch CDC MERGE
     "stream_cdc_apply" -> RelationalQueries.oracleSql("cdc_apply"),
     // stateless per-event enrichment == the batch dimension join

@@ -21,7 +21,7 @@ object RelationalQueries {
     * both catalog faces and both oracles so the semantics cannot drift;
     * the literals are bit-identical doubles on both engines. Suite order
     * (alphabetical) is also the `failed` column's join order. */
-  private val lineitemRules
+  private[graft] val lineitemRules
       : Seq[(String, org.apache.spark.sql.Column, String)] = Seq(
     ("disc_le_008", col("l_discount") <= 0.08, "l_discount <= 0.08"),
     ("flag_domain", col("l_returnflag").isin("A", "N", "R"),
@@ -607,6 +607,34 @@ object RelationalQueries {
     // deterministic by construction, whereas Spark's BigDecimal-HALF_UP
     // round() and DuckDB's round() disagree on .5-boundary doubles — and a
     // divergent z would change the flagged-row SET, not just a digit.
+    // robust (median/MAD) outlier detection per event_type — the
+    // heavy-tail-safe sibling of events_zscore. Both medians are the
+    // DISCRETE lower median (row_number pick, never interpolation), so
+    // med and mad are actual data values and the 3x-MAD comparison is
+    // the same two IEEE ops on both engines — no float-sum oracle risk.
+    // Scale: two per-group window sorts (the exact-median cost); the
+    // approximate sibling at 100 TB is hist_quantiles' fixed-width bins.
+    "events_mad_outliers" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      def lowerMedian(df: DataFrame, valueCol: String, out: String) = {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col(valueCol), col("event_id"))
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("cnt",
+            count(lit(1)).over(Window.partitionBy("event_type")))
+          .where(col("rn") === ((col("cnt") + 1) / 2).cast("long"))
+          .select(col("event_type"), col(valueCol).as(out))
+      }
+      val med = lowerMedian(ev, "value", "med")
+      val dev = ev.join(med, "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = lowerMedian(dev, "dev", "mad")
+      dev.join(mad, "event_type")
+        .where(col("mad") > lit(0.0) && col("dev") > lit(3.0) * col("mad"))
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
     "events_zscore" -> ((s, dir) => {
       val ev = events(s, dir).select(col("event_id"), col("user_id"),
         col("value").cast("decimal(18,6)").as("dv"))
@@ -1452,6 +1480,24 @@ object RelationalQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", " "),
+    "events_mad_outliers" ->
+      """WITH ev AS (SELECT event_id, event_type, value FROM events),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM ev),
+        |med AS (SELECT event_type, value AS med FROM ranked
+        |  WHERE rn = (cnt + 1) // 2),
+        |dev AS (SELECT e.event_id, e.event_type, e.value,
+        |  abs(e.value - m.med) AS dev FROM ev e JOIN med m USING (event_type)),
+        |dranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY dev, event_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM dev),
+        |mad AS (SELECT event_type, dev AS mad FROM dranked
+        |  WHERE rn = (cnt + 1) // 2)
+        |SELECT d.event_id, d.event_type, d.value
+        |FROM dev d JOIN mad m USING (event_type)
+        |WHERE m.mad > 0 AND d.dev > 3 * m.mad
+        |ORDER BY d.event_id""".stripMargin.replace("\n", " "),
     "events_zscore" ->
       """WITH ev AS (SELECT event_id, user_id,
         |  CAST(value AS DECIMAL(18,6)) AS dv FROM events),

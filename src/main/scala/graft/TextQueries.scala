@@ -195,6 +195,12 @@ object TextQueries {
       TextAnalysis.withFingerprint(docs(s, dir), "text")
         .select("doc_id", "fingerprint")
         .orderBy("doc_id")),
+    // one BPE merge iteration: weighted adjacent char-pair counts over
+    // the distinct-word vocabulary (corpus-sized work = ONE word-count
+    // shuffle; the explode runs on the vocab, the agg key space is <=
+    // alphabet²) — the argmax row is the next merge
+    "bpe_pair_counts" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(docs(s, dir), "text")),
     // CCNet-style corpus-level boilerplate removal: 10-token segments
     // appearing in >2 distinct documents are deleted in place (distinct-
     // count groupBy + anti-join + in-order reassembly; no corpus window)
@@ -915,6 +921,16 @@ object TextQueries {
     m += "text_fingerprint" ->
       s"""SELECT doc_id, md5($normSql) AS fingerprint FROM documents
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+    m += "bpe_pair_counts" ->
+      """WITH words AS (SELECT w, COUNT(*) AS freq FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents) GROUP BY w),
+        |pairs AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+        |  FROM words, unnest(range(1, length(w))) AS u(i)
+        |  WHERE length(w) >= 2)
+        |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM pairs
+        |GROUP BY pair ORDER BY n DESC, pair""".stripMargin.replace("\n", " ")
 
     // boilerplate removal: DuckDB recomputes the segment cut (1-based
     // list slices), the distinct-doc frequencies, and the in-order

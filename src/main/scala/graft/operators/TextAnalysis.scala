@@ -208,6 +208,31 @@ object TextAnalysis {
         sum(col("score_u6")).as("score_u6"))
   }
 
+  /** One BPE merge iteration over the initial character vocabulary: the
+    * weighted adjacent-pair counts whose argmax is the next merge
+    * (Sennrich et al. 2016). Words are lowercase letter runs; each
+    * distinct word contributes its adjacent character pairs weighted by
+    * corpus frequency.
+    *
+    * Scale shape: the ONLY corpus-sized work is the word-frequency
+    * groupBy (one partial-agg shuffle); the pair explode runs over the
+    * DISTINCT vocabulary (bounded by language, not corpus) and the final
+    * groupBy key space is ≤ |alphabet|² — this is why BPE training is
+    * feasible at 100 TB: every iteration after the word count touches
+    * vocab-sized data only. Returns (pair, n) sorted by count desc. */
+  def bpePairCounts(df: DataFrame, textCol: String): DataFrame = {
+    val words = df.select(
+        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"),
+          lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    words.where(length(col("w")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("n"))
+      .orderBy(desc("n"), col("pair"))
+  }
+
   /** Corpus-level boilerplate removal (the CCNet/RefinedWeb shape): the
     * document is cut into fixed `segTokens`-token segments, each segment's
     * DISTINCT-document frequency is counted corpus-wide, and segments

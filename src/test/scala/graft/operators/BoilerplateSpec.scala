@@ -65,3 +65,50 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(got.map(_.getLong(0)).toSeq == Seq(3L))
   }
 }
+
+/** BPE pair counting: frequency weighting, 1-char words, case folding. */
+class BpePairSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("adjacent pairs are weighted by corpus word frequency") {
+    import spark.implicits._
+    // 'abab' x2 and 'ab' x3: ab = 2*2 + 3 = 7, ba = 2, bb absent
+    val df = Seq("abab ABAB ab", "ab Ab x").toDF("text")
+    val got = TextAnalysis.bpePairCounts(df, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("ab" -> 7L, "ba" -> 2L))
+  }
+
+  test("single-letter words contribute nothing; ordering is count desc") {
+    import spark.implicits._
+    val df = Seq("a a a zz zz zy").toDF("text")
+    val got = TextAnalysis.bpePairCounts(df, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("zz", 2L), ("zy", 1L)))
+  }
+}
+
+/** Robust MAD outliers: discrete lower medians, degenerate-MAD guard. */
+class MadOutlierSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("lower-median MAD flags only far points and skips zero-MAD groups") {
+    val dir = java.nio.file.Files.createTempDirectory("mad").toString
+    import spark.implicits._
+    // group a: values 1..9 + outlier 100 (med=5 over 10 rows -> rank 5,
+    // devs {0..4,95}, mad=lower-median=2, threshold 6 -> only 100 flagged)
+    // group b: constant -> mad 0 -> no flags even for identical values
+    val rows = (1 to 9).map(i => (i.toLong, "a", i.toDouble)) ++
+      Seq((10L, "a", 100.0)) ++ (11 to 15).map(i => (i.toLong, "b", 7.0))
+    rows.toDF("event_id", "event_type", "value")
+      // the shared events loader requires a ts column (fixture schema)
+      .withColumn("ts",
+        org.apache.spark.sql.functions.to_timestamp(
+          org.apache.spark.sql.functions.lit("2024-01-01 00:00:00")))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.RelationalQueries.queries("events_mad_outliers")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    graft.IoUtil.deleteRecursively(dir)
+    assert(got.toSeq == Seq((10L, "a", 100.0)))
+  }
+}

@@ -168,6 +168,7 @@ object Bench {
       "sky_500k_4d_bcast",
       "sky_1m_4d_bcast", "sky_500k_4d_xfilter", "sky_1m_3d_gridpar",
       "sky_1m_3d_tree_uni", "dedup_minhash_600k_sig", "dedup_minhash_600k",
+      "dedup_simhash_600k",
       "text_perplexity_600k", "dedup_substring_600k", "cdc_apply_5m")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -295,6 +296,16 @@ object Bench {
     bench("dedup_minhash_600k") {
       graft.operators.Dedup.minhashCandidates(
           Generators.syntheticCorpus(spark, 600000L), "doc_id", "text").count()
+    }
+    // simhash Hamming banding on the same corpus: 1000-word vocab, 40-word
+    // docs spread the 15-bit block values ~uniformly, so bucket fan-out is
+    // linear and the join cost is the planted-dup groups — the web-scale
+    // shape (the sf fixture is adversarially self-similar by contrast:
+    // tiny shared vocab => near-equal simhashes => hot blocks).
+    bench("dedup_simhash_600k") {
+      graft.operators.Dedup.simhashHammingPairs(
+          Generators.syntheticCorpus(spark, 600000L), "doc_id", "text")
+        .count()
     }
     // the LM quality filter on the same 600k-doc corpus: ~23M bigram rows
     // through the c12 groupBy and the (w1,w2)-co-partitioned scoring join —

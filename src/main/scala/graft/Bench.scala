@@ -65,7 +65,8 @@ object Bench {
     "stream_sample_weighted",
     "stream_emb_gram", "stream_dedup",
     "stream_dedup_minhash", "stream_dedup_incremental", "stream_perplexity",
-    "stream_cdc_apply", "stream_enrich", "stream_validate", "stream_late_drop")
+    "stream_cdc_apply", "stream_enrich", "stream_validate", "stream_ann",
+    "stream_late_drop")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

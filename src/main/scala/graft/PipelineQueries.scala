@@ -464,6 +464,42 @@ object PipelineQueries {
         q.processAllAvailable()
       }.orderBy("rule")
     }),
+    // Online vector-search serving: query vectors arrive as a stream and
+    // candidate-generate through a STATELESS stream-static equi-join
+    // against the IVF-bucketed static corpus (no watermark, no state
+    // store — the index-serving ingest shape). The scored candidates sink
+    // in append mode; the bounded top-10 readout ranks the sunk rows.
+    // Scores are bit-identical to the batch operator, so the oracle is
+    // ann_ivf's SQL verbatim: streaming == batch, enforced by the gate.
+    "stream_ann" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val qrows = e.where(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val scored = graft.operators.Similarity.ivfScoreStream(
+        e, "vec_id", "embedding",
+        src.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        nLists = 16, nProbe = 4)
+      val (h1, h2) = qrows.splitAt(qrows.length / 2)
+      val sunk = runAppendStream(s, scored, "sann") { q =>
+        src.addData(h1.toIndexedSeq)
+        q.processAllAvailable()
+        src.addData(h2.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("nbr_id").asc)
+      sunk.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("nbr_id"), col("cosine"))
+        .orderBy("query_id", "rank")
+    }),
     // Stream-static enrichment: the canonical ingest-time join — every
     // arriving event enriched against a broadcast dimension snapshot.
     // Stream-static inner joins are STATELESS (no watermark, no state
@@ -953,6 +989,8 @@ object PipelineQueries {
     "stream_topk_users" -> RelationalQueries.oracleSql("events_topk_users"),
     // quality-gate-on-ingest == the batch rule suite (same SQL)
     "stream_validate" -> RelationalQueries.oracleSql("validate_rules"),
+    // streaming ANN serving == the batch IVF top-k (same SQL)
+    "stream_ann" -> TextQueries.oracleSql("ann_ivf"),
     // incrementally-collapsed changelog + merge == the batch CDC MERGE
     "stream_cdc_apply" -> RelationalQueries.oracleSql("cdc_apply"),
     // stateless per-event enrichment == the batch dimension join

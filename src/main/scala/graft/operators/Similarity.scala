@@ -158,6 +158,46 @@ object Similarity {
         col("nbr_id"), col("cosine"))
   }
 
+  /** Streaming ANN SERVING face of [[ivfTopK]]: the corpus is indexed once
+    * (literal centroids, per-row list assignment — identical arithmetic to
+    * the batch operator) and every ARRIVING query row explodes into its
+    * `nProbe` probed lists and hash-joins the static bucketed corpus — a
+    * STATELESS stream-static join (no watermark, no state store), i.e. the
+    * online vector-search ingest shape: index residency is the static
+    * side's problem, per-query work is bounded by |corpus|/nLists·nProbe.
+    * Returns the scored candidate stream (query_id, nbr_id, cosine);
+    * ranking happens downstream (a bounded TopK aggregate or a batch
+    * readout), because per-group rank windows do not exist on unbounded
+    * streams. Scores are bit-identical to [[ivfTopK]]'s by construction —
+    * the catalog entry's oracle is the batch SQL verbatim. */
+  def ivfScoreStream(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queryStream: DataFrame, queryId: String,
+                     queryVec: String, nLists: Int, nProbe: Int): DataFrame = {
+    val c = corpus.select(col(corpusId).as("nbr_id"),
+      asDouble(col(corpusVec)).as("cvec"))
+    val q = queryStream.select(col(queryId).as("query_id"),
+      asDouble(col(queryVec)).as("qvec"))
+    val cents = deterministicCentroids(c, "nbr_id", "cvec", nLists, "ivf")
+    require(cents.nonEmpty, "empty corpus cannot serve ANN queries")
+    val assigned = c
+      .withColumn("cnrm", sqrt(VectorExpressions.sqNormNative(col("cvec"))))
+      .withColumn("list_id",
+        element_at(nearestCentroids(col("cvec"), col("cnrm"), cents), 1)
+          .getField("list_id"))
+      .select(col("nbr_id"), col("cvec"), col("cnrm"), col("list_id"))
+    val probes = q
+      .withColumn("qnrm", sqrt(VectorExpressions.sqNormNative(col("qvec"))))
+      .select(col("query_id"), col("qvec"), col("qnrm"),
+        explode(slice(nearestCentroids(col("qvec"), col("qnrm"), cents),
+          1, nProbe)).as("_p"))
+      .select(col("query_id"), col("qvec"), col("qnrm"),
+        col("_p.list_id").as("list_id"))
+    probes.join(assigned, Seq("list_id"))
+      .select(col("query_id"), col("nbr_id"),
+        cosineFromNorms(VectorExpressions.dotNative(col("qvec"), col("cvec")),
+          col("qnrm"), col("cnrm")).as("cosine"))
+  }
+
   /** Product-quantization ANN (Jegou, Douze & Schmid 2011, "Product
     * Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1)): each
     * corpus vector is compressed to `m` sub-codes — per subspace, the index

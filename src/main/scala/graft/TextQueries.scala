@@ -201,6 +201,12 @@ object TextQueries {
     // alphabet²) — the argmax row is the next merge
     "bpe_pair_counts" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(docs(s, dir), "text")),
+    // FULL BPE merge learning, 3 rounds: per-round argmax pair + greedy
+    // boundary-regex merge applied to the vocab (the oracle unrolls the
+    // identical 3 rounds as a CTE chain — merge choices AND counts must
+    // match exactly)
+    "bpe_vocab" -> ((s, dir) =>
+      TextAnalysis.bpeLearnMerges(docs(s, dir), "text", rounds = 3)),
     // CCNet-style corpus-level boilerplate removal: 10-token segments
     // appearing in >2 distinct documents are deleted in place (distinct-
     // count groupBy + anti-join + in-order reassembly; no corpus window)
@@ -931,6 +937,40 @@ object TextQueries {
         |  WHERE length(w) >= 2)
         |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM pairs
         |GROUP BY pair ORDER BY n DESC, pair""".stripMargin.replace("\n", " ")
+
+    // full BPE: the 3 merge rounds unrolled as a CTE chain. DuckDB's
+    // regexp_replace 'g' is left-to-right non-overlapping like Java's —
+    // the exact greedy BPE merge semantics — and \b works identically
+    // because symbols are always letter runs. Backreference syntax
+    // differs (\1 here, $1 in Spark); the char-spacing rewrite is the
+    // only place one appears.
+    locally {
+      val rounds = 3
+      def pairsCte(src: String, out: String) =
+        s"""$out AS (SELECT t.s[CAST(i AS INT)] || ' ' ||
+           |  t.s[CAST(i AS INT) + 1] AS pair, SUM(freq) AS n
+           |  FROM (SELECT string_split(sym, ' ') AS s, freq FROM $src) t,
+           |  unnest(range(1, len(t.s))) AS u(i) GROUP BY pair)"""
+          .stripMargin.replace("\n", " ")
+      def mergeCtes(r: Int) = Seq(
+        pairsCte(s"s${r - 1}", s"p$r"),
+        s"m$r AS (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1)",
+        s"""s$r AS (SELECT regexp_replace(sym, '\\b' || m.pair || '\\b',
+           |  replace(m.pair, ' ', ''), 'g') AS sym, freq
+           |  FROM s${r - 1} CROSS JOIN m$r m)"""
+          .stripMargin.replace("\n", " "))
+      val ctes = Seq(
+        """words AS (SELECT w, COUNT(*) AS freq FROM (
+          |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          |  FROM documents) GROUP BY w)""".stripMargin.replace("\n", " "),
+        """s0 AS (SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym,
+          |  freq FROM words)""".stripMargin.replace("\n", " ")) ++
+        (1 to rounds).flatMap(mergeCtes)
+      val arms = (1 to rounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, pair, CAST(n AS BIGINT) AS n FROM m$r")
+      m += "bpe_vocab" ->
+        s"WITH ${ctes.mkString(", ")} ${arms.mkString(" UNION ALL ")} ORDER BY round"
+    }
 
     // boilerplate removal: DuckDB recomputes the segment cut (1-based
     // list slices), the distinct-doc frequencies, and the in-order

@@ -233,6 +233,64 @@ object TextAnalysis {
       .orderBy(desc("n"), col("pair"))
   }
 
+  /** Full BPE merge learning (Sennrich et al. 2016): `rounds` successive
+    * merges over the space-separated symbol representation of the distinct
+    * word vocabulary. Each round counts weighted adjacent symbol pairs,
+    * picks the argmax (count desc, pair asc — deterministic ties), and
+    * applies the merge with a word-boundary regex replace — regex global
+    * replace is left-to-right non-overlapping on BOTH engines, which is
+    * exactly BPE's greedy merge semantics ("a a a" -> "aa a").
+    *
+    * Scale shape: the corpus is touched ONCE (the word-frequency groupBy);
+    * every merge round is vocab-sized (pair explode + one bounded groupBy
+    * whose key space is |symbols|²-capped, plus a per-word regex rewrite).
+    * The single driver sync per round is the 1-row argmax head() — that
+    * row IS the algorithm's sequential dependency; everything else stays
+    * distributed. The symbol frame is localCheckpoint'd per round so the
+    * lineage does not stack `rounds` regex rewrites. Returns the merge
+    * table (round, pair, n). */
+  def bpeLearnMerges(df: DataFrame, textCol: String,
+                     rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be 1..16, got $rounds")
+    val spark = df.sparkSession
+    var sym = df.select(
+        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"),
+          lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sym"),
+        col("freq"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = sym.select(col("freq"), split(col("sym"), " ").as("s"))
+        .where(size(col("s")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(s) - 1), " +
+            "i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("n"))
+        .orderBy(desc("n"), col("pair"))
+        .head(1)
+      if (top.isEmpty) exhausted = true // every word fully merged
+      else {
+        val pair = top.head.getString(0)
+        merges += ((r.toLong, pair, top.head.getLong(1)))
+        val next = sym.select(
+          regexp_replace(col("sym"), lit("\\b" + pair + "\\b"),
+            lit(pair.replace(" ", ""))).as("sym"), col("freq"))
+          .localCheckpoint(true)
+        sym.unpersist()
+        sym = next
+      }
+      r += 1
+    }
+    sym.unpersist()
+    import spark.implicits._
+    merges.result().toDF("round", "pair", "n").orderBy("round")
+  }
+
   /** Corpus-level boilerplate removal (the CCNet/RefinedWeb shape): the
     * document is cut into fixed `segTokens`-token segments, each segment's
     * DISTINCT-document frequency is counted corpus-wide, and segments

@@ -86,6 +86,29 @@ class BpePairSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == Seq(("zz", 2L), ("zy", 1L)))
   }
+
+  test("bpeLearnMerges is greedy left-to-right and merges across rounds") {
+    import spark.implicits._
+    // 'aaab' x3: round 1 pairs {a a: 6, a b: 3} -> merge 'a a' (greedy:
+    // "a a a b" -> "aa a b", NOT "a aa b"); round 2 pairs over "aa a b"
+    // tie at 3 ("aa a" vs "a b") -> pair-asc tiebreak picks "a b"
+    // (space < 'a'); round 3 merges the remaining "aa ab".
+    val df = Seq("aaab aaab aaab").toDF("text")
+    val got = TextAnalysis.bpeLearnMerges(df, "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "a a", 6L), (2L, "a b", 3L),
+      (3L, "aa ab", 3L)))
+  }
+
+  test("bpeLearnMerges stops early when every word is fully merged") {
+    import spark.implicits._
+    val df = Seq("ab ab cd").toDF("text")
+    val got = TextAnalysis.bpeLearnMerges(df, "text", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // round 1 merges 'a b' (weight 2), round 2 'c d' (weight 1); then
+    // no 2-symbol words remain -> early stop after 2 of the 10 rounds
+    assert(got.toSeq == Seq((1L, "a b", 2L), (2L, "c d", 1L)))
+  }
 }
 
 /** Robust MAD outliers: discrete lower medians, degenerate-MAD guard. */

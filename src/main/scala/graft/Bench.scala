@@ -53,7 +53,7 @@ object Bench {
     "emb_gram", "emb_kmeans", "dedup_keep_best",
     "cdc_apply", "sky_grouped", "dedup_simhash_pairs",
     "validate_rules", "validate_quarantine", "text_boilerplate",
-    "bpe_pair_counts", "bpe_vocab", "events_mad_outliers",
+    "bpe_pair_counts", "bpe_vocab", "bpe_encode", "events_mad_outliers",
     "events_gapfill", "events_scd2", "gen_anti_sample",
     "gen_uniform_sample", "gen_correlated_sample", "dedup_substring",
     // streaming workloads LAST: their state-store churn and driver-side

@@ -207,6 +207,13 @@ object TextQueries {
     // match exactly)
     "bpe_vocab" -> ((s, dir) =>
       TextAnalysis.bpeLearnMerges(docs(s, dir), "text", rounds = 3)),
+    // BPE APPLIED: per-document token counts under the 3 learned merges —
+    // encoding is one hash join of (doc, word) rows against the merged
+    // vocab symbol table; no per-document regex work
+    "bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncodeCounts(docs(s, dir), "doc_id", "text",
+          rounds = 3)
+        .orderBy("doc_id")),
     // CCNet-style corpus-level boilerplate removal: 10-token segments
     // appearing in >2 distinct documents are deleted in place (distinct-
     // count groupBy + anti-join + in-order reassembly; no corpus window)
@@ -952,24 +959,34 @@ object TextQueries {
            |  FROM (SELECT string_split(sym, ' ') AS s, freq FROM $src) t,
            |  unnest(range(1, len(t.s))) AS u(i) GROUP BY pair)"""
           .stripMargin.replace("\n", " ")
+      // the merged symbol frames carry w so the ENCODE face can join
+      // documents back to their tokenized forms (harmless for bpe_vocab)
       def mergeCtes(r: Int) = Seq(
         pairsCte(s"s${r - 1}", s"p$r"),
         s"m$r AS (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1)",
-        s"""s$r AS (SELECT regexp_replace(sym, '\\b' || m.pair || '\\b',
+        s"""s$r AS (SELECT w, regexp_replace(sym, '\\b' || m.pair || '\\b',
            |  replace(m.pair, ' ', ''), 'g') AS sym, freq
            |  FROM s${r - 1} CROSS JOIN m$r m)"""
           .stripMargin.replace("\n", " "))
       val ctes = Seq(
-        """words AS (SELECT w, COUNT(*) AS freq FROM (
-          |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-          |  FROM documents) GROUP BY w)""".stripMargin.replace("\n", " "),
-        """s0 AS (SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym,
+        """doctok AS (SELECT doc_id,
+          |  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          |  FROM documents)""".stripMargin.replace("\n", " "),
+        "words AS (SELECT w, COUNT(*) AS freq FROM doctok GROUP BY w)",
+        """s0 AS (SELECT w, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym,
           |  freq FROM words)""".stripMargin.replace("\n", " ")) ++
         (1 to rounds).flatMap(mergeCtes)
       val arms = (1 to rounds).map(r =>
         s"SELECT CAST($r AS BIGINT) AS round, pair, CAST(n AS BIGINT) AS n FROM m$r")
       m += "bpe_vocab" ->
         s"WITH ${ctes.mkString(", ")} ${arms.mkString(" UNION ALL ")} ORDER BY round"
+      m += "bpe_encode" ->
+        s"""WITH ${ctes.mkString(", ")}
+           |SELECT d.doc_id,
+           |  CAST(SUM(len(string_split(s.sym, ' '))) AS BIGINT)
+           |    AS n_tokens_bpe
+           |FROM doctok d JOIN s$rounds s USING (w)
+           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
     }
 
     // boilerplate removal: DuckDB recomputes the segment cut (1-based

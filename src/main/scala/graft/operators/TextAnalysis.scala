@@ -251,14 +251,46 @@ object TextAnalysis {
     * table (round, pair, n). */
   def bpeLearnMerges(df: DataFrame, textCol: String,
                      rounds: Int): DataFrame = {
-    require(rounds >= 1 && rounds <= 16, s"rounds must be 1..16, got $rounds")
     val spark = df.sparkSession
+    val (merges, vocab) = bpeMergeRounds(df, textCol, rounds)
+    vocab.unpersist() // merges are already driver-side; blocks can go
+    import spark.implicits._
+    merges.toDF("round", "pair", "n").orderBy("round")
+  }
+
+  /** BPE ENCODING with merges learned on the same corpus: per-document
+    * token counts after `rounds` merges. The merged vocabulary stays
+    * distributed; encoding is one hash join of the (doc, word) stream
+    * against the vocab-sized symbol table — no per-document regex work,
+    * which is why learned-merge tokenization scales: the corpus pass is a
+    * join, the merge machinery only ever touches distinct words. Returns
+    * (id, n_tokens_bpe); documents with no letter runs produce no row. */
+  def bpeEncodeCounts(df: DataFrame, idCol: String, textCol: String,
+                      rounds: Int): DataFrame = {
+    val (_, vocab) = bpeMergeRounds(df, textCol, rounds)
+    // NOTE: vocab is localCheckpoint'd with truncated lineage — it must
+    // stay persisted until the caller's action completes (unpersisting
+    // here would drop the only copy); vocab-sized blocks, GC-released.
+    val docWords = df.select(col(idCol),
+      explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"),
+        lit(0))).as("w"))
+    docWords
+      .join(vocab.select(col("w"),
+        size(split(col("sym"), " ")).cast("long").as("ntok")), "w")
+      .groupBy(idCol).agg(sum(col("ntok")).as("n_tokens_bpe"))
+  }
+
+  /** Shared merge loop: returns the merge table (driver-side, <= rounds
+    * rows) and the final (w, sym, freq) vocabulary, localCheckpoint'd. */
+  private def bpeMergeRounds(df: DataFrame, textCol: String, rounds: Int)
+      : (Seq[(Long, String, Long)], DataFrame) = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be 1..16, got $rounds")
     var sym = df.select(
         explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"),
           lit(0))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sym"),
-        col("freq"))
+      .select(col("w"),
+        trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sym"), col("freq"))
       .localCheckpoint(true)
     val merges = Seq.newBuilder[(Long, String, Long)]
     var r = 1
@@ -277,7 +309,7 @@ object TextAnalysis {
       else {
         val pair = top.head.getString(0)
         merges += ((r.toLong, pair, top.head.getLong(1)))
-        val next = sym.select(
+        val next = sym.select(col("w"),
           regexp_replace(col("sym"), lit("\\b" + pair + "\\b"),
             lit(pair.replace(" ", ""))).as("sym"), col("freq"))
           .localCheckpoint(true)
@@ -286,9 +318,7 @@ object TextAnalysis {
       }
       r += 1
     }
-    sym.unpersist()
-    import spark.implicits._
-    merges.result().toDF("round", "pair", "n").orderBy("round")
+    (merges.result(), sym)
   }
 
   /** Corpus-level boilerplate removal (the CCNet/RefinedWeb shape): the

@@ -52,7 +52,8 @@ object Bench {
     "sample_bottomk", "sample_weighted", "text_normalize",
     "emb_gram", "emb_kmeans", "dedup_keep_best",
     "cdc_apply", "sky_grouped", "dedup_simhash_pairs",
-    "validate_rules", "validate_quarantine", "text_boilerplate",
+    "validate_rules", "validate_quarantine", "kanon_risk",
+    "dataset_manifest", "text_boilerplate",
     "bpe_pair_counts", "bpe_vocab", "bpe_encode", "events_mad_outliers",
     "events_gapfill", "events_scd2", "gen_anti_sample",
     "gen_uniform_sample", "gen_correlated_sample", "dedup_substring",

@@ -242,6 +242,23 @@ object RelationalQueries {
     "validate_rules" -> ((s, dir) =>
       operators.Validate.checkRules(t(s, dir, "lineitem"),
         lineitemRules.map { case (n, p, _) => (n, p) })),
+    // k-anonymity audit over (nation, segment, 1k-account-balance bucket)
+    // quasi-identifiers: equivalence classes smaller than k=5 are
+    // re-identification risks — the release gate for user-adjacent data
+    "kanon_risk" -> ((s, dir) =>
+      operators.Validate.kAnonymityAudit(
+          t(s, dir, "customer").withColumn("bal_bucket",
+            floor(col("c_acctbal") / 1000).cast("long")),
+          Seq("c_nationkey", "c_mktsegment", "bal_bucket"), k = 5)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_bucket")),
+    // content-integrity manifest: per id-bucket row count + XOR-folded
+    // row fingerprint (order-free, partial-aggregable) — the cheap
+    // dataset-versioning audit after every materialization
+    "dataset_manifest" -> ((s, dir) =>
+      operators.Validate.contentManifest(t(s, dir, "documents"), "doc_id",
+          concat(col("doc_id").cast("string"), lit(":"),
+            coalesce(col("text"), lit(""))), buckets = 64)
+        .orderBy("bucket")),
     // row-level complement of the suite: every violating row with the
     // comma-joined names of the rules it breaks (stateless filter+project;
     // the clean-path filter is this predicate negated)
@@ -1218,6 +1235,18 @@ object RelationalQueries {
          |SELECT rule, violations, n_rows, violations = 0 AS ok
          |FROM ($arms) ORDER BY rule""".stripMargin.replace("\n", " ")
     },
+    "kanon_risk" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        |  COUNT(*) AS class_size, COUNT(*) < 5 AS at_risk
+        |FROM customer GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin.replace("\n", " "),
+    "dataset_manifest" ->
+      s"""SELECT doc_id % 64 AS bucket, COUNT(*) AS n_rows,
+         |  CAST(bit_xor(${TextQueries.hash60Sql(
+              "concat(CAST(doc_id AS VARCHAR), ':', coalesce(text, ''))")})
+         |    AS BIGINT) AS xor_fp
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "),
     "validate_quarantine" -> {
       val tags = lineitemRules.map { case (n, _, sql) =>
         s"CASE WHEN NOT COALESCE($sql, FALSE) THEN '$n' END"

@@ -46,6 +46,35 @@ object Validate {
       .orderBy("rule")
   }
 
+  /** k-anonymity audit: group the table by its quasi-identifier columns
+    * and flag equivalence classes smaller than `k` — the standard
+    * re-identification-risk check run before releasing or training on
+    * user-adjacent data. One partial-aggregating groupBy on the
+    * quasi-identifier key; class count is bounded by the identifier
+    * domain, not the table. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+                      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2, "need quasi-ids and k >= 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", col("class_size") < k)
+  }
+
+  /** Content-integrity manifest: per id-bucket row count + XOR-folded
+    * row fingerprint. Two datasets are byte-identical on a bucket iff
+    * (n_rows, xor_fp) match — the cheap reproducibility/versioning audit
+    * a pipeline runs after every materialization. XOR is commutative, so
+    * the fold is partial-aggregable and row-order free; one groupBy on
+    * `buckets` keys regardless of table size. */
+  def contentManifest(df: DataFrame, idCol: String, hashInput: Column,
+                      buckets: Int = 64): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    df.select(pmod(col(idCol), lit(buckets.toLong)).as("bucket"),
+        graft.functions.hash60(hashInput).as("_h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(_h)").as("xor_fp"))
+  }
+
   /** Row-level quarantine: rows violating AT LEAST one rule, projected to
     * `keep` plus a `failed` column — the comma-joined, suite-ordered names
     * of the violated rules. Clean rows are dropped (the complement filter

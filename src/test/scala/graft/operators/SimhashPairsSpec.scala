@@ -118,4 +118,31 @@ class ValidateSpec extends AnyFunSuite {
     val bad = Validate.quarantine(fixture, rules, Seq("id")).count()
     assert(bad == 4 && n == 5)
   }
+
+  test("kAnonymityAudit flags exactly the classes below k") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(("us", "a")) ++ Seq.fill(2)(("us", "b")) ++
+      Seq.fill(3)(("de", "a"))).toDF("country", "seg")
+    val got = Validate.kAnonymityAudit(df, Seq("country", "seg"), 3)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(("us", "a") -> ((5L, false)),
+      ("us", "b") -> ((2L, true)), ("de", "a") -> ((3L, false))))
+  }
+
+  test("contentManifest is row-order free and change-sensitive") {
+    import spark.implicits._
+    val a = Seq((0L, "x"), (64L, "y"), (1L, "z")).toDF("id", "t")
+    val b = Seq((1L, "z"), (64L, "y"), (0L, "x")).toDF("id", "t") // shuffled
+    val c = Seq((0L, "x"), (64L, "Y"), (1L, "z")).toDF("id", "t") // mutated
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Validate.contentManifest(df, "id",
+          org.apache.spark.sql.functions.col("t"), 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(m(a) == m(b))                       // order never matters
+    assert(m(a) != m(c))                       // one byte flips the bucket
+    assert(m(a).map(_._1) == Set(0L, 1L))      // 0 and 64 share bucket 0
+    assert(m(a).find(_._1 == 0L).get._2 == 2L) // xor folds both rows
+  }
 }

@@ -36,12 +36,14 @@ object TextQueries {
 
   private[graft] def hash60Sql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
-  // distinct 5-gram shingles of the normalized text, as (doc_id, shingle) rows
-  private val shinglesSql =
+  // distinct 5-gram shingles of the normalized text, as (doc_id, shingle)
+  // rows; parameterized on the source relation for the pipeline oracle
+  private def shinglesSqlFrom(src: String) =
     s"""SELECT doc_id, unnest(list_distinct(
        |[substr(n, i, 5) for i in range(1, greatest(length(n) - 4, 1) + 1)]))
-       |AS shingle FROM (SELECT doc_id, $normSql AS n FROM documents)"""
+       |AS shingle FROM (SELECT doc_id, $normSql AS n FROM $src)"""
       .stripMargin.replace("\n", " ")
+  private val shinglesSql = shinglesSqlFrom("documents")
 
   private val NUM_HASHES = 8
   private val BANDS = 4
@@ -359,6 +361,22 @@ object TextQueries {
     // simhash (relational bit-vote form)
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+    // END-TO-END training-data pipeline: the composed prepare() chain
+    // (quality -> repetition -> language allowlist -> exact dedup ->
+    // near-dup CC canonical -> 1/2 hash sample) reduced to its per-stage
+    // counts. Every stage is oracle-gated individually elsewhere; this
+    // entry gates the COMPOSITION (filter order, subset-dependent dedup,
+    // canonical selection, sampling) against one staged SQL chain.
+    "pipeline_e2e" -> ((s, dir) => {
+      val (_, c) = graft.operators.TrainingPipeline.prepare(docs(s, dir),
+        "doc_id", "text", "lang", keepLangs = Set("en", "fr"),
+        jaccardThreshold = 0.35, sampleMod = 2, maxShingleDocFreq = 100)
+      import s.implicits._
+      Seq((c.raw, c.quality, c.repetition, c.language, c.exactDedup,
+          c.nearDedup, c.sampled))
+        .toDF("raw", "quality", "repetition", "language", "exact_dedup",
+          "near_dedup", "sampled")
+    }),
     // Hamming-ball simhash join via pigeonhole banding (4 × 15-bit
     // blocks ⇒ lossless at d ≤ 3). The fixture has no organic near-dup
     // pairs at this radius, so — like dedup_embedding_bucketed — the
@@ -897,11 +915,14 @@ object TextQueries {
     // DuckDB lists are 1-indexed so range(1, n-1) / range(1, n) mirror the
     // Spark transform(sequence(...)) windows; all divisions are single
     // double ops in the same order as the Column side
-    m += "text_repetition" ->
-      """WITH w AS (SELECT doc_id,
+    // repetition CTE chain, parameterized on the source relation so the
+    // end-to-end pipeline oracle can reuse it verbatim (ends with tg +
+    // topbg; consumers join them on doc_id)
+    def repetitionCtes(src: String) =
+      s"""w AS (SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN []
-        |       ELSE regexp_split_to_array(trim(text), '\s+') END AS words
-        |  FROM documents),
+        |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+        |  FROM $src),
         |base AS (SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n_words,
         |  CASE WHEN len(words) > 0 THEN 1.0 -
         |    CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE)
@@ -919,15 +940,19 @@ object TextQueries {
         |  FROM w WHERE len(words) >= 2),
         |topbg AS (SELECT doc_id, max(cnt) AS top_cnt FROM
         |  (SELECT doc_id, bg, count(*) AS cnt FROM bgrows GROUP BY doc_id, bg)
-        |  GROUP BY doc_id)
+        |  GROUP BY doc_id)""".stripMargin.replace("\n", " ")
+    val repetitionOkExpr =
+      """(dup_word_frac <= 0.75 AND dup_trigram_frac <= 0.05 AND
+        |   (CASE WHEN top_cnt IS NOT NULL AND n_words > 0 THEN
+        |     CAST(top_cnt AS DOUBLE) * 2.0 / CAST(n_words AS DOUBLE)
+        |     ELSE 0.0 END) <= 0.10)""".stripMargin.replace("\n", " ")
+    m += "text_repetition" ->
+      s"""WITH ${repetitionCtes("documents")}
         |SELECT t.doc_id, n_words, dup_word_frac, dup_trigram_frac,
         |  CASE WHEN top_cnt IS NOT NULL AND n_words > 0 THEN
         |    CAST(top_cnt AS DOUBLE) * 2.0 / CAST(n_words AS DOUBLE)
         |    ELSE 0.0 END AS top_bigram_frac,
-        |  (dup_word_frac <= 0.75 AND dup_trigram_frac <= 0.05 AND
-        |   (CASE WHEN top_cnt IS NOT NULL AND n_words > 0 THEN
-        |     CAST(top_cnt AS DOUBLE) * 2.0 / CAST(n_words AS DOUBLE)
-        |     ELSE 0.0 END) <= 0.10) AS repetition_ok
+        |  $repetitionOkExpr AS repetition_ok
         |FROM tg t LEFT JOIN topbg USING (doc_id) ORDER BY doc_id"""
         .stripMargin.replace("\n", " ")
 
@@ -1179,8 +1204,8 @@ object TextQueries {
     // df<=100 hot-shingle cap as jaccardSql, applied before both the
     // intersection join and the set sizes. Ends with the
     // `lab(id, cluster_id)` CTE; consumers must open "WITH RECURSIVE".
-    val clusterLabCtes =
-      s"""sh0 AS ($shinglesSql),
+    def clusterLabCtesFrom(src: String) =
+      s"""sh0 AS (${shinglesSqlFrom(src)}),
          |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN (
          |  SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 100) f
          |  ON sh0.shingle = f.shingle),
@@ -1199,8 +1224,9 @@ object TextQueries {
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
          |lab AS (SELECT d.doc_id AS id,
          |  LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
-         |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |  FROM $src d LEFT JOIN reach r ON r.src = d.doc_id
          |  GROUP BY d.doc_id)""".stripMargin
+    val clusterLabCtes = clusterLabCtesFrom("documents")
     m += "dedup_clusters" ->
       s"""WITH RECURSIVE $clusterLabCtes
          |SELECT id, cluster_id FROM lab ORDER BY id"""
@@ -1219,6 +1245,48 @@ object TextQueries {
          |    ORDER BY t.n_tokens DESC, l.id ASC)) = 1 AS keep
          |FROM lab l JOIN tok t ON t.id = l.id
          |ORDER BY l.id""".stripMargin.replace("\n", " ")
+
+    // end-to-end pipeline: per-doc predicates (quality/repetition/lang)
+    // are corpus-independent, so the staged counts are flag CONJUNCTIONS;
+    // exact dedup, near-dup CC, and the hash sample depend on the
+    // surviving subset and run over staged CTEs. All pieces reuse the
+    // per-stage oracles' own fragments (repetitionCtes / clusterLabCtesFrom
+    // / hash60Sql), so the chain cannot drift from its parts.
+    locally {
+      val qOk =
+        s"""(CASE WHEN length(trim(text)) = 0 THEN 0
+           |   ELSE CAST($toks AS BIGINT) END >= 5
+           | AND CASE WHEN length(trim(text)) = 0 OR $toks = 0 THEN 0.0
+           |   ELSE CAST($stopHits AS DOUBLE) / $toks END >= 0.01
+           | AND CASE WHEN length(text) > 0
+           |   THEN CAST($punct AS DOUBLE) / length(text)
+           |   ELSE 0.0 END <= 0.2)""".stripMargin.replace("\n", " ")
+      m += "pipeline_e2e" ->
+        s"""WITH RECURSIVE ${repetitionCtes("documents")},
+           |rep AS (SELECT t.doc_id, $repetitionOkExpr AS r_ok
+           |  FROM tg t LEFT JOIN topbg USING (doc_id)),
+           |flt AS (SELECT d.doc_id, d.text, d.lang, $qOk AS q_ok, r.r_ok
+           |  FROM documents d JOIN rep r ON r.doc_id = d.doc_id),
+           |lf AS (SELECT doc_id, text FROM flt
+           |  WHERE q_ok AND r_ok AND lang IN ('en', 'fr')),
+           |ex AS (SELECT MIN(doc_id) AS doc_id FROM lf GROUP BY md5($normSql)),
+           |exd AS (SELECT l.doc_id, l.text FROM lf l
+           |  JOIN ex ON ex.doc_id = l.doc_id),
+           |${clusterLabCtesFrom("exd")},
+           |near AS (SELECT id FROM lab WHERE id = cluster_id),
+           |samp AS (SELECT id FROM near WHERE
+           |  ${hash60Sql("concat('smpl#', CAST(id AS VARCHAR))")} % 2 = 0)
+           |SELECT
+           |  CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS raw,
+           |  CAST((SELECT COUNT(*) FROM flt WHERE q_ok) AS BIGINT) AS quality,
+           |  CAST((SELECT COUNT(*) FROM flt WHERE q_ok AND r_ok) AS BIGINT)
+           |    AS repetition,
+           |  CAST((SELECT COUNT(*) FROM lf) AS BIGINT) AS language,
+           |  CAST((SELECT COUNT(*) FROM exd) AS BIGINT) AS exact_dedup,
+           |  CAST((SELECT COUNT(*) FROM near) AS BIGINT) AS near_dedup,
+           |  CAST((SELECT COUNT(*) FROM samp) AS BIGINT) AS sampled"""
+          .stripMargin.replace("\n", " ")
+    }
 
     val bitSums = (0 until 60).map(b =>
       s"SUM((h >> $b) & 1) AS c$b").mkString(", ")

@@ -84,6 +84,15 @@ object TextAnalysis {
     * the heavy lifting is one hash-spread shuffle, not a per-doc sort or
     * collect. All arithmetic is single IEEE-double divisions in a fixed
     * order, reproducible exactly in the DuckDB oracle.
+    *
+    * CONSUMER WARNING — do not `where(col("repetition_ok"))` directly on
+    * this output: PushDownPredicate inlines the alias chain into the
+    * filter condition, where the `_words` array loses its once-per-row
+    * projection slot and `split()` re-evaluates per lambda element —
+    * O(doc_len²) per row (measured 28 s vs 0.3 s per pass at sf0.1).
+    * Project the flag (projections keep per-alias slots), materialize the
+    * tiny (id, flag) frame, and semi-join — see TrainingPipeline.prepare
+    * stage 2 for the pattern.
     */
   def withRepetitionStats(df: DataFrame, idCol: String, textCol: String,
                           dupWordMax: Double = 0.75, dupTrigramMax: Double = 0.05,

@@ -33,21 +33,44 @@ object TrainingPipeline {
               maxClusterIters: Int = 50): (DataFrame, StageCounts) = {
     val raw = docs.count()
 
-    // 1. quality: token/stopword/punctuation heuristics
+    // 1. quality: token/stopword/punctuation heuristics. Cached: without a
+    // materialization boundary here, CollapseProject INLINES the stage's
+    // stopword/punct replace-chains into every downstream reference — the
+    // repetition stage's array lambdas then re-evaluate them per element
+    // (measured 28 s vs 2.3 s for one repetition pass at sf0.1). The cache
+    // stores the surviving rows projected back to the RAW columns, so it
+    // is a stage boundary, not an expression cache — the same reason a
+    // production pipeline materializes between stages.
     val quality = TextAnalysis.withQualityScore(docs, textCol)
       .where(col("quality_ok"))
       .select(docs.columns.toIndexedSeq.map(col): _*)
+      .cache()
     val nQuality = quality.count()
 
     // 2. repetition filter: Gopher-style duplicate-word/-trigram and
-    // top-bigram coverage gates (boilerplate and degenerate generations)
-    val repetition = TextAnalysis.withRepetitionStats(quality, idCol, textCol)
-      .where(col("repetition_ok"))
-      .select(docs.columns.toIndexedSeq.map(col): _*)
+    // top-bigram coverage gates (boilerplate and degenerate generations).
+    // The flag is MATERIALIZED before filtering: a direct
+    // where(repetition_ok) lets PushDownPredicate inline the stats'
+    // array lambdas into the filter condition, where `_words` loses its
+    // once-per-row projection slot and split() re-evaluates per lambda
+    // element — O(doc_len²) per row, measured 28 s vs 0.3 s for one pass
+    // at sf0.1. Projecting the flag (cheap plan: every alias computed
+    // once), localCheckpointing the tiny (id, flag) frame, and
+    // semi-joining keeps the operator's scan-shape intact.
+    val repOk = TextAnalysis.withRepetitionStats(quality, idCol, textCol)
+      .select(col(idCol), col("repetition_ok"))
+      .localCheckpoint(true)
+    val repetition = quality.join(
+      repOk.where(col("repetition_ok")).select(col(idCol)),
+      Seq(idCol), "left_semi")
     val nRepetition = repetition.count()
 
-    // 3. language allowlist
+    // 3. language allowlist. Cached: stages 4+ read this frame from BOTH
+    // sides (fingerprint keeper-ids AND the semi-join spine), and each
+    // uncached read would replay the full quality+repetition expression
+    // chain — measured 116 s -> ~35 s at sf0.1 for the whole pipeline.
     val lang = repetition.where(col(langCol).isin(keepLangs.toSeq: _*))
+      .cache()
     val nLang = lang.count()
 
     // 4. exact dedup: keep the lowest-id row per normalized fingerprint.
@@ -86,6 +109,10 @@ object TrainingPipeline {
 
         (sampled, StageCounts(raw, nQuality, nRepetition, nLang, nExact, nNear, nSampled))
       } finally near.unpersist(false)
-    } finally exact.unpersist(false)
+    } finally {
+      exact.unpersist(false)
+      lang.unpersist(false)
+      quality.unpersist(false)
+    }
   }
 }

@@ -68,6 +68,7 @@ object Bench {
     "stream_emb_gram", "stream_dedup",
     "stream_dedup_minhash", "stream_dedup_incremental", "stream_perplexity",
     "stream_cdc_apply", "stream_enrich", "stream_validate", "stream_ann",
+    "stream_manifest",
     "stream_late_drop")
 
   def main(args: Array[String]): Unit = {

@@ -464,6 +464,30 @@ object PipelineQueries {
         q.processAllAvailable()
       }.orderBy("rule")
     }),
+    // Integrity-manifest-on-ingest: the XOR-fold content manifest
+    // maintained incrementally — bit_xor and count are both
+    // partial-aggregable, so the complete-mode state is exactly one
+    // (count, xor) pair per bucket and the final table must equal the
+    // batch manifest (same oracle SQL verbatim).
+    "stream_manifest" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = docs(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val out = graft.operators.Validate.contentManifest(
+        src.toDF().toDF("doc_id", "text"), "doc_id",
+        concat(col("doc_id").cast("string"), lit(":"),
+          coalesce(col("text"), lit(""))), buckets = 64)
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      runAppendStream(s, out, "sman", mode = "complete") { q =>
+        src.addData(h1.toIndexedSeq)
+        q.processAllAvailable()
+        src.addData(h2.toIndexedSeq)
+        q.processAllAvailable()
+      }.orderBy("bucket")
+    }),
     // Online vector-search serving: query vectors arrive as a stream and
     // candidate-generate through a STATELESS stream-static equi-join
     // against the IVF-bucketed static corpus (no watermark, no state
@@ -991,6 +1015,8 @@ object PipelineQueries {
     "stream_validate" -> RelationalQueries.oracleSql("validate_rules"),
     // streaming ANN serving == the batch IVF top-k (same SQL)
     "stream_ann" -> TextQueries.oracleSql("ann_ivf"),
+    // incrementally-maintained manifest == the batch manifest (same SQL)
+    "stream_manifest" -> RelationalQueries.oracleSql("dataset_manifest"),
     // incrementally-collapsed changelog + merge == the batch CDC MERGE
     "stream_cdc_apply" -> RelationalQueries.oracleSql("cdc_apply"),
     // stateless per-event enrichment == the batch dimension join

@@ -217,4 +217,85 @@ class PlanShapeSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
     }
   }
+
+  test("checkRules: ONE aggregation pass — a single final-agg exchange, no join") {
+    // spark.range, not a LocalRelation — the optimizer folds local input
+    // and the plan would vacuously show zero exchanges. AQE off: the
+    // adaptive wrapper hides the inner exchanges from collect().
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.range(1000).select(
+        org.apache.spark.sql.functions.col("id"),
+        (org.apache.spark.sql.functions.col("id") % 7).cast("double").as("v"))
+      val plan = Validate.checkRules(df, Seq(
+          ("v_pos", org.apache.spark.sql.functions.col("v") > 0),
+          ("id_pos", org.apache.spark.sql.functions.col("id") > 0)))
+        .queryExecution.executedPlan
+      val planStr = plan.toString
+      // every rule folds into the same partial HashAggregate: exactly one
+      // exchange (the 1-row final agg gather), no join
+      val nEx = plan.collect { case e: ShuffleExchangeExec => e }.size
+      assert(nEx == 1, s"expected the single final-agg exchange, got $nEx:\n$planStr")
+      assert(!planStr.contains("Join"), planStr)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+    }
+  }
+
+  test("simhashHammingPairs: banded equi-join, never a cartesian") {
+    import spark.implicits._
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val priorBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // force the shuffled join so the partitioning claim is examined
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"))
+        .toDF("doc_id", "text")
+      val plan = Dedup.simhashHammingPairs(df, "doc_id", "text", 3)
+        .queryExecution.executedPlan
+      val planStr = plan.toString
+      assert(!planStr.contains("CartesianProduct") &&
+        !planStr.contains("BroadcastNestedLoopJoin"), planStr)
+      // the candidate join must key on the (blk, bits) block columns
+      val keyed = plan.collect { case e: ShuffleExchangeExec =>
+        e.outputPartitioning }.collect {
+        case h: HashPartitioning =>
+          h.expressions.map(_.references.map(_.name).mkString).toSet }
+      assert(keyed.exists(_ == Set("blk", "bits")),
+        s"no (blk, bits) exchange found: $keyed")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBcast)
+    }
+  }
+
+  test("removeBoilerplate: shuffles only on seg (df count + anti-join) and id") {
+    import spark.implicits._
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val priorBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"))
+        .toDF("doc_id", "text")
+      val plan = TextAnalysis.removeBoilerplate(df, "doc_id", "text", 10, 2)
+        .queryExecution.executedPlan
+      val keyed = plan.collect { case e: ShuffleExchangeExec =>
+        e.outputPartitioning }.collect {
+        case h: HashPartitioning =>
+          h.expressions.map(_.references.map(_.name).mkString).toSet }
+      // {seg}: df-count agg + both anti-join sides; {id}: the two per-doc
+      // aggs; {seg, id}: countDistinct's expand-phase partial agg
+      assert(keyed.nonEmpty &&
+        keyed.forall(ks => ks == Set("seg") || ks == Set("id") ||
+          ks == Set("seg", "id")),
+        s"unexpected exchange keys: $keyed")
+      assert(!plan.toString.contains("Window"), plan.toString)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBcast)
+    }
+  }
 }

@@ -55,7 +55,7 @@ object Bench {
     "validate_rules", "validate_quarantine", "kanon_risk",
     "dataset_manifest", "text_boilerplate",
     "bpe_pair_counts", "bpe_vocab", "bpe_encode", "events_mad_outliers",
-    "pipeline_e2e",
+    "pipeline_e2e", "doc_quality_blend",
     "events_gapfill", "events_scd2", "gen_anti_sample",
     "gen_uniform_sample", "gen_correlated_sample", "dedup_substring",
     // streaming workloads LAST: their state-store churn and driver-side

@@ -361,6 +361,16 @@ object TextQueries {
     // simhash (relational bit-vote form)
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+    // ensemble quality ranking WITHOUT a global sort: per-signal
+    // percentile ranks approximated through 512-bin histogram CDFs
+    // (bounded shuffles only), blended in exact integer micro-units —
+    // the scalable replacement for a percent_rank window over the corpus
+    "doc_quality_blend" -> ((s, dir) =>
+      TextAnalysis.blendQualityRanks(
+          docs(s, dir).where(col("text").isNotNull), "doc_id",
+          Seq("ntok" -> graft.functions.tokenCount(col("text")),
+            "nchars" -> length(col("text")).cast("long")))
+        .orderBy("doc_id")),
     // END-TO-END training-data pipeline: the composed prepare() chain
     // (quality -> repetition -> language allowlist -> exact dedup ->
     // near-dup CC canonical -> 1/2 hash sample) reduced to its per-stage
@@ -1245,6 +1255,42 @@ object TextQueries {
          |    ORDER BY t.n_tokens DESC, l.id ASC)) = 1 AS keep
          |FROM lab l JOIN tok t ON t.id = l.id
          |ORDER BY l.id""".stripMargin.replace("\n", " ")
+
+    // histogram-CDF rank blend: one CTE chain per signal mirroring
+    // histBin's arithmetic token-for-token (the hist_quantiles parity),
+    // ranks and blend in exact BIGINT micro-units
+    locally {
+      def rankCtes(sig: String) = Seq(
+        s"""b_$sig AS (SELECT MIN(v_$sig) AS lo, MAX(v_$sig) AS hi,
+           |  COUNT(v_$sig) AS n FROM e)""".stripMargin.replace("\n", " "),
+        s"""bin_$sig AS (SELECT e.doc_id, CASE WHEN b.hi = b.lo
+           |  THEN CAST(0 AS BIGINT)
+           |  ELSE least(CAST(511 AS BIGINT), CAST(floor((e.v_$sig - b.lo) /
+           |    ((b.hi - b.lo) / CAST(512 AS DOUBLE))) AS BIGINT)) END AS bin
+           |  FROM e CROSS JOIN b_$sig b)""".stripMargin.replace("\n", " "),
+        s"c_$sig AS (SELECT bin, COUNT(*) AS c FROM bin_$sig GROUP BY bin)",
+        s"""cum_$sig AS (SELECT bin, COALESCE(CAST(SUM(c) OVER (ORDER BY bin
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           |  0) AS below FROM c_$sig)""".stripMargin.replace("\n", " "),
+        s"""r_$sig AS (SELECT x.doc_id, (cum.below * 1000000) // b.n AS r
+           |  FROM bin_$sig x JOIN cum_$sig cum USING (bin)
+           |  CROSS JOIN b_$sig b)""".stripMargin.replace("\n", " "))
+      val ntokExpr =
+        s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE $toks END"
+      val ctes = Seq(
+        s"""e AS (SELECT doc_id, CAST($ntokExpr AS DOUBLE) AS v_ntok,
+           |  CAST(length(text) AS DOUBLE) AS v_nchars FROM documents
+           |  WHERE text IS NOT NULL)""".stripMargin.replace("\n", " ")) ++
+        rankCtes("ntok") ++ rankCtes("nchars")
+      m += "doc_quality_blend" ->
+        s"""WITH ${ctes.mkString(", ")}
+           |SELECT e.doc_id, CAST(r1.r AS BIGINT) AS rank_ntok_u6,
+           |  CAST(r2.r AS BIGINT) AS rank_nchars_u6,
+           |  CAST((r1.r + r2.r) // 2 AS BIGINT) AS blend_u6
+           |FROM e JOIN r_ntok r1 USING (doc_id)
+           |JOIN r_nchars r2 USING (doc_id)
+           |ORDER BY e.doc_id""".stripMargin.replace("\n", " ")
+    }
 
     // end-to-end pipeline: per-doc predicates (quality/repetition/lang)
     // are corpus-independent, so the staged counts are flag CONJUNCTIONS;

@@ -376,6 +376,51 @@ object TextAnalysis {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("n_segs"))
   }
 
+  /** Ensemble quality ranking WITHOUT a global sort — the DataComp-style
+    * "blend of percentile ranks" curation signal, made 100 TB-shaped:
+    * each signal's percentile rank is approximated through a 512-bin
+    * histogram CDF (the hist_quantiles machinery), so the corpus never
+    * sorts globally. Per signal: one min/max aggregate, one 512-key bin
+    * count, a cumulative sum over the 512-row bin frame, and a broadcast
+    * join back — rank = rows in strictly-lower bins / n, held in exact
+    * integer micro-units (u6), so the blend is pure long arithmetic and
+    * cross-engine exact. The global-sort formulation (percent_rank
+    * window) this replaces is the textbook scale-killer: one partition
+    * would see every row. */
+  def blendQualityRanks(df: DataFrame, idCol: String,
+                        signals: Seq[(String, Column)],
+                        bins: Int = 512): DataFrame = {
+    require(signals.nonEmpty, "need at least one signal")
+    import org.apache.spark.sql.expressions.Window
+    val base0 = df.select(col(idCol) +:
+      signals.map { case (n, c) => c.cast("double").as(s"_v_$n") }: _*)
+    val withRanks = signals.foldLeft(base0) { case (acc, (n, _)) =>
+      val v = col(s"_v_$n")
+      val stats = acc.agg(min(v).as("_lo"), max(v).as("_hi"),
+        count(v).as("_n"))
+      val binned = acc.crossJoin(broadcast(stats))
+        .withColumn(s"_bin_$n",
+          graft.RelationalQueries.histBin(v, col("_lo"), col("_hi"), bins))
+      val cum = binned.groupBy(s"_bin_$n").agg(count(lit(1)).as("_c"))
+        .withColumn("_below",
+          coalesce(sum(col("_c")).over(Window.orderBy(col(s"_bin_$n"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col(s"_bin_$n"), col("_below"))
+      binned.join(broadcast(cum), Seq(s"_bin_$n"))
+        // `div`, not `/`: Column./ on longs is DOUBLE division, and
+        // _below * 1e6 exceeds 2^53 exactness long before 100 TB
+        .withColumn(s"rank_${n}_u6", expr(s"(_below * 1000000) div _n"))
+        .drop("_lo", "_hi", "_n", "_below", s"_bin_$n")
+    }
+    val blendSum = signals.map { case (n, _) => s"rank_${n}_u6" }
+      .mkString(" + ")
+    withRanks
+      .withColumn("blend_u6", expr(s"($blendSum) div ${signals.size}"))
+      .select(col(idCol) +:
+        signals.map { case (n, _) => col(s"rank_${n}_u6") } :+
+        col("blend_u6"): _*)
+  }
+
   /** Small multilingual marker vocabularies (public common stopwords). */
   val LangMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a"),

@@ -197,4 +197,58 @@ object Graft {
                    maxRecordsPerFile: Long = 1000000L): Unit =
     OutputLayout.writeSharded(df, outDir, idCol, partitionCols, nShards,
       maxRecordsPerFile)
+
+  /** Deequ-style rule-suite check: one aggregation pass, one row per rule. */
+  def checkRules(df: DataFrame,
+                 rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    Validate.checkRules(df, rules)
+
+  /** Rows violating >= 1 rule, tagged with the violated rule names. */
+  def quarantine(df: DataFrame,
+                 rules: Seq[(String, org.apache.spark.sql.Column)],
+                 keep: Seq[String]): DataFrame =
+    Validate.quarantine(df, rules, keep)
+
+  /** k-anonymity audit over quasi-identifier columns. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+                      k: Long): DataFrame =
+    Validate.kAnonymityAudit(df, quasiCols, k)
+
+  /** Per-bucket XOR-fold content-integrity manifest. */
+  def contentManifest(df: DataFrame, idCol: String,
+                      hashInput: org.apache.spark.sql.Column,
+                      buckets: Int = 64): DataFrame =
+    Validate.contentManifest(df, idCol, hashInput, buckets)
+
+  /** SimHash near-dup pairs within a Hamming ball (pigeonhole banding). */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame =
+    Dedup.simhashHammingPairs(df, idCol, textCol, maxHamming)
+
+  /** CCNet-style corpus-level boilerplate segment removal. */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                        segTokens: Int = 10, maxDf: Int = 2): DataFrame =
+    TextAnalysis.removeBoilerplate(df, idCol, textCol, segTokens, maxDf)
+
+  /** BPE merge learning (rounds of argmax pair + greedy merge). */
+  def bpeLearnMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame =
+    TextAnalysis.bpeLearnMerges(df, textCol, rounds)
+
+  /** Per-document BPE token counts under merges learned on the corpus. */
+  def bpeEncodeCounts(df: DataFrame, idCol: String, textCol: String,
+                      rounds: Int): DataFrame =
+    TextAnalysis.bpeEncodeCounts(df, idCol, textCol, rounds)
+
+  /** Global-sort-free percentile-rank blend of quality signals. */
+  def blendQualityRanks(df: DataFrame, idCol: String,
+                        signals: Seq[(String, org.apache.spark.sql.Column)],
+                        bins: Int = 512): DataFrame =
+    TextAnalysis.blendQualityRanks(df, idCol, signals, bins)
+
+  /** Streaming ANN serving: stateless stream-static IVF candidate join. */
+  def annServeStream(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queryStream: DataFrame, queryId: String, queryVec: String,
+                     nLists: Int, nProbe: Int): DataFrame =
+    Similarity.ivfScoreStream(corpus, corpusId, corpusVec, queryStream,
+      queryId, queryVec, nLists, nProbe)
 }

@@ -111,6 +111,44 @@ class BpePairSpec extends AnyFunSuite {
   }
 }
 
+/** Histogram-CDF rank blend: exact fraction-below semantics when values
+  * spread across distinct bins; degenerate and blend invariants. */
+class BlendRankSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import org.apache.spark.sql.functions.col
+
+  test("ranks equal exact fraction-below when each value has its own bin") {
+    import spark.implicits._
+    val df = (0 until 10).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val got = TextAnalysis.blendQualityRanks(df, "id",
+        Seq("v" -> col("v")), bins = 512)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // value i has exactly i rows strictly below -> rank i/10 in u6
+    for (i <- 0 until 10) assert(got(i.toLong) == i * 100000L)
+  }
+
+  test("blend of two identical signals equals the single-signal rank") {
+    import spark.implicits._
+    val df = (0 until 8).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val got = TextAnalysis.blendQualityRanks(df, "id",
+        Seq("a" -> col("v"), "b" -> col("v")), bins = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    got.foreach { case (_, ra, rb, blend) =>
+      assert(ra == rb && blend == ra)
+    }
+  }
+
+  test("constant signal degenerates to rank 0 for every row") {
+    import spark.implicits._
+    val df = (0 until 5).map(i => (i.toLong, 7.0)).toDF("id", "v")
+    val got = TextAnalysis.blendQualityRanks(df, "id",
+        Seq("v" -> col("v")), bins = 512)
+      .collect().map(_.getLong(1))
+    assert(got.forall(_ == 0L))
+  }
+}
+
 /** Robust MAD outliers: discrete lower medians, degenerate-MAD guard. */
 class MadOutlierSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark

@@ -741,7 +741,9 @@ object PipelineQueries {
           |  CAST(graft_mrangle(array(CAST(d.n_chars AS DOUBLE),
           |    CAST(d.doc_id AS DOUBLE) + 1.0), 8) AS BIGINT) AS angle_pid,
           |  graft_cosine(CAST(e.embedding AS ARRAY<DOUBLE>),
-          |    CAST(q.embedding AS ARRAY<DOUBLE>)) AS cos_q0
+          |    CAST(q.embedding AS ARRAY<DOUBLE>)) AS cos_q0,
+          |  graft_simhash(regexp_replace(lower(trim(d.text)), '\\s+', ' '))
+          |    AS simhash
           |FROM docs_sqlfn d
           |JOIN emb_sqlfn e ON e.vec_id = d.doc_id
           |CROSS JOIN (SELECT embedding FROM emb_sqlfn WHERE vec_id = 0) q
@@ -1085,7 +1087,7 @@ object PipelineQueries {
          |  WHERE u.v1 <= t.v1 AND u.v2 <= t.v2 AND (u.v1 < t.v1 OR u.v2 < t.v2))
          |ORDER BY t.id""".stripMargin.replace("\n", " "),
     "sql_functions" ->
-      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
         |  WHERE vec_id = 0)
         |SELECT d.doc_id,
         |CAST(concat('0x', substr(md5(d.lang), 1, 15)) AS BIGINT) AS lang_hash,
@@ -1094,8 +1096,10 @@ object PipelineQueries {
         |CAST(LEAST(GREATEST(CAST(FLOOR(ATAN2(CAST(d.doc_id AS DOUBLE) + 1.0,
         |  CAST(d.n_chars AS DOUBLE)) / (PI() / 2.0) * 8) AS INT), 0), 7)
         |  AS BIGINT) AS angle_pid,
-        |list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos_q0
+        |list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos_q0,
+        |sh.simhash
         |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |JOIN ${TextQueries.simhashRelSql} sh ON sh.doc_id = d.doc_id
         |CROSS JOIN q ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
     "orc_file_source" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus

@@ -36,6 +36,25 @@ object TextQueries {
 
   private[graft] def hash60Sql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** 60 per-bit vote sums / majority bit-set fragments of the simhash
+    * oracle — shared by dedup_simhash, dedup_simhash_pairs, and the
+    * sql_functions surface check so the bit arithmetic cannot drift. */
+  private[graft] lazy val simhashBitSums: String = (0 until 60).map(b =>
+    s"SUM((h >> $b) & 1) AS c$b").mkString(", ")
+  private[graft] lazy val simhashBitSet: String = (0 until 60).map(b =>
+    s"(CASE WHEN c$b * 2 > n THEN (1::BIGINT << $b) ELSE 0 END)")
+    .mkString(" | ")
+
+  /** The (doc_id, simhash) relation as a derived-table SQL fragment. */
+  private[graft] def simhashRelSql: String =
+    s"""(SELECT doc_id, CAST($simhashBitSet AS BIGINT) AS simhash FROM (
+       |  SELECT doc_id, COUNT(*) AS n, $simhashBitSums FROM (
+       |    SELECT doc_id, ${hash60Sql("tok")} AS h FROM (
+       |      SELECT DISTINCT doc_id, tok FROM (
+       |        SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+       |        FROM documents)))
+       |  GROUP BY doc_id))""".stripMargin.replace("\n", " ")
   // distinct 5-gram shingles of the normalized text, as (doc_id, shingle)
   // rows; parameterized on the source relation for the pipeline oracle
   private def shinglesSqlFrom(src: String) =
@@ -1334,10 +1353,8 @@ object TextQueries {
           .stripMargin.replace("\n", " ")
     }
 
-    val bitSums = (0 until 60).map(b =>
-      s"SUM((h >> $b) & 1) AS c$b").mkString(", ")
-    val bitSet = (0 until 60).map(b =>
-      s"(CASE WHEN c$b * 2 > n THEN (1::BIGINT << $b) ELSE 0 END)").mkString(" | ")
+    val bitSums = TextQueries.simhashBitSums
+    val bitSet = TextQueries.simhashBitSet
     m += "dedup_simhash" ->
       s"""WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
          |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents)),

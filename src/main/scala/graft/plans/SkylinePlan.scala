@@ -172,6 +172,8 @@ class SkylineExtensions extends (SparkSessionExtensions => Unit) {
       exprs => graft.functions.NfcNormalizeExpr(exprs(0)))
     inject(e, "graft_strip_accents", classOf[graft.functions.StripAccentsExpr],
       exprs => graft.functions.StripAccentsExpr(exprs(0)))
+    inject(e, "graft_simhash", classOf[graft.functions.SimhashExpr],
+      exprs => graft.functions.SimhashExpr(exprs(0)))
     // composite trees (no single expression class backs them; the info
     // class is the dominant sub-expression)
     inject(e, "graft_cosine", classOf[graft.functions.DotProductExpr],
@@ -242,6 +244,8 @@ object SkylineExtensions {
       exprs => graft.functions.NfcNormalizeExpr(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_strip_accents",
       exprs => graft.functions.StripAccentsExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      exprs => graft.functions.SimhashExpr(exprs(0)), "built-in")
   }
 }
 

@@ -17,7 +17,7 @@ import graft.sources.Generators
   */
 object Bench {
 
-  private val headline = Seq(
+  private[graft] val headline = Seq(
     "sky2d_global", "sky2d_global_agg", "sky2d_dim", "sky2d_grid",
     "sky2d_angle", "sky3d_lineitem",
     "sky_optimality", "q1_pricing", "q3_top_orders", "q5_nation_revenue",

@@ -41,7 +41,8 @@ object Bench {
     "text_chunking", "domain_cap", "decontaminate", "text_repetition",
     "mix_weights", "pack_sequences", "dedup_segments", "text_perplexity",
     "interval_join", "events_funnel", "events_retention",
-    "events_latest", "events_zscore", "text_tfidf", "text_bm25", "emb_quantize",
+    "events_latest", "events_zscore", "text_tfidf", "text_bm25", "hybrid_rrf",
+    "emb_quantize",
     "emb_centroids", "basket_pairs", "events_rolling_7d",
     "part_above_brand_avg", "nation_revenue_share", "cms_sketch",
     "cms_estimate", "events_props_map", "q_weekday_revenue",
@@ -69,7 +70,7 @@ object Bench {
     "stream_dedup_minhash", "stream_dedup_incremental", "stream_perplexity",
     "stream_cdc_apply", "stream_enrich", "stream_validate", "stream_ann",
     "stream_manifest",
-    "stream_late_drop")
+    "stream_late_drop", "stream_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

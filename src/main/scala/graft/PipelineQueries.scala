@@ -551,6 +551,42 @@ object PipelineQueries {
         q.processAllAvailable()
       }.orderBy("event_id")
     }),
+    // Decontamination as an INGEST GATE: candidate documents arrive as a
+    // stream and are screened against a STATIC broadcast index of the
+    // benchmark set's 16-char shingles (the bench side of the batch
+    // `decontaminate` entry; eval sets are small — ~10^5 shingles — so the
+    // broadcast is the production shape). The stream-static LEFT SEMI join
+    // emits one row per contaminated (doc, shingle) hit and streaming
+    // dropDuplicates reduces that to ONE quarantine verdict per doc —
+    // state is one entry per contaminated id, bounded by contamination
+    // volume, not corpus size (production adds a watermark TTL). Output is
+    // the quarantine list; the oracle is the batch contaminated-set SQL,
+    // so the gate proves stream verdicts == batch verdicts.
+    "stream_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val d = docs(s, dir)
+      val benchSh = d.where(col("doc_id") % 97 === 0)
+        .select(explode(graft.functions.charShingles(col("text"), 16))
+          .as("shingle")).distinct()
+      val rows = d.where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val out = src.toDF().toDF("doc_id", "text")
+        .select(col("doc_id"),
+          explode(graft.functions.charShingles(col("text"), 16)).as("shingle"))
+        .join(broadcast(benchSh), Seq("shingle"), "left_semi")
+        .select(col("doc_id"))
+        .dropDuplicates("doc_id")
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      runAppendStream(s, out, "deconta") { q =>
+        src.addData(h1.toIndexedSeq)
+        q.processAllAvailable()
+        src.addData(h2.toIndexedSeq)
+        q.processAllAvailable()
+      }.orderBy("doc_id")
+    }),
     // CDC latest-state maintained INCREMENTALLY: the orders changelog
     // arrives as a stream in two batches; Cdc.latestState's max_by
     // aggregation runs under complete mode (state per key = ONE struct —
@@ -1027,6 +1063,14 @@ object PipelineQueries {
         |c.c_mktsegment AS segment, CAST(c.c_nationkey AS BIGINT) AS nation_key
         |FROM events e JOIN customer c ON c.c_custkey = e.user_id
         |ORDER BY e.event_id""".stripMargin.replace("\n", " "),
+    // streaming quarantine verdicts == the batch contaminated set (same
+    // 16-gram shingle CTE as the batch decontaminate oracle)
+    "stream_decontaminate" ->
+      s"""WITH sh16 AS (${TextQueries.shingles16Sql}),
+         |bench AS (SELECT DISTINCT shingle FROM sh16 WHERE doc_id % 97 = 0)
+         |SELECT DISTINCT s.doc_id FROM sh16 s JOIN bench b USING (shingle)
+         |WHERE s.doc_id % 97 <> 0 ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "),
     // in-store reservoir sample == the batch bottom-k sample
     "stream_sample_bottomk" -> TextQueries.oracleSql("sample_bottomk"),
     "stream_sample_weighted" -> TextQueries.oracleSql("sample_weighted"),

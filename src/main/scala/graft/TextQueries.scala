@@ -63,6 +63,16 @@ object TextQueries {
        |AS shingle FROM (SELECT doc_id, $normSql AS n FROM $src)"""
       .stripMargin.replace("\n", " ")
   private val shinglesSql = shinglesSqlFrom("documents")
+  /** 16-gram variant of the shingle CTE (same normalization; short texts
+    * yield the whole text as one shingle) — shared by the decontaminate
+    * oracle here and PipelineQueries' stream_decontaminate oracle so the
+    * shingle definition cannot drift between the batch and ingest-gate
+    * faces. */
+  private[graft] lazy val shingles16Sql =
+    s"""SELECT doc_id, unnest(list_distinct(
+       |[substr(n, i, 16) for i in range(1, greatest(length(n) - 15, 1) + 1)]))
+       |AS shingle FROM (SELECT doc_id, $normSql AS n FROM documents)"""
+      .stripMargin.replace("\n", " ")
 
   private val NUM_HASHES = 8
   private val BANDS = 4
@@ -89,6 +99,37 @@ object TextQueries {
        |  AND h.pos < w.s + least($WinnowW, w.g)),
        |sel AS (SELECT doc_id, s, pos, h, ROW_NUMBER() OVER (
        |  PARTITION BY doc_id, s ORDER BY h ASC, pos DESC) AS r FROM wg)"""
+      .stripMargin.replace("\n", " ")
+
+  /** BM25 per-document score CTE chain (ends in `bm25doc(doc_id,
+    * n_terms_matched, score_u6)`) — the ONE SQL definition of the odds-idf
+    * fixed-point scoring, shared by the text_bm25 and hybrid_rrf oracles so
+    * the lexical ranking cannot drift between retrieval and fusion. */
+  private lazy val bm25DocSql =
+    """toks AS (SELECT doc_id,
+      |  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      |  FROM documents),
+      |tk AS (SELECT doc_id, term FROM toks WHERE length(term) >= 3),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
+      |stats AS (SELECT COUNT(*) AS n_docs,
+      |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      |  FROM dl),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk
+      |  WHERE term IN ('vector', 'window', 'merge', 'stream')
+      |  GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |scored AS (SELECT tf.doc_id,
+      |  CAST(FLOOR(((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE)
+      |      + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)) *
+      |    ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+      |      (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |        (CAST(dl.dl AS DOUBLE) / s.avgdl)))) * 1000000.0)
+      |    AS BIGINT) AS score_u6
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+      |  CROSS JOIN stats s),
+      |bm25doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+      |  CAST(SUM(score_u6) AS BIGINT) AS score_u6
+      |FROM scored GROUP BY doc_id)"""
       .stripMargin.replace("\n", " ")
 
   // --- count-min sketch geometry (single source of truth for cms_sketch /
@@ -750,6 +791,35 @@ object TextQueries {
           Seq("vector", "window", "merge", "stream"))
         .orderBy(col("score_u6").desc, col("doc_id"))
         .limit(20)
+    }),
+    // Reciprocal-rank-fusion hybrid retrieval (Cormack/Clarke/Buettcher
+    // 2009): the lexical BM25 ranking and the dense cosine ranking (query =
+    // vec_id 0's embedding, doc ids aligned with vec ids) each yield a
+    // BOUNDED top-100 candidate list — orderBy+limit plans as
+    // TakeOrderedAndProject, a distributed top-k with no global sort — and
+    // the fused score sums the exact integer 10^9 div (60 + rank) over the
+    // lists a doc appears in (missing from a list contributes 0). The
+    // row_number windows run over the ALREADY-BOUNDED 100-row lists, so at
+    // 100 TB the only corpus-wide work is the two scans the component
+    // rankers already do; fusion itself is O(k).
+    "hybrid_rrf" -> ((s, dir) => {
+      val lex = graft.operators.TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
+          Seq("vector", "window", "merge", "stream"))
+        .orderBy(col("score_u6").desc, col("doc_id")).limit(100)
+        .withColumn("lex_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_u6").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("lex_rank"))
+      val e = emb(s, dir)
+      val vec = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+          e.where(col("vec_id") === 0), "vec_id", "embedding", k = 100)
+        .select(col("nbr_id").as("doc_id"), col("rank").as("vec_rank"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          expr("coalesce(1000000000L div (60L + lex_rank), 0L)" +
+            " + coalesce(1000000000L div (60L + vec_rank), 0L)").as("rrf_u9"),
+          col("lex_rank"), col("vec_rank"))
+        .orderBy(col("rrf_u9").desc, col("doc_id")).limit(20)
     }),
     // perplexity-flavored LM quality filter: the even-doc_id half trains
     // the bigram model, the odd half is scored (design + determinism notes
@@ -1577,13 +1647,6 @@ object TextQueries {
          |FROM ranked WHERE rank_in_domain <= 50
          |ORDER BY source, rank_in_domain""".stripMargin.replace("\n", " ")
 
-    // 16-gram variant of the shingle CTE (same normalization; short texts
-    // yield the whole text as one shingle)
-    val shingles16Sql =
-      s"""SELECT doc_id, unnest(list_distinct(
-         |[substr(n, i, 16) for i in range(1, greatest(length(n) - 15, 1) + 1)]))
-         |AS shingle FROM (SELECT doc_id, $normSql AS n FROM documents)"""
-        .stripMargin.replace("\n", " ")
     m += "decontaminate" ->
       s"""WITH sh8 AS ($shingles16Sql),
          |bench AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 97 = 0),
@@ -1805,31 +1868,29 @@ object TextQueries {
     // than one parsing a decimal literal the other computed); per-term
     // scores floored to integer millionths before the per-doc sum.
     m += "text_bm25" ->
-      """WITH toks AS (SELECT doc_id,
-        |  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
-        |  FROM documents),
-        |tk AS (SELECT doc_id, term FROM toks WHERE length(term) >= 3),
-        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
-        |stats AS (SELECT COUNT(*) AS n_docs,
-        |  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
-        |  FROM dl),
-        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk
-        |  WHERE term IN ('vector', 'window', 'merge', 'stream')
-        |  GROUP BY doc_id, term),
-        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-        |scored AS (SELECT tf.doc_id,
-        |  CAST(FLOOR(((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE)
-        |      + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)) *
-        |    ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
-        |      (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-        |        (CAST(dl.dl AS DOUBLE) / s.avgdl)))) * 1000000.0)
-        |    AS BIGINT) AS score_u6
-        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
-        |  CROSS JOIN stats s)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
-        |  CAST(SUM(score_u6) AS BIGINT) AS score_u6
-        |FROM scored GROUP BY doc_id
+      s"""WITH $bm25DocSql
+        |SELECT doc_id, n_terms_matched, score_u6 FROM bm25doc
         |ORDER BY score_u6 DESC, doc_id LIMIT 20"""
+        .stripMargin.replace("\n", " ")
+
+    m += "hybrid_rrf" ->
+      s"""WITH $bm25DocSql,
+        |lex_all AS (SELECT doc_id, ROW_NUMBER() OVER (
+        |  ORDER BY score_u6 DESC, doc_id) AS lex_rank FROM bm25doc),
+        |lex_top AS (SELECT doc_id, lex_rank FROM lex_all WHERE lex_rank <= 100),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        |  WHERE vec_id = 0),
+        |vec_all AS (SELECT e.vec_id AS doc_id, ROW_NUMBER() OVER (
+        |  ORDER BY list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[]))
+        |    DESC, e.vec_id) AS vec_rank
+        |  FROM embeddings e CROSS JOIN q),
+        |vec_top AS (SELECT doc_id, vec_rank FROM vec_all WHERE vec_rank <= 100)
+        |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |  CAST(COALESCE(1000000000 // (60 + l.lex_rank), 0)
+        |     + COALESCE(1000000000 // (60 + v.vec_rank), 0) AS BIGINT) AS rrf_u9,
+        |  l.lex_rank, v.vec_rank
+        |FROM lex_top l FULL OUTER JOIN vec_top v ON l.doc_id = v.doc_id
+        |ORDER BY rrf_u9 DESC, doc_id LIMIT 20"""
         .stripMargin.replace("\n", " ")
 
     // Same fixed-point arithmetic and association order as the Spark side:

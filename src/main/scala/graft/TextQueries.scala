@@ -811,8 +811,8 @@ object TextQueries {
             .orderBy(col("score_u6").desc, col("doc_id"))).cast("long"))
         .select(col("doc_id"), col("lex_rank"))
       val e = emb(s, dir)
-      val vec = Similarity.bruteForceTopK(e, "vec_id", "embedding",
-          e.where(col("vec_id") === 0), "vec_id", "embedding", k = 100)
+      val vec = Similarity.topKToQuery(e, "vec_id", "embedding",
+          e.where(col("vec_id") === 0), "embedding", k = 100)
         .select(col("nbr_id").as("doc_id"), col("rank").as("vec_rank"))
       lex.join(vec, Seq("doc_id"), "full_outer")
         .select(col("doc_id"),

@@ -41,6 +41,32 @@ object Similarity {
         col("nbr_id"), col("cosine"))
   }
 
+  /** Cosine top-k of the corpus against a SINGLE query vector — the serving
+    * shape for one query. Unlike [[bruteForceTopK]]'s per-query window
+    * (which sorts each query's full candidate set inside one partition),
+    * the bounded orderBy+limit plans as TakeOrderedAndProject: per-partition
+    * top-k then a k-row merge, so no task ever sorts the corpus. The rank
+    * window then runs over the ALREADY-BOUNDED k rows. Same cosine
+    * expression as bruteForceTopK, so the two agree row-for-row on their
+    * common prefix. `query` must be exactly one row (broadcast cross join;
+    * enforced downstream by the oracle gate, not a collect here). */
+  def topKToQuery(corpus: DataFrame, corpusId: String, corpusVec: String,
+                  query: DataFrame, queryVec: String, k: Int): DataFrame = {
+    val c = corpus.select(col(corpusId).as("nbr_id"), asDouble(col(corpusVec)).as("cvec"))
+      .withColumn("cnrm", sqrt(VectorExpressions.sqNormNative(col("cvec"))))
+    val q = query.select(asDouble(col(queryVec)).as("qvec"))
+      .withColumn("qnrm", sqrt(VectorExpressions.sqNormNative(col("qvec"))))
+    val top = c.crossJoin(broadcast(q))
+      .select(col("nbr_id"),
+        cosineFromNorms(VectorExpressions.dotNative(col("qvec"), col("cvec")),
+          col("qnrm"), col("cnrm")).as("cosine"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("nbr_id").asc)).cast("long"))
+      .select(col("rank"), col("nbr_id"), col("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * a value in [-0.5, 0.5) derived from md5 — identical across engines.
     * Exposed package-wide so the DuckDB oracle SQL can embed the exact same

@@ -39,6 +39,28 @@ class HybridRetrievalSpec extends AnyFunSuite {
     assert(doc0.isDefined && !doc0.get.isNullAt(3) && doc0.get.getLong(3) == 1L)
   }
 
+  test("hybrid_rrf plans its top-k lists as TakeOrderedAndProject, no corpus sort") {
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("hybrid_rrf").queryExecution.executedPlan
+      val takeOrdered = plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t }
+      val sorts = plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      // lex top-100, vec top-100, final top-20 — all bounded top-k merges
+      assert(takeOrdered.length == 3, s"expected 3 TakeOrdered, got $plan")
+      // the only sorts feed the rank windows over the 100-row lists (plus
+      // the full-outer SortMergeJoin of the two 100-row lists); any sort
+      // beyond those means a corpus-wide ordering crept in
+      assert(windows.length == 2, s"expected 2 rank windows, got $plan")
+      assert(sorts.length <= windows.length + 2,
+        s"unexpected extra SortExec (corpus-wide sort?): $plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
   test("stream_decontaminate verdicts == the batch contaminated set") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val benchSh = d.where(col("doc_id") % 97 === 0)

@@ -251,4 +251,24 @@ object Graft {
                      nLists: Int, nProbe: Int): DataFrame =
     Similarity.ivfScoreStream(corpus, corpusId, corpusVec, queryStream,
       queryId, queryVec, nLists, nProbe)
+
+  /** Single-query cosine top-k in the serving shape (TakeOrderedAndProject,
+    * no corpus-wide sort). */
+  def annTopKSingle(corpus: DataFrame, corpusId: String, corpusVec: String,
+                    query: DataFrame, queryVec: String, k: Int): DataFrame =
+    Similarity.topKToQuery(corpus, corpusId, corpusVec, query, queryVec, k)
+
+  /** Reciprocal-rank fusion of named bounded candidate lists (exact
+    * integer scores; absence from a list contributes 0). */
+  def rrfFuse(lists: Seq[(String, DataFrame)], idCol: String,
+              rankCol: String = "rank", rrfK: Int = 60): DataFrame =
+    Similarity.rrfFuse(lists, idCol, rankCol, rrfK)
+
+  /** Benchmark-contamination quarantine list: docs sharing any k-char
+    * shingle with the (broadcast) benchmark shingle set. Batch or
+    * streaming (the ingest-gate face). */
+  def decontaminationGate(df: DataFrame, idCol: String, textCol: String,
+                          benchShingles: DataFrame, k: Int = 16): DataFrame =
+    operators.TextAnalysis.decontaminationGate(df, idCol, textCol,
+      benchShingles, k)
 }

@@ -573,12 +573,8 @@ object PipelineQueries {
         .select(col("doc_id"), col("text")).as[(Long, String)].collect()
       val src = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
-      val out = src.toDF().toDF("doc_id", "text")
-        .select(col("doc_id"),
-          explode(graft.functions.charShingles(col("text"), 16)).as("shingle"))
-        .join(broadcast(benchSh), Seq("shingle"), "left_semi")
-        .select(col("doc_id"))
-        .dropDuplicates("doc_id")
+      val out = graft.operators.TextAnalysis.decontaminationGate(
+        src.toDF().toDF("doc_id", "text"), "doc_id", "text", benchSh)
       val (h1, h2) = rows.splitAt(rows.length / 2)
       runAppendStream(s, out, "deconta") { q =>
         src.addData(h1.toIndexedSeq)

@@ -813,12 +813,10 @@ object TextQueries {
       val e = emb(s, dir)
       val vec = Similarity.topKToQuery(e, "vec_id", "embedding",
           e.where(col("vec_id") === 0), "embedding", k = 100)
-        .select(col("nbr_id").as("doc_id"), col("rank").as("vec_rank"))
-      lex.join(vec, Seq("doc_id"), "full_outer")
-        .select(col("doc_id"),
-          expr("coalesce(1000000000L div (60L + lex_rank), 0L)" +
-            " + coalesce(1000000000L div (60L + vec_rank), 0L)").as("rrf_u9"),
-          col("lex_rank"), col("vec_rank"))
+        .select(col("nbr_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(
+          Seq("lex" -> lex.select(col("doc_id"), col("lex_rank").as("rank")),
+              "vec" -> vec), "doc_id")
         .orderBy(col("rrf_u9").desc, col("doc_id")).limit(20)
     }),
     // perplexity-flavored LM quality filter: the even-doc_id half trains

@@ -67,6 +67,29 @@ object Similarity {
       .select(col("rank"), col("nbr_id"), col("cosine"))
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of named,
+    * ALREADY-BOUNDED candidate lists: each input carries (idCol, rankCol)
+    * with ranks 1..k, and the fused score sums the exact integer
+    * `10^9 div (rrfK + rank)` over the lists an id appears in (absence
+    * contributes 0 — the standard RRF treatment). Output:
+    * (idCol, rrf_u9, <name>_rank...). Integer div, never double division,
+    * so the score is bit-exact and order-free. Fusion is O(k · lists):
+    * full-outer joins of k-row frames — the corpus-scale work happened in
+    * the component rankers. */
+  def rrfFuse(lists: Seq[(String, DataFrame)], idCol: String,
+              rankCol: String = "rank", rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val named = lists.map { case (n, df) =>
+      df.select(col(idCol), col(rankCol).cast("long").as(s"${n}_rank")) }
+    val joined = named.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = lists.map { case (n, _) =>
+      expr(s"coalesce(1000000000L div (${rrfK}L + ${n}_rank), 0L)") }
+      .reduce(_ + _)
+    joined.withColumn("rrf_u9", score)
+      .select(col(idCol) +: col("rrf_u9") +:
+        lists.map { case (n, _) => col(s"${n}_rank") }: _*)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * a value in [-0.5, 0.5) derived from md5 — identical across engines.
     * Exposed package-wide so the DuckDB oracle SQL can embed the exact same

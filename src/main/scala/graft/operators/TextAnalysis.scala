@@ -421,6 +421,23 @@ object TextAnalysis {
         col("blend_u6"): _*)
   }
 
+  /** Benchmark-contamination verdicts: one row per document sharing at
+    * least one k-char shingle with the benchmark set. `benchShingles` is a
+    * one-column (`shingle`) frame of the eval set's normalized k-grams —
+    * eval sets are small, so it broadcasts and the candidate side streams
+    * through a scan-speed semi join. Works identically on a BATCH frame
+    * and a STREAMING one (stream-static left semi + streaming
+    * dropDuplicates = the ingest-gate face; state is one entry per
+    * contaminated id, bounded by contamination volume — production adds a
+    * watermark TTL). Output: (idCol) — the quarantine list. */
+  def decontaminationGate(df: DataFrame, idCol: String, textCol: String,
+                          benchShingles: DataFrame, k: Int = 16): DataFrame =
+    df.select(col(idCol),
+        explode(charShingles(col(textCol), k)).as("shingle"))
+      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .select(col(idCol))
+      .dropDuplicates(idCol)
+
   /** Small multilingual marker vocabularies (public common stopwords). */
   val LangMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a"),

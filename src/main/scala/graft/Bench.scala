@@ -49,7 +49,8 @@ object Bench {
     "graph_pagerank", "graph_pagerank_digraph", "graph_triangles",
     "funnel_latency", "distinct_sketch", "events_dist_ranks",
     "q_not_in_nulls", "bloom_semi_join", "table_profile", "fk_integrity", "fuzzy_join_del1", "events_ntile", "hll_distinct", "zorder_layout", "bucketed_join", "compaction_plan",
-    "events_topk_users", "dataset_split", "text_length_buckets",
+    "events_topk_users", "dataset_split", "split_leakage_safe",
+    "text_length_buckets",
     "sample_bottomk", "sample_weighted", "text_normalize",
     "emb_gram", "emb_kmeans", "dedup_keep_best",
     "cdc_apply", "sky_grouped", "dedup_simhash_pairs",

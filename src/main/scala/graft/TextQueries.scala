@@ -418,6 +418,29 @@ object TextQueries {
           (col("id") === col("keep_id")).as("keep"))
         .orderBy("id")
     }),
+    // LEAKAGE-SAFE train/validation/test split: dataset_split's 90/5/5
+    // hash buckets, but keyed on the near-dup CLUSTER id (same labels as
+    // dedup_clusters), so a cluster can never straddle train and eval —
+    // the contamination mode a doc-keyed split can't prevent. Per-split
+    // doc/cluster counts; the one-cluster-one-split law is spec-asserted.
+    "split_leakage_safe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", k = 5,
+        threshold = 0.35, maxDocFreq = 100).select(col("id_a"), col("id_b"))
+      Dedup.clusterNearDups(d.select(col("doc_id").as("id")), pairs)
+        .select(col("cluster_id"),
+          pmod(graft.functions.hash60(
+            concat(lit("split#"), col("cluster_id").cast("string"))),
+            lit(100L)).as("b"))
+        .select(col("cluster_id"),
+          when(col("b") < 90, "train")
+            .when(col("b") < 95, "validation")
+            .otherwise("test").as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .orderBy("split")
+    }),
     // simhash (relational bit-vote form)
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
@@ -606,12 +629,8 @@ object TextQueries {
         .select(explode(graft.functions.charShingles(col("text"), 16))
           .as("shingle")).distinct()
       val cand = d.where(col("doc_id") % 97 =!= 0)
-      val candSh = cand.select(col("doc_id"),
-          explode(graft.functions.charShingles(col("text"), 16)).as("shingle"))
-        .dropDuplicates("doc_id", "shingle")
-      val contaminated = candSh
-        .join(broadcast(benchSh), Seq("shingle"), "left_semi")
-        .select(col("doc_id")).distinct()
+      val contaminated =
+        TextAnalysis.decontaminationGate(cand, "doc_id", "text", benchSh)
       cand.join(contaminated, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("source")).orderBy("doc_id")
     }),
@@ -1342,6 +1361,21 @@ object TextQueries {
          |    ORDER BY t.n_tokens DESC, l.id ASC)) = 1 AS keep
          |FROM lab l JOIN tok t ON t.id = l.id
          |ORDER BY l.id""".stripMargin.replace("\n", " ")
+
+    // leakage-safe split: the split hash is keyed on the CLUSTER id, so a
+    // near-dup cluster can never straddle train/eval — the oracle recomputes
+    // the labels with the same recursive-CC CTEs as dedup_clusters
+    m += "split_leakage_safe" ->
+      s"""WITH RECURSIVE $clusterLabCtes,
+         |sp AS (SELECT id, cluster_id,
+         |  CASE WHEN ${hash60Sql("concat('split#', CAST(cluster_id AS VARCHAR))")} % 100 < 90
+         |    THEN 'train'
+         |  WHEN ${hash60Sql("concat('split#', CAST(cluster_id AS VARCHAR))")} % 100 < 95
+         |    THEN 'validation'
+         |  ELSE 'test' END AS split FROM lab)
+         |SELECT split, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT cluster_id) AS n_clusters
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin.replace("\n", " ")
 
     // histogram-CDF rank blend: one CTE chain per signal mirroring
     // histBin's arithmetic token-for-token (the hist_quantiles parity),

@@ -413,4 +413,26 @@ class CatalogAnalyticsSpec extends AnyFunSuite {
     assert(out(1L) > out(2L), "higher tf must outrank at equal length")
     assert(out(2L) > out(4L), "shorter doc must outrank at equal tf")
   }
+
+  test("split_leakage_safe: no near-dup cluster straddles two splits; totals conserved") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", k = 5,
+      threshold = 0.35, maxDocFreq = 100).select(col("id_a"), col("id_b"))
+    val lab = Dedup.clusterNearDups(d.select(col("doc_id").as("id")), pairs)
+    val perDoc = lab.select(col("id"), col("cluster_id"),
+        when(pmod(graft.functions.hash60(concat(lit("split#"),
+          col("cluster_id").cast("string"))), lit(100L)) < 90, "train")
+          .when(pmod(graft.functions.hash60(concat(lit("split#"),
+            col("cluster_id").cast("string"))), lit(100L)) < 95, "validation")
+          .otherwise("test").as("split"))
+    val straddlers = perDoc.groupBy("cluster_id")
+      .agg(countDistinct("split").as("ns")).where(col("ns") > 1).count()
+    assert(straddlers == 0L)
+    val got = run("split_leakage_safe").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.values.map(_._1).sum == d.count(), "every doc lands in a split")
+    assert(got.values.map(_._2).sum ==
+      lab.select("cluster_id").distinct().count(), "every cluster counted once")
+  }
 }

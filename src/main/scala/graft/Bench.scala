@@ -175,7 +175,8 @@ object Bench {
       "sky_1m_4d_bcast", "sky_500k_4d_xfilter", "sky_1m_3d_gridpar",
       "sky_1m_3d_tree_uni", "dedup_minhash_600k_sig", "dedup_minhash_600k",
       "dedup_simhash_600k",
-      "text_perplexity_600k", "dedup_substring_600k", "cdc_apply_5m")
+      "text_perplexity_600k", "dedup_substring_600k", "hybrid_rrf_600k",
+      "cdc_apply_5m")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // fail fast on a typo'd name — a silent no-op would masquerade as a
@@ -336,6 +337,45 @@ object Bench {
           Generators.syntheticCorpus(spark, 600000L), "doc_id", "text",
           clean = true)
         .write.format("noop").mode("overwrite").save()
+    }
+    // Retrieval fusion at 600k docs: BM25 over the translated corpus (the
+    // tokenizer keeps [a-z]+ runs, so digits map to letters) plus the
+    // single-query dense top-100 over 600k hash-derived 64-d vectors
+    // (TakeOrderedAndProject — no task sorts the corpus), fused by integer
+    // RRF. Proves the bounded-top-k shape at corpus scale: no window ever
+    // sees more than 100 rows.
+    bench("hybrid_rrf_600k") {
+      import org.apache.spark.sql.functions._
+      // materialized (as a real corpus would be — a parquet scan, not a
+      // computed expression): bm25 + the dense side read the text/ids a
+      // handful of times, and without this the bench times the synthetic
+      // GENERATOR's re-evaluation instead of the operators
+      val d = Generators.syntheticCorpus(spark, 600000L)
+        .select(col("doc_id"),
+          translate(col("text"), "0123456789", "abcdefghij").as("text"))
+        .localCheckpoint(true)
+      // each 100-row list is materialized once (a served pipeline would
+      // reuse retrieved lists, and lazy frames would re-run both corpus
+      // scans inside the fusion join)
+      val lex = graft.operators.TextAnalysis.bm25(d, "doc_id", "text",
+          Seq("wbcd", "whhh", "weca", "wjjj"))
+        .orderBy(col("score_u6").desc, col("doc_id")).limit(100)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_u6").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rank"))
+        .localCheckpoint(true)
+      val embDf = d.select(col("doc_id"),
+        transform(sequence(lit(0), lit(63)),
+          i => pmod(hash(col("doc_id"), i), lit(1000)).cast("double") / 1000.0)
+          .as("embedding"))
+      val vec = graft.operators.Similarity.topKToQuery(embDf, "doc_id",
+          "embedding", embDf.where(col("doc_id") === 0), "embedding", 100)
+        .select(col("nbr_id").as("doc_id"), col("rank"))
+        .localCheckpoint(true)
+      graft.operators.Similarity.rrfFuse(
+          Seq("lex" -> lex, "vec" -> vec), "doc_id")
+        .orderBy(col("rrf_u9").desc, col("doc_id")).limit(20).count()
     }
     // CDC MERGE at volume: a 5M-row synthetic changelog (distinct-date
     // churn per key, 1/13 delete tombstones) collapsed latest-wins onto a

@@ -172,12 +172,11 @@ object TextAnalysis {
     * per-doc sum, so the aggregate is an order-free integer sum — the
     * same fixed-point discipline as text_tfidf/text_perplexity.
     *
-    * Scale shape (100 TB): the query-term filter lands directly on the
-    * token stream (scan-speed; only |Q| terms survive), so tf is a
-    * (doc, term)-keyed groupBy over a tiny slice; df aggregates that to
-    * |Q| rows and broadcasts; doc lengths are one corpus-keyed groupBy
-    * whose join to tf co-partitions on the doc id; avgdl/N is a one-row
-    * cross broadcast. Nothing driver-side, no corpus self-join.
+    * Scale shape (100 TB): ONE corpus scan — dl and each query term's tf
+    * are pure per-row expressions over a shared token-array subexpression
+    * (never an exploded token relation), and the only shuffle is the
+    * one-row N/avgdl/df aggregate broadcast back to the scan. Nothing
+    * driver-side, no corpus self-join, no corpus-sized shuffle.
     *
     * Output: (idCol, n_terms_matched, score_u6) for every document
     * containing at least one query term; `score_u6` = BM25 score in
@@ -187,34 +186,62 @@ object TextAnalysis {
   def bm25(df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val toks = df.select(col(idCol),
-        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
-          .as("term"))
-      .where(length(col("term")) >= 3)
-    val dl = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
+    require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
+    require(queryTerms.forall(_.matches("[a-z]{3,}")),
+      "query terms must be lowercase letter runs of length >= 3 " +
+        "(the tokenizer keeps exactly those)")
+    // ONE-SCAN shape, pure codegen: dl counts the >=3-letter token runs
+    // and each query term's tf counts its standalone-token occurrences
+    // (lookarounds pin complete [a-z]+ runs), all via regexp_count — no
+    // token explode, no higher-order functions (HOF lambdas fall back to
+    // interpreted eval AND defeat subexpression elimination; the
+    // array-filter formulation measured 5 regexp passes per row and a 4x
+    // fresh-JVM penalty at 600k docs). The only shuffle in the whole
+    // operator is the ONE-ROW stats aggregate broadcast back to the scan.
+    val lowered = lower(col(textCol))
+    def countCols = col(idCol) +:
+      regexp_count(lowered, lit("[a-z]{3,}")).cast("long").as("dl") +:
+      queryTerms.zipWithIndex.map { case (t, i) =>
+        regexp_count(lowered, lit(s"(?<![a-z])$t(?![a-z])")).cast("long")
+          .as(s"_tf$i")
+      }
+    val perDoc = df.select(countCols: _*).where(col("dl") > 0)
+    val aggExprs = Seq(
+      count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
-        .as("avgdl"))
-    val tf = toks.where(col("term").isin(queryTerms: _*))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .as("avgdl")) ++
+      queryTerms.indices.map(i =>
+        sum(when(col(s"_tf$i") > 0, lit(1L)).otherwise(lit(0L))).as(s"_df$i"))
+    val stats = perDoc.agg(aggExprs.head, aggExprs.tail: _*)
+    // the scored side keeps only docs containing >=1 query term, filtered
+    // with ONE rlike on the RAW text column before the count projection —
+    // filtering on an nMatched alias instead would push a predicate that
+    // re-counts every term per row (pushdown substitutes aliases
+    // cost-blind). Any term present implies dl > 0, so dl>0 is subsumed.
+    val matched = df.where(lowered.rlike(
+        s"(?<![a-z])(${queryTerms.mkString("|")})(?![a-z])"))
+      .select(countCols: _*)
     // expression order mirrors the oracle SQL token-for-token: each
     // subexpression is the same two-operand IEEE op sequence on both
     // engines, so the floor-to-millionths below cannot straddle an ulp
-    val idf = (col("n_docs").cast("double") - col("df").cast("double") +
-      lit(0.5)) / (col("df").cast("double") + lit(0.5))
-    val norm = (col("tf").cast("double") * lit(k1 + 1.0)) /
-      (col("tf").cast("double") +
-        lit(k1) * (lit(1.0 - b) + lit(b) *
+    val termScores = queryTerms.indices.map { i =>
+      val tf = col(s"_tf$i").cast("double")
+      val dfd = col(s"_df$i").cast("double")
+      val idf = (col("n_docs").cast("double") - dfd + lit(0.5)) /
+        (dfd + lit(0.5))
+      val norm = (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) *
           (col("dl").cast("double") / col("avgdl"))))
-    tf.join(broadcast(dfreq), "term")
-      .join(dl, Seq(idCol))
-      .crossJoin(broadcast(stats))
+      when(col(s"_tf$i") > 0, floor(idf * norm * lit(1000000.0)))
+        .otherwise(lit(0L))
+    }
+    val nMatched = queryTerms.indices
+      .map(i => when(col(s"_tf$i") > 0, lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    matched.crossJoin(broadcast(stats))
       .select(col(idCol),
-        floor(idf * norm * lit(1000000.0)).as("score_u6"))
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_terms_matched"),
-        sum(col("score_u6")).as("score_u6"))
+        nMatched.cast("long").as("n_terms_matched"),
+        termScores.reduce(_ + _).cast("long").as("score_u6"))
   }
 
   /** One BPE merge iteration over the initial character vocabulary: the

@@ -271,4 +271,12 @@ object Graft {
                           benchShingles: DataFrame, k: Int = 16): DataFrame =
     operators.TextAnalysis.decontaminationGate(df, idCol, textCol,
       benchShingles, k)
+
+  /** Leakage-safe split: near-dup clusters hashed whole into
+    * train/validation/test, so no cluster straddles train and eval.
+    * Returns (id, cluster_id, split) per document. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       cuts: Seq[(String, Int)] = Seq(("train", 90),
+                         ("validation", 95), ("test", 100))): DataFrame =
+    Dedup.leakageSafeSplit(df, idCol, textCol, cuts = cuts)
 }

@@ -423,24 +423,12 @@ object TextQueries {
     // dedup_clusters), so a cluster can never straddle train and eval —
     // the contamination mode a doc-keyed split can't prevent. Per-split
     // doc/cluster counts; the one-cluster-one-split law is spec-asserted.
-    "split_leakage_safe" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", k = 5,
-        threshold = 0.35, maxDocFreq = 100).select(col("id_a"), col("id_b"))
-      Dedup.clusterNearDups(d.select(col("doc_id").as("id")), pairs)
-        .select(col("cluster_id"),
-          pmod(graft.functions.hash60(
-            concat(lit("split#"), col("cluster_id").cast("string"))),
-            lit(100L)).as("b"))
-        .select(col("cluster_id"),
-          when(col("b") < 90, "train")
-            .when(col("b") < 95, "validation")
-            .otherwise("test").as("split"))
+    "split_leakage_safe" -> ((s, dir) =>
+      Dedup.leakageSafeSplit(docs(s, dir), "doc_id", "text")
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("cluster_id")).as("n_clusters"))
-        .orderBy("split")
-    }),
+        .orderBy("split")),
     // simhash (relational bit-vote form)
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")),

@@ -766,4 +766,33 @@ object Dedup {
     else
       out.drop("words", "cov")
   }
+
+  /** LEAKAGE-SAFE train/validation/test assignment: near-dup clusters
+    * ([[ngramJaccardPairs]] edges → [[clusterNearDups]] labels) hashed
+    * into deterministic percent buckets keyed on the CLUSTER id, so a
+    * near-dup cluster can never straddle train and eval — the
+    * contamination mode a per-document hash split cannot prevent (an
+    * eval doc whose near-duplicate sits in train is a leaked answer).
+    * `cuts` are cumulative upper percent bounds paired with split names,
+    * e.g. Seq(("train", 90), ("validation", 95), ("test", 100)).
+    * Returns (id, cluster_id, split) — one row per document. Cost on top
+    * of clustering: the split is a pure function of the label (zero extra
+    * shuffle). */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 5, threshold: Double = 0.35,
+                       maxDocFreq: Int = 100,
+                       cuts: Seq[(String, Int)] = Seq(("train", 90),
+                         ("validation", 95), ("test", 100))): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 100,
+      "cuts must be cumulative percents ending at 100")
+    val pairs = ngramJaccardPairs(df, idCol, textCol, k, threshold,
+        maxDocFreq).select(col("id_a"), col("id_b"))
+    val lab = clusterNearDups(df.select(col(idCol).as("id")), pairs)
+    val b = pmod(graft.functions.hash60(
+      concat(lit("split#"), col("cluster_id").cast("string"))), lit(100L))
+    val split = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, hi), rest) => when(b < hi, lit(name)).otherwise(rest)
+    }
+    lab.select(col("id"), col("cluster_id"), split.as("split"))
+  }
 }

@@ -785,6 +785,9 @@ object Dedup {
                          ("validation", 95), ("test", 100))): DataFrame = {
     require(cuts.nonEmpty && cuts.last._2 == 100,
       "cuts must be cumulative percents ending at 100")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted &&
+      cuts.map(_._2).distinct == cuts.map(_._2),
+      "cuts must be strictly ascending (the when-chain reads them in order)")
     val pairs = ngramJaccardPairs(df, idCol, textCol, k, threshold,
         maxDocFreq).select(col("id_a"), col("id_b"))
     val lab = clusterNearDups(df.select(col(idCol).as("id")), pairs)

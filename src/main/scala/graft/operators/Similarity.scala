@@ -79,6 +79,10 @@ object Similarity {
   def rrfFuse(lists: Seq[(String, DataFrame)], idCol: String,
               rankCol: String = "rank", rrfK: Int = 60): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(lists.map(_._1).distinct == lists.map(_._1),
+      "list names must be distinct")
+    require(lists.forall(_._1.matches("[A-Za-z][A-Za-z0-9_]*")),
+      "list names must be identifiers (they become <name>_rank columns)")
     val named = lists.map { case (n, df) =>
       df.select(col(idCol), col(rankCol).cast("long").as(s"${n}_rank")) }
     val joined = named.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))

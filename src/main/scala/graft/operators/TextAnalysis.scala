@@ -458,12 +458,16 @@ object TextAnalysis {
     * contaminated id, bounded by contamination volume — production adds a
     * watermark TTL). Output: (idCol) — the quarantine list. */
   def decontaminationGate(df: DataFrame, idCol: String, textCol: String,
-                          benchShingles: DataFrame, k: Int = 16): DataFrame =
+                          benchShingles: DataFrame, k: Int = 16): DataFrame = {
+    require(benchShingles.columns.contains("shingle"),
+      s"benchShingles needs a 'shingle' column, got " +
+        benchShingles.columns.mkString(", "))
     df.select(col(idCol),
         explode(charShingles(col(textCol), k)).as("shingle"))
       .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
       .select(col(idCol))
       .dropDuplicates(idCol)
+  }
 
   /** Small multilingual marker vocabularies (public common stopwords). */
   val LangMarkers: Map[String, Seq[String]] = Map(

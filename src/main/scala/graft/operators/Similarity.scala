@@ -52,6 +52,14 @@ object Similarity {
     * enforced downstream by the oracle gate, not a collect here). */
   def topKToQuery(corpus: DataFrame, corpusId: String, corpusVec: String,
                   query: DataFrame, queryVec: String, k: Int): DataFrame = {
+    // a >1-row query side would interleave cosines from different queries
+    // into one meaningless ranking with no error — fail fast instead. The
+    // guard job is bounded (collects at most 2 rows).
+    val qRows = query.select(asDouble(col(queryVec)).as("qvec"))
+      .limit(2).collect()
+    require(qRows.length == 1,
+      s"query must be exactly one row, got ${qRows.length} " +
+        "(use bruteForceTopK for multi-query ranking)")
     val c = corpus.select(col(corpusId).as("nbr_id"), asDouble(col(corpusVec)).as("cvec"))
       .withColumn("cnrm", sqrt(VectorExpressions.sqNormNative(col("cvec"))))
     val q = query.select(asDouble(col(queryVec)).as("qvec"))
@@ -75,10 +83,16 @@ object Similarity {
     * (idCol, rrf_u9, <name>_rank...). Integer div, never double division,
     * so the score is bit-exact and order-free. Fusion is O(k · lists):
     * full-outer joins of k-row frames — the corpus-scale work happened in
-    * the component rankers. */
+    * the component rankers.
+    *
+    * CONTRACT: each list must carry ONE row per id with a positive rank
+    * (row_number semantics; rank()-style ties would fan out the join
+    * chain into duplicated fused rows, multiplicatively with 3+ lists). */
   def rrfFuse(lists: Seq[(String, DataFrame)], idCol: String,
               rankCol: String = "rank", rrfK: Int = 60): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(rrfK > 0, s"rrfK must be positive, got $rrfK " +
+      "(a non-positive constant can hit division by zero -> silent null)")
     require(lists.map(_._1).distinct == lists.map(_._1),
       "list names must be distinct")
     require(lists.forall(_._1.matches("[A-Za-z][A-Za-z0-9_]*")),

@@ -172,11 +172,11 @@ object TextAnalysis {
     * per-doc sum, so the aggregate is an order-free integer sum — the
     * same fixed-point discipline as text_tfidf/text_perplexity.
     *
-    * Scale shape (100 TB): ONE corpus scan — dl and each query term's tf
-    * are pure per-row expressions over a shared token-array subexpression
-    * (never an exploded token relation), and the only shuffle is the
-    * one-row N/avgdl/df aggregate broadcast back to the scan. Nothing
-    * driver-side, no corpus self-join, no corpus-sized shuffle.
+    * Scale shape (100 TB): dl and each query term's tf are pure per-row
+    * regex-count expressions — never an exploded token relation — so the
+    * operator is two codegen scans (the one-row N/avgdl/df stats
+    * aggregate, broadcast back; and the rlike-pruned scored scan) with no
+    * corpus-sized shuffle and nothing driver-side.
     *
     * Output: (idCol, n_terms_matched, score_u6) for every document
     * containing at least one query term; `score_u6` = BM25 score in

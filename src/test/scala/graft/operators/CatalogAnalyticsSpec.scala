@@ -417,22 +417,25 @@ class CatalogAnalyticsSpec extends AnyFunSuite {
   test("split_leakage_safe: no near-dup cluster straddles two splits; totals conserved") {
     import org.apache.spark.sql.functions._
     val d = spark.read.parquet(s"$dir/documents.parquet")
+    // INDEPENDENT cluster labels (the operator must agree with these —
+    // asserting on the operator's own cluster_id column alone would make
+    // the no-straddle check tautological, since its split is a function
+    // of whatever it labeled)
     val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", k = 5,
       threshold = 0.35, maxDocFreq = 100).select(col("id_a"), col("id_b"))
-    val lab = Dedup.clusterNearDups(d.select(col("doc_id").as("id")), pairs)
-    val perDoc = lab.select(col("id"), col("cluster_id"),
-        when(pmod(graft.functions.hash60(concat(lit("split#"),
-          col("cluster_id").cast("string"))), lit(100L)) < 90, "train")
-          .when(pmod(graft.functions.hash60(concat(lit("split#"),
-            col("cluster_id").cast("string"))), lit(100L)) < 95, "validation")
-          .otherwise("test").as("split"))
-    val straddlers = perDoc.groupBy("cluster_id")
+    val refLab = Dedup.clusterNearDups(d.select(col("doc_id").as("id")), pairs)
+      .withColumnRenamed("cluster_id", "ref_cluster")
+    val perDoc = Dedup.leakageSafeSplit(d, "doc_id", "text")
+    // per REFERENCE cluster, every member's operator-assigned split agrees
+    val straddlers = perDoc.join(refLab, "id")
+      .groupBy("ref_cluster")
       .agg(countDistinct("split").as("ns")).where(col("ns") > 1).count()
     assert(straddlers == 0L)
     val got = run("split_leakage_safe").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got.values.map(_._1).sum == d.count(), "every doc lands in a split")
     assert(got.values.map(_._2).sum ==
-      lab.select("cluster_id").distinct().count(), "every cluster counted once")
+      refLab.select("ref_cluster").distinct().count(),
+      "every cluster counted once")
   }
 }

@@ -939,6 +939,29 @@ object TextQueries {
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
         .orderBy("split")),
+    // BUDGET-BOUNDED mixture selection — the assembly step that turns a
+    // curated corpus into a training mix: per domain, docs are taken in
+    // deterministic hash order until the domain's token budget (5000) is
+    // reached (prefix rule: the first doc whose running total exceeds the
+    // budget stops the domain — reproducible across runs/partitionings).
+    // Scale shape: ONE shuffle on the domain key + an in-partition
+    // running sum; domains are the unit of parallelism (the domain_cap
+    // discipline). Reports per-domain selected doc/token counts.
+    "mix_budget_select" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs(s, dir).select(col("doc_id"), col("source"),
+          graft.functions.tokenCount(col("text")).as("tok"),
+          graft.functions.hash60(concat(lit("mixsel#"),
+            col("doc_id").cast("string"))).as("hk"))
+        .withColumn("cum", sum(col("tok")).over(w))
+        .where(col("cum") <= 5000)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+        .orderBy("source")
+    }),
     // curriculum length-bucketing via quantile CUTPOINTS, not ntile: the
     // three quartile boundaries are one 1-row aggregate broadcast to the
     // scan — every doc buckets itself with three comparisons. An
@@ -2060,6 +2083,22 @@ object TextQueries {
          |  ELSE 'test' END AS split,
          |COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
          |FROM d GROUP BY split ORDER BY split""".stripMargin.replace("\n", " ")
+
+    // running token sum per domain in hash order (ROWS frame; the
+    // (hk, doc_id) ordering is unique so RANGE would agree, but ROWS is
+    // pinned on both sides); windowed SUM needs the BIGINT cast on the
+    // comparison side too (DuckDB windowed SUM -> HUGEINT)
+    m += "mix_budget_select" ->
+      s"""WITH t AS (SELECT doc_id, source, $tokCase AS tok,
+         |  ${hash60Sql("concat('mixsel#', CAST(doc_id AS VARCHAR))")} AS hk
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, tok,
+         |  CAST(SUM(tok) OVER (PARTITION BY source ORDER BY hk, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
+         |SELECT source, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT)
+         |  AS n_tokens
+         |FROM c WHERE cum <= 5000 GROUP BY source ORDER BY source"""
+        .stripMargin.replace("\n", " ")
 
     m += "text_length_buckets" ->
       s"""WITH tk AS (SELECT doc_id, $tokCase AS tok FROM documents),

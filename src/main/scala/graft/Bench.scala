@@ -72,7 +72,7 @@ object Bench {
     "stream_dedup_minhash", "stream_dedup_incremental", "stream_perplexity",
     "stream_cdc_apply", "stream_enrich", "stream_validate", "stream_ann",
     "stream_manifest",
-    "stream_late_drop", "stream_decontaminate")
+    "stream_late_drop", "stream_decontaminate", "stream_mix_budget")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

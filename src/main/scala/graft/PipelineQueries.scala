@@ -583,6 +583,31 @@ object PipelineQueries {
         q.processAllAvailable()
       }.orderBy("doc_id")
     }),
+    // Token-quota ADMISSION on ingest: each domain admits arriving docs
+    // while its running token total stays within budget (state = one long
+    // per domain). Docs are fed in global id order split across two
+    // batches, so per-domain arrival order is id order and the oracle is
+    // the batch id-order prefix — the gate proves stream == batch.
+    "stream_mix_budget" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = docs(s, dir).select(col("source"), col("doc_id"),
+          graft.functions.tokenCount(col("text")).as("tok"))
+        .orderBy("doc_id")
+        .as[(String, Long, Long)].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long, Long)]
+      val out = graft.operators.TextAnalysis.streamingBudgetAdmit(
+        src.toDF().toDF("source", "doc_id", "tok"),
+        "source", "doc_id", "tok", budget = 1000L)
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      runAppendStream(s, out, "mixbdg") { q =>
+        src.addData(h1.toIndexedSeq)
+        q.processAllAvailable()
+        src.addData(h2.toIndexedSeq)
+        q.processAllAvailable()
+      }.orderBy("source", "doc_id")
+    }),
     // CDC latest-state maintained INCREMENTALLY: the orders changelog
     // arrives as a stream in two batches; Cdc.latestState's max_by
     // aggregation runs under complete mode (state per key = ONE struct —
@@ -1067,6 +1092,15 @@ object PipelineQueries {
          |SELECT DISTINCT s.doc_id FROM sh16 s JOIN bench b USING (shingle)
          |WHERE s.doc_id % 97 <> 0 ORDER BY doc_id"""
         .stripMargin.replace("\n", " "),
+    // streaming quota admission == the batch id-order budget prefix
+    "stream_mix_budget" ->
+      s"""WITH t AS (SELECT doc_id, source, ${TextQueries.tokCountSql} AS tok
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, tok,
+         |  CAST(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
+         |SELECT source, doc_id, tok FROM c WHERE cum <= 1000
+         |ORDER BY source, doc_id""".stripMargin.replace("\n", " "),
     // in-store reservoir sample == the batch bottom-k sample
     "stream_sample_bottomk" -> TextQueries.oracleSql("sample_bottomk"),
     "stream_sample_weighted" -> TextQueries.oracleSql("sample_weighted"),

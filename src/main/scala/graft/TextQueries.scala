@@ -18,6 +18,12 @@ object TextQueries {
 
   // SQL fragments mirroring graft.functions exactly
   private[graft] val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  /** Whitespace token count SQL (matches [[graft.functions.tokenCount]]) —
+    * the ONE definition shared by the dataset_split / mix_budget_select
+    * oracles here and PipelineQueries' stream_mix_budget oracle. */
+  private[graft] val tokCountSql =
+    "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+      "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END"
   private def occSql(hay: String, needle: String): String =
     s"CAST((length($hay) - length(replace($hay, '$needle', ''))) / ${needle.length} AS BIGINT)"
   /** DuckDB form of [[operators.Similarity.lshBucket]]: the md5-derived
@@ -941,7 +947,7 @@ object TextQueries {
         .orderBy("split")),
     // BUDGET-BOUNDED mixture selection — the assembly step that turns a
     // curated corpus into a training mix: per domain, docs are taken in
-    // deterministic hash order until the domain's token budget (5000) is
+    // deterministic hash order until the domain's token budget (1000) is
     // reached (prefix rule: the first doc whose running total exceeds the
     // budget stops the domain — reproducible across runs/partitionings).
     // Scale shape: ONE shuffle on the domain key + an in-partition
@@ -957,7 +963,7 @@ object TextQueries {
           graft.functions.hash60(concat(lit("mixsel#"),
             col("doc_id").cast("string"))).as("hk"))
         .withColumn("cum", sum(col("tok")).over(w))
-        .where(col("cum") <= 5000)
+        .where(col("cum") <= 1000)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
         .orderBy("source")
@@ -2073,8 +2079,7 @@ object TextQueries {
          |  ON pc.sk_row = cs.sk_row AND pc.sk_col = cs.sk_col
          |GROUP BY pc.term ORDER BY pc.term""".stripMargin.replace("\n", " ")
 
-    val tokCase =
-      s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST($toks AS BIGINT) END"
+    val tokCase = tokCountSql
     m += "dataset_split" ->
       s"""WITH d AS (SELECT
          |  ${hash60Sql("concat('split#', CAST(doc_id AS VARCHAR))")} % 100 AS b,
@@ -2097,7 +2102,7 @@ object TextQueries {
          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
          |SELECT source, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT)
          |  AS n_tokens
-         |FROM c WHERE cum <= 5000 GROUP BY source ORDER BY source"""
+         |FROM c WHERE cum <= 1000 GROUP BY source ORDER BY source"""
         .stripMargin.replace("\n", " ")
 
     m += "text_length_buckets" ->

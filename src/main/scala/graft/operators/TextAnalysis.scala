@@ -469,6 +469,39 @@ object TextAnalysis {
       .dropDuplicates(idCol)
   }
 
+  /** Streaming per-domain token-quota ADMISSION: each domain admits
+    * arriving docs in id order while its cumulative token count (over ALL
+    * seen docs, admitted or not — the same monotone prefix rule as the
+    * batch mix_budget_select) stays within `budget`; once the running
+    * total passes the budget the domain admits nothing more. State per
+    * domain is ONE long. Rows are sorted by id WITHIN each micro-batch
+    * (group iterators are unordered); across batches the feed must be
+    * id-ordered — the same precondition as streamingMinhashOwners, under
+    * which the admitted set equals the batch id-order prefix exactly.
+    * Emits admitted (domainCol, idCol, tokCol) rows. */
+  def streamingBudgetAdmit(df: DataFrame, domainCol: String, idCol: String,
+                           tokCol: String, budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    df.select(col(domainCol).cast("string"), col(idCol).cast("long"),
+        col(tokCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (domain: String, rows: Iterator[(String, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) => {
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._2).flatMap { case (_, id, tok) =>
+            cum += tok
+            if (cum <= budget) Some((domain, id, tok)) else None
+          }
+          state.update(cum)
+          out.iterator
+        })
+      .toDF(domainCol, idCol, tokCol)
+  }
+
   /** Small multilingual marker vocabularies (public common stopwords). */
   val LangMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a"),

@@ -443,7 +443,7 @@ class CatalogAnalyticsSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val rows = run("mix_budget_select").collect()
     assert(rows.nonEmpty)
-    rows.foreach(r => assert(r.getLong(2) <= 5000L,
+    rows.foreach(r => assert(r.getLong(2) <= 1000L,
       s"domain ${r.getString(0)} over budget: ${r.getLong(2)}"))
     // prefix law: recompute the per-doc hash order and check the selected
     // count per domain equals the longest prefix whose token sum <= 5000
@@ -455,7 +455,7 @@ class CatalogAnalyticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(1), r.getLong(3), r.getLong(0), r.getLong(2)))
     val expect = perDoc.groupBy(_._1).map { case (src, ds) =>
       val ordered = ds.sortBy(t => (t._2, t._3)).map(_._4)
-      val prefix = ordered.scanLeft(0L)(_ + _).drop(1).takeWhile(_ <= 5000L)
+      val prefix = ordered.scanLeft(0L)(_ + _).drop(1).takeWhile(_ <= 1000L)
       src -> (prefix.length.toLong, prefix.lastOption.getOrElse(0L))
     }.filter(_._2._1 > 0) // a domain whose first doc busts the budget emits no row
     val got = rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

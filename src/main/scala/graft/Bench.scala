@@ -370,7 +370,7 @@ object Bench {
         transform(sequence(lit(0), lit(63)),
           i => pmod(hash(col("doc_id"), i), lit(1000)).cast("double") / 1000.0)
           .as("embedding"))
-      val vec = graft.operators.Similarity.topKToQuery(embDf, "doc_id",
+      val vec = graft.operators.Similarity.topKToQueryU6(embDf, "doc_id",
           "embedding", embDf.where(col("doc_id") === 0), "embedding", 100)
         .select(col("nbr_id").as("doc_id"), col("rank"))
         .localCheckpoint(true)

@@ -814,7 +814,10 @@ object TextQueries {
     // lists a doc appears in (missing from a list contributes 0). The
     // row_number windows run over the ALREADY-BOUNDED 100-row lists, so at
     // 100 TB the only corpus-wide work is the two scans the component
-    // rankers already do; fusion itself is O(k).
+    // rankers already do; fusion itself is O(k). The dense side ranks by
+    // micro-unit-quantized cosine (topKToQueryU6) so oracle rank parity
+    // needs ~1e-6 cosine agreement, not the bit-equality the raw-double
+    // ranking would lean on — same exact-integer discipline as score_u6.
     "hybrid_rrf" -> ((s, dir) => {
       val lex = graft.operators.TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
           Seq("vector", "window", "merge", "stream"))
@@ -824,7 +827,7 @@ object TextQueries {
             .orderBy(col("score_u6").desc, col("doc_id"))).cast("long"))
         .select(col("doc_id"), col("lex_rank"))
       val e = emb(s, dir)
-      val vec = Similarity.topKToQuery(e, "vec_id", "embedding",
+      val vec = Similarity.topKToQueryU6(e, "vec_id", "embedding",
           e.where(col("vec_id") === 0), "embedding", k = 100)
         .select(col("nbr_id").as("doc_id"), col("rank"))
       Similarity.rrfFuse(
@@ -1930,7 +1933,8 @@ object TextQueries {
         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
         |  WHERE vec_id = 0),
         |vec_all AS (SELECT e.vec_id AS doc_id, ROW_NUMBER() OVER (
-        |  ORDER BY list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[]))
+        |  ORDER BY CAST(floor(list_cosine_similarity(q.qv,
+        |    CAST(e.embedding AS DOUBLE[])) * 1000000.0) AS BIGINT)
         |    DESC, e.vec_id) AS vec_rank
         |  FROM embeddings e CROSS JOIN q),
         |vec_top AS (SELECT doc_id, vec_rank FROM vec_all WHERE vec_rank <= 100)

@@ -788,6 +788,10 @@ object Dedup {
     require(cuts.map(_._2) == cuts.map(_._2).sorted &&
       cuts.map(_._2).distinct == cuts.map(_._2),
       "cuts must be strictly ascending (the when-chain reads them in order)")
+    // duplicate names would silently merge buckets (two when-branches with
+    // the same label) — the caller almost certainly mistyped the schedule
+    require(cuts.map(_._1).distinct == cuts.map(_._1),
+      "split names must be distinct")
     val pairs = ngramJaccardPairs(df, idCol, textCol, k, threshold,
         maxDocFreq).select(col("id_a"), col("id_b"))
     val lab = clusterNearDups(df.select(col(idCol).as("id")), pairs)

@@ -48,10 +48,47 @@ object Similarity {
     * top-k then a k-row merge, so no task ever sorts the corpus. The rank
     * window then runs over the ALREADY-BOUNDED k rows. Same cosine
     * expression as bruteForceTopK, so the two agree row-for-row on their
-    * common prefix. `query` must be exactly one row (broadcast cross join;
-    * enforced downstream by the oracle gate, not a collect here). */
+    * common prefix. `query` must be exactly one row.
+    *
+    * EAGER: composing this operator runs one bounded Spark job (collects at
+    * most 2 query rows) to enforce the one-row contract; the collected
+    * vector is then inlined as a literal, so the guarded row IS the joined
+    * row — a non-deterministic query source cannot pass the guard with one
+    * row and join a different one, and the query side is never
+    * re-evaluated. */
   def topKToQuery(corpus: DataFrame, corpusId: String, corpusVec: String,
                   query: DataFrame, queryVec: String, k: Int): DataFrame = {
+    val top = scoredToQuery(corpus, corpusId, corpusVec, query, queryVec)
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("nbr_id").asc)).cast("long"))
+      .select(col("rank"), col("nbr_id"), col("cosine"))
+  }
+
+  /** [[topKToQuery]] with the ranking quantized to integer micro-units:
+    * ranks by `floor(cosine · 1e6)` (bigint `cos_u6`) with id tiebreak, the
+    * same exact-integer discipline as bm25's score_u6 / rrfFuse's rrf_u9.
+    * Cross-engine rank parity then needs only ~1e-6 cosine agreement, not
+    * bit-equality — near-tied cosines quantize equal and the deterministic
+    * id tiebreak decides on both engines. Output (rank, nbr_id, cos_u6). */
+  def topKToQueryU6(corpus: DataFrame, corpusId: String, corpusVec: String,
+                    query: DataFrame, queryVec: String, k: Int): DataFrame = {
+    val top = scoredToQuery(corpus, corpusId, corpusVec, query, queryVec)
+      .select(col("nbr_id"),
+        floor(col("cosine") * lit(1000000.0)).cast("long").as("cos_u6"))
+      .orderBy(col("cos_u6").desc, col("nbr_id").asc)
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("cos_u6").desc, col("nbr_id").asc)).cast("long"))
+      .select(col("rank"), col("nbr_id"), col("cos_u6"))
+  }
+
+  /** Shared single-query scoring core: guard + literal-inline + broadcast
+    * cross join → (nbr_id, cosine), unbounded (callers bound it). */
+  private def scoredToQuery(corpus: DataFrame, corpusId: String,
+                            corpusVec: String, query: DataFrame,
+                            queryVec: String): DataFrame = {
     // a >1-row query side would interleave cosines from different queries
     // into one meaningless ranking with no error — fail fast instead. The
     // guard job is bounded (collects at most 2 rows).
@@ -60,19 +97,17 @@ object Similarity {
     require(qRows.length == 1,
       s"query must be exactly one row, got ${qRows.length} " +
         "(use bruteForceTopK for multi-query ranking)")
+    val qvec: Seq[Double] = qRows.head.getSeq[Double](0)
+    require(qvec != null, "query vector must not be null")
     val c = corpus.select(col(corpusId).as("nbr_id"), asDouble(col(corpusVec)).as("cvec"))
       .withColumn("cnrm", sqrt(VectorExpressions.sqNormNative(col("cvec"))))
-    val q = query.select(asDouble(col(queryVec)).as("qvec"))
+    val q = corpus.sparkSession.range(1)
+      .select(typedLit(qvec).as("qvec"))
       .withColumn("qnrm", sqrt(VectorExpressions.sqNormNative(col("qvec"))))
-    val top = c.crossJoin(broadcast(q))
+    c.crossJoin(broadcast(q))
       .select(col("nbr_id"),
         cosineFromNorms(VectorExpressions.dotNative(col("qvec"), col("cvec")),
           col("qnrm"), col("cnrm")).as("cosine"))
-      .orderBy(col("cosine").desc, col("nbr_id").asc)
-      .limit(k)
-    top.withColumn("rank", row_number().over(
-        Window.orderBy(col("cosine").desc, col("nbr_id").asc)).cast("long"))
-      .select(col("rank"), col("nbr_id"), col("cosine"))
   }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of named,

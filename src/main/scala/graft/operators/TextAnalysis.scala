@@ -478,7 +478,15 @@ object TextAnalysis {
     * (group iterators are unordered); across batches the feed must be
     * id-ordered — the same precondition as streamingMinhashOwners, under
     * which the admitted set equals the batch id-order prefix exactly.
-    * Emits admitted (domainCol, idCol, tokCol) rows. */
+    * Emits admitted (domainCol, idCol, tokCol) rows.
+    *
+    * MEMORY BOUND: the per-batch sort materializes each domain's slice of
+    * the CURRENT micro-batch on one executor (`rows.toSeq.sortBy`) — the
+    * bound is micro-batch size per domain, not state size (state stays one
+    * long). A large catch-up batch (e.g. a restart over a deep backlog)
+    * can spike a hot domain's slice; in production cap ingestion per
+    * trigger (Kafka `maxOffsetsPerTrigger` / file-source
+    * `maxFilesPerTrigger`) so batch slices stay executor-sized. */
   def streamingBudgetAdmit(df: DataFrame, domainCol: String, idCol: String,
                            tokCol: String, budget: Long): DataFrame = {
     val spark = df.sparkSession

@@ -446,7 +446,8 @@ class CatalogAnalyticsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(2) <= 1000L,
       s"domain ${r.getString(0)} over budget: ${r.getLong(2)}"))
     // prefix law: recompute the per-doc hash order and check the selected
-    // count per domain equals the longest prefix whose token sum <= 5000
+    // count per domain equals the longest prefix whose token sum <= 1000
+    // (the catalog query and its oracle pin budget = 1000)
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val perDoc = d.select(col("doc_id"), col("source"),
         graft.functions.tokenCount(col("text")).as("tok"),

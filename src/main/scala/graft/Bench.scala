@@ -74,6 +74,60 @@ object Bench {
     "stream_manifest",
     "stream_late_drop", "stream_decontaminate", "stream_mix_budget")
 
+  /** The BASELINE.md reference / scale-stress workloads (coded inline in
+    * main, not catalog entries) — always kept on the trimmed stdout line. */
+  private[graft] val refWorkloads = Set("sky_1m_2d_anti", "sky_1m_2d_sort",
+    "sky_1m_3d_anti", "sky_10m_2d_sort", "sky_10m_3d_bcast",
+    "sky_500k_4d_bcast",
+    "sky_1m_4d_bcast", "sky_500k_4d_xfilter", "sky_1m_3d_gridpar",
+    "sky_1m_3d_tree_uni", "dedup_minhash_600k_sig", "dedup_minhash_600k",
+    "dedup_simhash_600k",
+    "text_perplexity_600k", "dedup_substring_600k", "hybrid_rrf_600k",
+    "cdc_apply_5m")
+
+  /** FROZEN cross-round comparison set (judge r6 item 3): the exact 118
+    * workloads of the round-5 closing sweep (commit 89c0ce1
+    * BENCH_FULL.json) — the BASELINE.md reference workloads plus the r5
+    * catalog. `stable_total_sec` sums min(first, repeat) over THIS set
+    * only, so round-over-round totals compare one number over identical
+    * work instead of adjudicating a growing catalog entry-by-entry. The
+    * list is a literal on purpose: it must never grow with the catalog. */
+  private[graft] val frozen: Set[String] = Set(
+    "ann_ivf", "ann_lsh", "ann_topk", "asof_next_error", "asof_purchase",
+    "basket_pairs", "bloom_semi_join", "bucketed_join", "cms_estimate",
+    "cms_sketch", "compaction_plan", "csv_file_source", "csv_roundtrip",
+    "dataset_split", "decontaminate", "dedup_embedding",
+    "dedup_embedding_bucketed", "dedup_exact", "dedup_jaccard_prefix",
+    "dedup_minhash_pairs", "dedup_minhash_sig", "dedup_salted",
+    "dedup_segments", "dedup_semantic", "dedup_simhash",
+    "dedup_winnow_pairs", "distinct_sketch", "domain_cap", "emb_centroids",
+    "emb_quantize", "events_dist_ranks", "events_funnel", "events_gapfill",
+    "events_hopping", "events_latest", "events_ntile", "events_pivot",
+    "events_props_map", "events_quantiles", "events_ranks",
+    "events_retention", "events_rolling_7d", "events_scd2",
+    "events_sessionize", "events_topk_users", "events_tumbling",
+    "events_unpivot", "events_window", "events_zscore", "fk_integrity",
+    "funnel_latency", "fuzzy_join_del1", "gen_anti_sample",
+    "gen_correlated_sample", "gen_uniform_sample", "graph_pagerank",
+    "graph_triangles", "hist_quantiles", "hll_distinct", "interval_join",
+    "json_file_source", "mix_weights", "multimodal_features",
+    "multimodal_meta", "nation_revenue_share", "pack_sequences",
+    "part_above_brand_avg", "q1_pricing", "q3_top_orders",
+    "q5_nation_revenue", "q_cube", "q_grouping_sets", "q_not_in_nulls",
+    "q_weekday_revenue", "sample_stratified", "sky2d_angle", "sky2d_dim",
+    "sky2d_global", "sky2d_grid", "sky2d_plan", "sky3d_lineitem",
+    "sky4d_lineitem", "sky_10m_2d_sort", "sky_1m_2d_anti", "sky_1m_2d_sort",
+    "sky_1m_3d_anti", "sky_1m_3d_gridpar", "sky_1m_3d_tree_uni",
+    "sky_1m_4d_bcast", "sky_500k_4d_bcast", "sky_500k_4d_xfilter",
+    "sky_dominance_score", "sky_optimality", "sky_skyband", "sql_functions",
+    "stream_dedup", "stream_dedup_minhash", "stream_hist_quantiles",
+    "stream_interval_join", "stream_late_drop", "stream_sessionize",
+    "stream_sky2d", "stream_term_counts", "stream_tws_sky2d",
+    "stream_windowed_sky", "table_profile", "text_chunking",
+    "text_fingerprint", "text_langid", "text_length_buckets",
+    "text_pii_scrub", "text_quality", "text_repetition", "text_tfidf",
+    "text_tokens", "text_top_terms", "text_winnow", "zorder_layout")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -170,14 +224,6 @@ object Bench {
     // isolating a single timing in a quiet JVM (bench-order heap pressure
     // inflates tail workloads 5-20x; never diagnose a regression from a
     // full-sweep number). Unset (driver runs) = everything.
-    val refWorkloads = Set("sky_1m_2d_anti", "sky_1m_2d_sort",
-      "sky_1m_3d_anti", "sky_10m_2d_sort", "sky_10m_3d_bcast",
-      "sky_500k_4d_bcast",
-      "sky_1m_4d_bcast", "sky_500k_4d_xfilter", "sky_1m_3d_gridpar",
-      "sky_1m_3d_tree_uni", "dedup_minhash_600k_sig", "dedup_minhash_600k",
-      "dedup_simhash_600k",
-      "text_perplexity_600k", "dedup_substring_600k", "hybrid_rrf_600k",
-      "cdc_apply_5m")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // fail fast on a typo'd name — a silent no-op would masquerade as a
@@ -470,6 +516,17 @@ object Bench {
     // longer than that budget is silently unparseable (round 3 lost its whole
     // bench to exactly this).
     val total = results.values.filter(_ >= 0).sum
+    // frozen-set cross-round total: min(first, repeat) per entry over the
+    // r5-close catalog only (see `frozen`). min() because the repeat is the
+    // variance signal — whichever run dodged the host storm is the honest
+    // cost. stable_n counts measured frozen entries (118 = full coverage);
+    // a shortfall means a frozen workload errored or was filtered out.
+    val stableEntries = frozen.toSeq.flatMap { n =>
+      results.get(n).filter(_ >= 0)
+        .map(v => math.min(v, repeats.get(n).filter(_ >= 0).getOrElse(v)))
+    }
+    val stableTotal = stableEntries.sum
+    val stableN = stableEntries.size
     // "<name>__rep" = second-run timing of that workload (slowest-10 +
     // >1.5x-movers variance signal); total_sec covers first runs only.
     // sentinel_* = the fixed-work load calibration bracketing the sweep
@@ -479,7 +536,9 @@ object Bench {
     // cite (which is exactly what happened once in round 5).
     val fullJson = (results.map { case (k, v) => s"""  "$k": $v""" } ++
       repeats.map { case (k, v) => s"""  "${k}__rep": $v""" })
-      .mkString(s"""{\n  "total_sec": $total,\n  "sf": $sfNum,\n""" +
+      .mkString(s"""{\n  "total_sec": $total,\n""" +
+        s"""  "stable_total_sec": $stableTotal,\n""" +
+        s"""  "stable_n": $stableN,\n  "sf": $sfNum,\n""" +
         s"""  "sentinel_pre": $sentinelPre,\n""" +
         s"""  "sentinel_gen": $sentinelGen,\n""" +
         s"""  "sentinel_batch": $sentinelBatch,\n""" +
@@ -502,7 +561,9 @@ object Bench {
     def render(keep: collection.Map[String, Double], omitted: Int): String = {
       val qs = keep.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""stable_total_sec":${fmt(stableTotal)},"stable_n":$stableN,""" +
+        s""""queries":$qs,""" +
         s""""sf":$sfNum,"sentinel_pre":${fmt(sentinelPre)},""" +
         s""""sentinel_gen":${fmt(sentinelGen)},""" +
         s""""sentinel_batch":${fmt(sentinelBatch)},""" +

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wiring invariants of the bench catalog — no SparkSession needed.
+  * Guards the FROZEN cross-round comparison set: stable_total_sec is only
+  * comparable across rounds if the set (a) never changes size and (b) every
+  * member is still a workload the sweep actually runs — a catalog rename
+  * would otherwise silently shrink the frozen total and read as a perf win.
+  */
+class BenchCatalogSpec extends AnyFunSuite {
+
+  test("frozen set is exactly the 118 r5-close workloads") {
+    assert(Bench.frozen.size == 118)
+  }
+
+  test("every frozen workload is still runnable by the sweep") {
+    val runnable = Bench.headline.toSet ++ Bench.refWorkloads
+    val orphans = Bench.frozen -- runnable
+    assert(orphans.isEmpty,
+      s"frozen workloads no longer in the sweep: ${orphans.mkString(", ")}")
+  }
+
+  test("every frozen catalog workload has a SparkEntry.queries entry") {
+    // ref workloads are coded inline in Bench.main; catalog members must
+    // resolve through SparkEntry or runCatalog skips them silently
+    val catalogFrozen = Bench.frozen -- Bench.refWorkloads
+    val missing = catalogFrozen -- SparkEntry.queries.keySet
+    assert(missing.isEmpty,
+      s"frozen catalog workloads without a query entry: ${missing.mkString(", ")}")
+  }
+
+  test("headline names are distinct and known to SparkEntry") {
+    assert(Bench.headline.distinct == Bench.headline)
+    val missing = Bench.headline.toSet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty,
+      s"headline workloads without a query entry: ${missing.mkString(", ")}")
+  }
+}

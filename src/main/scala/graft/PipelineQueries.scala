@@ -922,19 +922,24 @@ object PipelineQueries {
     // IEEE (1 - 0.9) factor kept as computed, not folded to 0.1.
     "gen_uniform_sample" -> ((s, dir) => genSample(s, "uniform")),
     "gen_correlated_sample" -> ((s, dir) => genSample(s, "correlated")),
-    // multimodal: binary payload → batched stub decode → typed metadata
+    // multimodal: REAL container round-trip — even doc ids become actual
+    // BMP files, odd ids actual PCM WAV files (dims/rates pure integer
+    // functions of the id), and decodeMeta parses the headers back. The
+    // oracle computes the expected metadata arithmetically, so a parser
+    // that misreads any header field (offset, endianness, padding)
+    // hash-mismatches loudly.
     "multimodal_meta" -> ((s, dir) =>
-      Multimodal.decodeMeta(Multimodal.asBinary(docs(s, dir), "doc_id", "text"))
+      Multimodal.decodeMeta(Multimodal.syntheticMedia(docs(s, dir), "doc_id"))
         .toDF().orderBy("media_id")),
     // multimodal: resize metadata transform (target dims + scale factor)
     "multimodal_resize" -> ((s, dir) =>
       Multimodal.resizeMeta(
-        Multimodal.decodeMeta(Multimodal.asBinary(docs(s, dir), "doc_id", "text")),
+        Multimodal.decodeMeta(Multimodal.syntheticMedia(docs(s, dir), "doc_id")),
         224, 224).orderBy("media_id")),
-    // multimodal: frame sampling explode
+    // multimodal: frame sampling explode (bmp = 1 frame, wav = PCM frames)
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
-        Multimodal.decodeMeta(Multimodal.asBinary(docs(s, dir), "doc_id", "text")))
+        Multimodal.decodeMeta(Multimodal.syntheticMedia(docs(s, dir), "doc_id")))
         .orderBy("media_id", "frame_idx")),
     // multimodal: real per-item feature extraction (16-bin byte histogram,
     // partition-batched like a neural encoder would run); exposed as the
@@ -1202,28 +1207,38 @@ object PipelineQueries {
     "json_file_source" ->
       """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id"""
         .stripMargin.replace("\n", " "),
-    // first PAYLOAD BYTE via hex(blob) — ascii(substr(text,1,1)) would be
-    // the first character's code point, which diverges from the byte the
-    // moment a document starts with a multibyte UTF-8 character
+    // expected metadata of the syntheticMedia fixture, computed purely
+    // arithmetically (never by parsing bytes): BMP size = 54-byte header +
+    // 4-byte-padded 24bpp rows; WAV size = 44-byte canonical header + PCM
+    // data + the RIFF odd-size pad byte. Spark must recover the SAME
+    // numbers by parsing the real container bytes it built.
     "multimodal_meta" ->
-      """SELECT doc_id AS media_id,
-        |CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        |CASE (CASE WHEN octet_length(CAST(text AS BLOB)) = 0 THEN 0
-        |  ELSE CAST(concat('0x', substr(hex(CAST(text AS BLOB)), 1, 2)) AS BIGINT)
-        |  END) % 3 WHEN 0 THEN 'image'
-        |  WHEN 1 THEN 'audio' ELSE 'video' END AS format,
-        |octet_length(CAST(text AS BLOB)) % 1024 AS width,
-        |(octet_length(CAST(text AS BLOB)) * 7) % 768 AS height,
-        |octet_length(CAST(text AS BLOB)) % 5 + 1 AS n_frames
-        |FROM documents ORDER BY media_id""".stripMargin.replace("\n", " "),
+      """WITH m AS (SELECT doc_id AS media_id, doc_id % 2 = 0 AS is_bmp,
+        |  doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h,
+        |  CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END AS ch,
+        |  CASE WHEN doc_id % 8 < 4 THEN 8 ELSE 16 END AS bits,
+        |  doc_id % 50 + 5 AS ns, 8000 + (doc_id % 8) * 1000 AS sr
+        |  FROM documents),
+        |x AS (SELECT *, ((3 * w + 3) // 4) * 4 AS stride,
+        |  ns * (ch * bits // 8) AS datasize FROM m)
+        |SELECT media_id,
+        |CAST(CASE WHEN is_bmp THEN 54 + stride * h
+        |  ELSE 44 + datasize + datasize % 2 END AS BIGINT) AS n_bytes,
+        |CASE WHEN is_bmp THEN 'bmp' ELSE 'wav' END AS format,
+        |CAST(CASE WHEN is_bmp THEN w ELSE 0 END AS BIGINT) AS width,
+        |CAST(CASE WHEN is_bmp THEN h ELSE 0 END AS BIGINT) AS height,
+        |CAST(CASE WHEN is_bmp THEN 1 ELSE ns END AS BIGINT) AS n_frames,
+        |CAST(CASE WHEN is_bmp THEN 0 ELSE sr END AS BIGINT) AS sample_rate,
+        |CAST(CASE WHEN is_bmp THEN 0 ELSE ch END AS BIGINT) AS channels
+        |FROM x ORDER BY media_id""".stripMargin.replace("\n", " "),
     "multimodal_resize" ->
       """WITH meta AS (SELECT doc_id AS media_id,
-        |  octet_length(CAST(text AS BLOB)) % 1024 AS width,
-        |  (octet_length(CAST(text AS BLOB)) * 7) % 768 AS height
+        |  CASE WHEN doc_id % 2 = 0 THEN doc_id % 64 + 1 ELSE 0 END AS w,
+        |  CASE WHEN doc_id % 2 = 0 THEN doc_id % 48 + 1 ELSE 0 END AS h
         |  FROM documents)
-        |SELECT media_id, width, height,
+        |SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |CAST(224 AS BIGINT) AS target_width, CAST(224 AS BIGINT) AS target_height,
-        |CASE WHEN width > 0 THEN CAST(224 AS DOUBLE) / width ELSE 1.0 END AS scale_x
+        |CASE WHEN w > 0 THEN CAST(224 AS DOUBLE) / w ELSE 1.0 END AS scale_x
         |FROM meta ORDER BY media_id""".stripMargin.replace("\n", " "),
     "multimodal_features" -> {
       val bins = (0 until 16).map(b =>
@@ -1244,7 +1259,8 @@ object PipelineQueries {
     },
     "multimodal_frames" ->
       """WITH meta AS (SELECT doc_id AS media_id,
-        |  octet_length(CAST(text AS BLOB)) % 5 + 1 AS n_frames FROM documents)
+        |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE doc_id % 50 + 5 END AS n_frames
+        |  FROM documents)
         |SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
         |  CAST(f AS BIGINT) * 40 + media_id % 40 AS frame_offset_ms
         |FROM meta, unnest([x for x in range(0, n_frames)]) t(f)

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The BMP/WAV header parser against ground truth that is NOT our own
+  * arithmetic: the JDK's ImageIO (BMP) and AudioSystem (WAV) readers parse
+  * the same fixture bytes, so an encoder/decoder pair that agreed on a
+  * wrong layout (offset, endianness, padding) is caught by an independent
+  * implementation. Pure JVM — no SparkSession needed. */
+class MultimodalCodecSpec extends AnyFunSuite {
+
+  test("built BMPs parse back and agree with ImageIO") {
+    for ((w, h) <- Seq((1, 1), (2, 3), (64, 48), (17, 29))) {
+      val bytes = Multimodal.buildBmp(w, h)
+      val m = Multimodal.decodeOne(7L, bytes)
+      assert((m.format, m.width, m.height, m.n_frames) == ("bmp", w, h, 1L))
+      assert(m.n_bytes == bytes.length.toLong)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected our ${w}x$h BMP")
+      assert(img.getWidth == w && img.getHeight == h,
+        s"ImageIO read ${img.getWidth}x${img.getHeight}, built ${w}x$h")
+    }
+  }
+
+  test("top-down BMP (negative biHeight) reports the height magnitude") {
+    val bytes = Multimodal.buildBmp(5, 4)
+    // flip biHeight to -4 (little-endian i32 at offset 22)
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(22, -4)
+    val m = Multimodal.decodeOne(1L, bytes)
+    assert(m.format == "bmp" && m.width == 5L && m.height == 4L)
+  }
+
+  test("built WAVs parse back and agree with AudioSystem") {
+    for ((sr, ch, bits, ns) <- Seq((8000, 1, 8, 5), (44100, 2, 16, 50),
+        (11000, 1, 16, 7), (12000, 2, 8, 9))) {
+      val bytes = Multimodal.buildWav(sr, ch, bits, ns)
+      val m = Multimodal.decodeOne(3L, bytes)
+      assert(m.format == "wav" && m.sample_rate == sr.toLong &&
+        m.channels == ch.toLong && m.n_frames == ns.toLong,
+        s"parsed $m for ($sr,$ch,$bits,$ns)")
+      assert(m.n_bytes == bytes.length.toLong)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = ais.getFormat
+      assert(f.getSampleRate.toInt == sr && f.getChannels == ch &&
+        f.getSampleSizeInBits == bits)
+      assert(ais.getFrameLength == ns.toLong,
+        s"AudioSystem frames ${ais.getFrameLength}, built $ns")
+    }
+  }
+
+  test("WAV chunk walk skips unknown chunks (incl. odd-size RIFF padding)") {
+    // RIFF/WAVE with a 3-byte 'LIST' chunk (odd → 1 pad byte) BEFORE fmt —
+    // real encoders emit such metadata chunks; a parser assuming the
+    // canonical 44-byte layout would misread fmt fields from LIST bytes.
+    val base = Multimodal.buildWav(16000, 2, 16, 11)
+    val extra = java.nio.ByteBuffer.allocate(base.length + 8 + 3 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(base, 0, 12)                      // RIFF size WAVE
+    extra.put("LIST".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](1, 2, 3, 0))             // 3 bytes + pad
+    extra.put(base, 12, base.length - 12)       // fmt + data as-is
+    val bytes = extra.array()
+    // keep the RIFF size honest
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, bytes.length - 8)
+    val m = Multimodal.decodeOne(9L, bytes)
+    assert(m.format == "wav" && m.sample_rate == 16000L &&
+      m.channels == 2L && m.n_frames == 11L)
+  }
+
+  test("non-media payloads decode as unknown with zero metadata") {
+    for (payload <- Seq(Array.empty[Byte], "hello world".getBytes("UTF-8"),
+        "BM".getBytes("US-ASCII"),               // magic but truncated
+        "RIFFxxxxWAVE".getBytes("US-ASCII"))) {  // WAVE but no fmt/data
+      val m = Multimodal.decodeOne(5L, payload)
+      assert(m.format == "unknown" &&
+        (m.width, m.height, m.n_frames, m.sample_rate, m.channels) ==
+          (0L, 0L, 0L, 0L, 0L))
+      assert(m.n_bytes == payload.length.toLong)
+    }
+  }
+
+  test("syntheticMedia fixture arithmetic matches the parsed metadata law") {
+    // the same integer formulas the DuckDB oracle uses, checked here
+    // against the encode→parse round trip without Spark
+    for (id <- 0L to 200L) {
+      val payload =
+        if (id % 2 == 0) Multimodal.buildBmp((id % 64).toInt + 1, (id % 48).toInt + 1)
+        else Multimodal.buildWav(8000 + (id % 8).toInt * 1000,
+          if (id % 4 == 1) 1 else 2, if (id % 8 < 4) 8 else 16,
+          (id % 50).toInt + 5)
+      val m = Multimodal.decodeOne(id, payload)
+      if (id % 2 == 0) {
+        val (w, h) = (id % 64 + 1, id % 48 + 1)
+        val stride = ((3 * w + 3) / 4) * 4
+        assert(m == Multimodal.MediaMeta(id, 54 + stride * h, "bmp", w, h, 1, 0, 0))
+      } else {
+        val ch = if (id % 4 == 1) 1L else 2L
+        val bits = if (id % 8 < 4) 8L else 16L
+        val ns = id % 50 + 5
+        val ds = ns * (ch * bits / 8)
+        assert(m == Multimodal.MediaMeta(id, 44 + ds + ds % 2, "wav", 0, 0,
+          ns, 8000 + (id % 8) * 1000, ch))
+      }
+    }
+  }
+}

@@ -533,4 +533,37 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("nbr_id"), col("cosine"))
   }
+
+  /** Multi-probe LSH ANN: each query examines its own bucket PLUS every
+    * bucket at Hamming distance 1 (flip one hyperplane bit) — the standard
+    * recall lift for sign-bucket LSH (a true neighbor disagreeing with the
+    * query on exactly one of the nPlanes planes is recovered). Work scales
+    * on the QUERY side only: (nPlanes+1) bucket lookups per query, corpus
+    * bucketing unchanged — at 100 TB the corpus is still hashed once and
+    * the probe fan-out rides the broadcast query side of the bucket join.
+    * Candidates stay distinct (a corpus vector lives in one bucket; probe
+    * buckets are distinct), so ranking needs no dedup. Measured on the
+    * fixture: recall@10 roughly triples vs [[lshTopK]] single-probe
+    * (see the ann_recall catalog entry). */
+  def lshMultiProbeTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                        queries: DataFrame, queryId: String, queryVec: String,
+                        k: Int, nPlanes: Int, dims: Int): DataFrame = {
+    val c = corpus.select(col(corpusId).as("nbr_id"), asDouble(col(corpusVec)).as("cvec"))
+      .withColumn("bucket", lshBucket(col("cvec"), dims, nPlanes))
+    val masks = lit(0L) +: (0 until nPlanes).map(p => lit(1L << p))
+    val q = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("qvec"))
+      .withColumn("bucket0", lshBucket(col("qvec"), dims, nPlanes))
+      .withColumn("mask", explode(array(masks: _*)))
+      .select(col("query_id"), col("qvec"),
+        col("bucket0").bitwiseXOR(col("mask")).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .select(col("query_id"), col("nbr_id"),
+        cosineSimNative(col("qvec"), col("cvec")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("cosine"))
+  }
 }

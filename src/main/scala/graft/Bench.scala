@@ -83,7 +83,7 @@ object Bench {
     "sky_1m_3d_tree_uni", "dedup_minhash_600k_sig", "dedup_minhash_600k",
     "dedup_simhash_600k",
     "text_perplexity_600k", "dedup_substring_600k", "hybrid_rrf_600k",
-    "cdc_apply_5m")
+    "cdc_apply_5m", "stream_dedup_600k")
 
   /** FROZEN cross-round comparison set (judge r6 item 3): the exact 118
     * workloads of the round-5 closing sweep (commit 89c0ce1
@@ -507,6 +507,65 @@ object Bench {
       ++ movers(streamingNames))
       .filter(n => n.startsWith("stream_") && !repeats.contains(n)).distinct)
 
+    // Streaming STATEFUL path at the 600k scale-stress size (the batch
+    // 600k family's streaming twin): the MinHash owner stage ingests the
+    // full synthetic corpus as a 10-micro-batch file-source stream
+    // (maxFilesPerTrigger=1) against the RocksDB state store — per-batch
+    // work must stay FLAT as state accumulates (~240k new band buckets per
+    // batch, one long each), which is the whole claim of the
+    // first-seen-owner design. Per-batch trigger walls and the final
+    // state-row count land in BENCH_FULL.json as
+    // stream_dedup_600k__batch_sec / __state_rows. Runs LAST: its
+    // state-store churn would inflate anything timed after it.
+    var sd600kBatches: Seq[Double] = Nil
+    var sd600kStateRows: Long = -1L
+    if (wanted("stream_dedup_600k")) {
+      // corpus written once (setup, untimed); one file per range partition
+      // so the file source replays exactly 10 ordered micro-batches
+      val sdDir = java.nio.file.Files.createTempDirectory("sd600k").toString
+      Generators.syntheticCorpus(spark, 600000L)
+        .repartitionByRange(10, org.apache.spark.sql.functions.col("doc_id"))
+        .write.mode("overwrite").parquet(sdDir)
+      val sdSchema = spark.read.parquet(sdDir).schema
+      bench("stream_dedup_600k") {
+        val prior = spark.conf.getOption(
+          "spark.sql.streaming.stateStore.providerClass")
+        val ckpt = java.nio.file.Files.createTempDirectory("sd600kckpt")
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val src = spark.readStream.schema(sdSchema)
+            .option("maxFilesPerTrigger", 1).parquet(sdDir)
+          val owners = graft.operators.Dedup.streamingMinhashOwners(
+            graft.operators.Dedup.minhashBandKeys(src, "doc_id", "text",
+              k = 5, numHashes = 8, bands = 4))
+          val q = owners.writeStream.format("noop")
+            .option("checkpointLocation", ckpt.toString)
+            .outputMode("append").start()
+          try {
+            q.processAllAvailable()
+            val progress = q.recentProgress.filter(_.numInputRows > 0)
+            sd600kBatches = progress.map(
+              _.durationMs.get("triggerExecution").toDouble / 1000.0).toSeq
+            sd600kStateRows = progress.lastOption
+              .flatMap(_.stateOperators.headOption.map(_.numRowsTotal))
+              .getOrElse(-1L)
+          } finally q.stop()
+        } finally {
+          prior match {
+            case Some(p) => spark.conf.set(
+              "spark.sql.streaming.stateStore.providerClass", p)
+            case None => spark.conf.unset(
+              "spark.sql.streaming.stateStore.providerClass")
+          }
+          // checkpoints accumulate across sweep+repeat runs — delete
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+    }
+
     val sentinelPost = loadSentinel()
     val stealSec = (stealTicks() - stealStart) / 100.0
 
@@ -534,8 +593,16 @@ object Bench {
     // (SPARK_GRAFT_ONLY) diagnostic run writes to a SEPARATE file — it
     // must never clobber the last full-sweep snapshot that README/PLANS
     // cite (which is exactly what happened once in round 5).
+    // per-batch walls + final state size of the streaming scale-stress run
+    // (arrays/non-timing values — readPrevBench's number regex skips them)
+    val streamDetail =
+      if (sd600kBatches.isEmpty) Seq.empty[String]
+      else Seq(
+        s"""  "stream_dedup_600k__batch_sec": [${sd600kBatches.mkString(", ")}]""",
+        s"""  "stream_dedup_600k__state_rows": $sd600kStateRows""")
     val fullJson = (results.map { case (k, v) => s"""  "$k": $v""" } ++
-      repeats.map { case (k, v) => s"""  "${k}__rep": $v""" })
+      repeats.map { case (k, v) => s"""  "${k}__rep": $v""" } ++
+      streamDetail)
       .mkString(s"""{\n  "total_sec": $total,\n""" +
         s"""  "stable_total_sec": $stableTotal,\n""" +
         s"""  "stable_n": $stableN,\n  "sf": $sfNum,\n""" +

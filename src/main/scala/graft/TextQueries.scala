@@ -43,6 +43,19 @@ object TextQueries {
   private[graft] def hash60Sql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** Deterministic stand-in classifier model for text_classifier: weight
+    * of bucket b = (hash60("clfw#b") % 2001 − 1000) · 1000 micro-units
+    * (±1.0). Derived from md5 on the driver with the same arithmetic the
+    * oracle SQL re-derives per token, so the "model" is reproducible on
+    * both engines and the scoring machinery is what the gate tests. */
+  private[graft] lazy val classifierWeightsU6: Seq[Long] =
+    (0 until 256).map { b =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"clfw#$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % 2001L - 1000L) * 1000L
+    }
+
   /** 60 per-bit vote sums / majority bit-set fragments of the simhash
     * oracle — shared by dedup_simhash, dedup_simhash_pairs, and the
     * sql_functions surface check so the bit arithmetic cannot drift. */
@@ -448,6 +461,18 @@ object TextQueries {
           Seq("ntok" -> graft.functions.tokenCount(col("text")),
             "nchars" -> length(col("text")).cast("long")))
         .orderBy("doc_id")),
+    // Model-based quality filtering in its deployment shape (the
+    // fastText/DCLM-style classifier gate): hashing-trick linear scoring
+    // against a 256-bucket weight table, per-token mean in micro-units,
+    // thresholded keep. The weight table is a deterministic hash-derived
+    // stand-in model (a trained artifact would be loaded instead), which
+    // lets the oracle RE-DERIVE the model in SQL rather than trust a
+    // shipped file — the scoring machinery is what is gated. Pure per-row
+    // projection: zero shuffle, model rides the plan as a literal.
+    "text_classifier" -> ((s, dir) =>
+      TextAnalysis.linearClassifierScoreU6(docs(s, dir), "doc_id", "text",
+          classifierWeightsU6)
+        .orderBy("doc_id")),
     // END-TO-END training-data pipeline: the composed prepare() chain
     // (quality -> repetition -> language allowlist -> exact dedup ->
     // near-dup CC canonical -> 1/2 hash sample) reduced to its per-stage
@@ -711,8 +736,14 @@ object TextQueries {
         "embedding", k = 10, nPlanes = 6, dims = 64)
       val lshMp = Similarity.lshMultiProbeTopK(e, "vec_id", "embedding",
         q, "vec_id", "embedding", k = 10, nPlanes = 6, dims = 64)
+      val pq = Similarity.pqTopK(e, "vec_id", "embedding", q, "vec_id",
+        "embedding", k = 10, m = 8, ks = 16, dims = 64)
+      val ivfPq = Similarity.ivfPqTopK(e, "vec_id", "embedding", q, "vec_id",
+        "embedding", k = 10, nLists = 8, nProbe = 3, m = 8, ks = 16, dims = 64)
       recallOf("ivf", ivf).unionAll(recallOf("lsh", lsh))
         .unionAll(recallOf("lsh_mp", lshMp))
+        .unionAll(recallOf("pq", pq))
+        .unionAll(recallOf("pq_ivf", ivfPq))
         .orderBy("method", "query_id")
     }),
     // PII scrub: regex redaction of emails/phone numbers + redaction counts.
@@ -1962,8 +1993,11 @@ object TextQueries {
     // lists and the grading can never use different definitions
     m += "ann_recall" -> {
       val exact = m("ann_topk")
+      // method names chosen so the ORDER BY method sort is locale-free
+      // ASCII; 'pq_ivf' (not 'ivf_pq') keeps insertion-independent order
       val methods = Seq("ivf" -> m("ann_ivf"), "lsh" -> m("ann_lsh"),
-        "lsh_mp" -> m("ann_lsh_mp"))
+        "lsh_mp" -> m("ann_lsh_mp"), "pq" -> m("ann_pq"),
+        "pq_ivf" -> m("ann_ivf_pq"))
       val hits = methods.map { case (name, sql) =>
         s"""SELECT '$name' AS method, e.query_id, COUNT(a.nbr_id) AS n_hits
            |  FROM exact e LEFT JOIN (SELECT query_id, nbr_id FROM ($sql)) a
@@ -2063,6 +2097,31 @@ object TextQueries {
         .stripMargin.replace("\n", " ")
     m += "text_perplexity" -> perplexitySql
     m += "stream_perplexity" -> perplexitySql
+
+    // text_classifier: the model is RE-DERIVED per token — bucket =
+    // hash60('clf#'||t) % 256, weight = (hash60('clfw#'||bucket) % 2001
+    // - 1000) * 1000 — then per-doc exact integer sum, one double
+    // division + floor for the mean (the perplexity avg_p6 discipline).
+    // hash60 is nonnegative, so % matches Spark's pmod.
+    m += "text_classifier" -> {
+      val bucket = s"${hash60Sql("concat('clf#', t)")} % 256"
+      val weight = s"(${hash60Sql(
+        s"concat('clfw#', CAST($bucket AS VARCHAR))")} % 2001 - 1000) * 1000"
+      s"""WITH toks AS (SELECT doc_id,
+         |  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+         |  FROM documents),
+         |wt AS (SELECT doc_id, $weight AS w FROM toks),
+         |agg AS (SELECT doc_id, COUNT(*) AS n, SUM(w) AS s FROM wt
+         |  GROUP BY doc_id),
+         |scored AS (SELECT d.doc_id,
+         |  CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+         |  COALESCE(CAST(floor(CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE))
+         |    AS BIGINT), 0) AS score_u6
+         |  FROM documents d LEFT JOIN agg a USING (doc_id))
+         |SELECT doc_id, n_tokens, score_u6, score_u6 >= 0 AS keep
+         |FROM scored ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")
+    }
 
     // emb_gram: the same Q20 quantization (floor of a power-of-two multiply
     // — exact in IEEE double on both engines) and exact-integer product

@@ -510,6 +510,45 @@ object TextAnalysis {
       .toDF(domainCol, idCol, tokCol)
   }
 
+  /** Hashing-trick LINEAR text classifier scoring — the fastText-style
+    * model-based quality filter (CCNet / DCLM style) reduced to its
+    * deployment shape: each token hashes into one of `weightsU6.size`
+    * feature buckets, the document score is the per-token MEAN of the
+    * bucket weights plus a bias, and `keep` thresholds it. Weights are
+    * integer micro-units and the per-doc sum is exact; only the final
+    * mean is one double division + floor (both engines run the identical
+    * IEEE op — the scorePerplexity discipline), so the oracle is exact.
+    *
+    * 100 TB shape: a pure per-row projection — tokenize, bucket-hash,
+    * table-lookup against the broadcast literal weight array, fold. Zero
+    * shuffle, zero state; model size rides the plan as a literal exactly
+    * like a broadcast small side. (The lambda forms are CodegenFallback —
+    * interpreted eval, the documented HOF tradeoff — bought deliberately:
+    * the alternative explode + groupBy shuffles every token row, which is
+    * the wrong side of the trade for a scan-time filter.)
+    *
+    * Output: (idCol, n_tokens, score_u6, keep). Null/token-free text
+    * scores bias alone with n_tokens = 0. */
+  def linearClassifierScoreU6(df: DataFrame, idCol: String, textCol: String,
+                              weightsU6: Seq[Long], biasU6: Long = 0L,
+                              thresholdU6: Long = 0L): DataFrame = {
+    require(weightsU6.nonEmpty, "need at least one feature bucket")
+    val dim = weightsU6.size
+    val toks = coalesce(
+      regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)),
+      array().cast("array<string>"))
+    val bucketW = (t: Column) => element_at(typedLit(weightsU6),
+      (pmod(hash60(concat(lit("clf#"), t)), lit(dim.toLong)) + 1L).cast("int"))
+    df.select(col(idCol), toks.as("toks"))
+      .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + bucketW(t)).as("s_u6"))
+      .select(col(idCol), col("n_tokens"),
+        (lit(biasU6) + when(col("n_tokens") > 0,
+          floor(col("s_u6").cast("double") / col("n_tokens").cast("double"))
+            .cast("long")).otherwise(lit(0L))).as("score_u6"))
+      .withColumn("keep", col("score_u6") >= thresholdU6)
+  }
+
   /** Small multilingual marker vocabularies (public common stopwords). */
   val LangMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a"),

@@ -19,9 +19,16 @@ class AnnRecallSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
 
   test("every (method, query) pair is present with hits in [0, 10]") {
-    val methods = Seq("ivf", "lsh", "lsh_mp")
+    val methods = Seq("ivf", "lsh", "lsh_mp", "pq", "pq_ivf")
     assert(rows.keySet == (for (m <- methods; q <- 0L to 4L) yield (m, q)).toSet)
     assert(rows.values.forall(h => h >= 0L && h <= 10L))
+  }
+
+  test("pq finds the self-hit for every query") {
+    // PQ ranks reconstructed vectors — the query's own (reconstructed)
+    // vector stays near the query unless the codebook collapsed
+    for (q <- 0L to 4L)
+      assert(rows(("pq", q)) >= 1L, s"pq lost the self-hit for query $q")
   }
 
   test("recall floors: ivf >= 40%, lsh and lsh_mp find at least the self-hit") {

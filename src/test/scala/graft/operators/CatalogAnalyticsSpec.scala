@@ -462,4 +462,30 @@ class CatalogAnalyticsSpec extends AnyFunSuite {
     val got = rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == expect.toMap)
   }
+
+  test("text_classifier equals a driver-side recomputation of the model") {
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val w = graft.TextQueries.classifierWeightsU6
+    assert(w.size == 256 && w.forall(v => v >= -1000000L && v <= 1000000L))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    val got = run("text_classifier").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.length == docs.size)
+    got.foreach { case (id, (n, score, keep)) =>
+      val toks = "[a-z]+".r
+        .findAllIn(docs(id).toLowerCase(java.util.Locale.ROOT)).toSeq
+      val s = toks.map(t => w((h60(s"clf#$t") % 256).toInt)).sum
+      val expect = if (toks.isEmpty) 0L
+        else math.floor(s.toDouble / toks.length.toDouble).toLong
+      assert(n == toks.length && score == expect && keep == (expect >= 0L),
+        s"doc $id: got ($n,$score,$keep), expected (${toks.length},$expect)")
+    }
+  }
 }

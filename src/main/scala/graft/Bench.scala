@@ -23,7 +23,8 @@ object Bench {
     "sky_optimality", "q1_pricing", "q3_top_orders", "q5_nation_revenue",
     "events_window", "events_sessionize", "csv_roundtrip",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
-    "dedup_exact", "dedup_minhash_sig", "dedup_minhash_pairs", "dedup_simhash",
+    "dedup_exact", "dedup_minhash_sig", "dedup_minhash_pairs",
+    "dedup_minhash_est", "dedup_simhash",
     "dedup_embedding", "dedup_salted", "ann_topk", "ann_ivf", "ann_lsh", "ann_pq",
     "ann_ivf_pq", "ann_lsh_mp", "ann_recall",
     "multimodal_meta", "asof_purchase", "events_tumbling", "events_ranks",

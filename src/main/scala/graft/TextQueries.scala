@@ -361,6 +361,15 @@ object TextQueries {
       Dedup.minhashCandidates(docs(s, dir), "doc_id", "text",
           k = 5, numHashes = NUM_HASHES, bands = BANDS)
         .orderBy("id_a", "id_b")),
+    // estimation-quality audit of the MinHash estimator (the dedup
+    // counterpart of ann_recall): per candidate pair, the integer
+    // signature agreement count vs the EXACT shingle intersection/union
+    // over the same normText shingle universe — estimator drift becomes
+    // a hash mismatch, not silent quality loss
+    "dedup_minhash_est" -> ((s, dir) =>
+      Dedup.minhashEstimationAudit(docs(s, dir), "doc_id", "text",
+          k = 5, numHashes = NUM_HASHES, bands = BANDS)
+        .orderBy("id_a", "id_b")),
     // exact n-gram jaccard over candidate pairs (inverted-index join) with
     // the hot-shingle guard: shingles in more than 100 documents are dropped
     // from both the intersection and the set sizes, bounding every shingle
@@ -1325,6 +1334,29 @@ object TextQueries {
          |SELECT p.id_a, p.id_b, CAST($sigMatch AS DOUBLE) / $NUM_HASHES AS est_jaccard
          |FROM pairs p JOIN sig a ON a.doc_id = p.id_a JOIN sig b ON b.doc_id = p.id_b
          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
+    // estimation audit: the candidate-pair oracle VERBATIM as a subquery
+    // (agree_n = est_jaccard * NUM_HASHES, dyadic-exact), joined to the
+    // exact per-pair shingle intersection/union over the same shingle CTE
+    // the signatures hash — the verification join touches candidate
+    // pairs' shingles only, mirroring the Spark plan
+    m += "dedup_minhash_est" ->
+      s"""WITH cand AS (SELECT id_a, id_b,
+         |  CAST(est_jaccard * $NUM_HASHES AS BIGINT) AS agree_n
+         |  FROM (${m("dedup_minhash_pairs")})),
+         |sh AS ($shinglesSql),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.id_a, c.id_b, COUNT(*) AS c
+         |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+         |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+         |  GROUP BY c.id_a, c.id_b)
+         |SELECT c.id_a AS id_a, c.id_b AS id_b, c.agree_n,
+         |  CAST(COALESCE(cm.c, 0) AS BIGINT) AS common,
+         |  CAST(sa.sz + sb.sz - COALESCE(cm.c, 0) AS BIGINT) AS union_sz
+         |FROM cand c
+         |LEFT JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+         |JOIN sz sa ON sa.doc_id = c.id_a JOIN sz sb ON sb.doc_id = c.id_b
+         |ORDER BY c.id_a, c.id_b""".stripMargin.replace("\n", " ")
 
     // streaming MinHash dedup == batch keep-first LSH verdict: a doc is
     // kept iff no band bucket it lands in has a lower-id member (PipelineQueries

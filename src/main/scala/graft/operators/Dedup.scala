@@ -102,6 +102,47 @@ object Dedup {
         (matches.cast("double") / numHashes).as("est_jaccard"))
   }
 
+  /** Estimation-quality AUDIT of the MinHash LSH estimator: for every
+    * banded candidate pair, the integer signature agreement count
+    * (agree_n of numHashes — the estimator's sufficient statistic) next
+    * to the EXACT shingle-set intersection and union sizes over the SAME
+    * normText k-shingle universe the signatures hash. agree_n/numHashes
+    * estimates common/union_sz; tracking both as oracled integers makes
+    * estimator drift (hash family change, shingle change, band change) a
+    * visible diff instead of silent quality loss — the dedup counterpart
+    * of ann_recall.
+    *
+    * Scale shape: candidates are the banded join (never all pairs); the
+    * exact verification joins shingles to CANDIDATE PAIRS only — per-pair
+    * work is the two docs' shingle lists, the PPJoin verification cost.
+    * Output: (id_a, id_b, agree_n, common, union_sz), integer-exact. */
+  def minhashEstimationAudit(df: DataFrame, idCol: String, textCol: String,
+                             k: Int = 5, numHashes: Int = 16,
+                             bands: Int = 4): DataFrame = {
+    val cand = minhashCandidates(df, idCol, textCol, k, numHashes, bands)
+      .select(col("id_a"), col("id_b"),
+        // est_jaccard = matches/numHashes is dyadic-exact; ·numHashes
+        // recovers the integer agreement count bit-exactly
+        (col("est_jaccard") * numHashes).cast("long").as("agree_n"))
+      .localCheckpoint(true) // feeds three joins below
+    val sh = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(graft.functions.charShingles(col(textCol), k)))
+          .as("shingle"))
+    val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val common = cand.select(col("id_a"), col("id_b"))
+      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+    cand.join(common, Seq("id_a", "id_b"), "left")
+      .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("agree_n"),
+        coalesce(col("common"), lit(0L)).cast("long").as("common"),
+        (col("sz_a") + col("sz_b") - coalesce(col("common"), lit(0L)))
+          .cast("long").as("union_sz"))
+  }
+
   /** Per-row MinHash band keys: [[minhashSignatures]] (itself a pure
     * shuffle-free projection since it moved to the native signature
     * expression) + the banded-key explode. No shuffle and no state anywhere,

@@ -72,6 +72,33 @@ class MultimodalCodecSpec extends AnyFunSuite {
       m.channels == 2L && m.n_frames == 11L)
   }
 
+  test("codec round-trip law holds over generated parameter space") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val bmpGen = for {
+      w <- Gen.choose(1, 300); h <- Gen.choose(1, 200)
+    } yield (w, h)
+    val wavGen = for {
+      sr <- Gen.choose(1000, 192000); ch <- Gen.choose(1, 8)
+      bits <- Gen.oneOf(8, 16, 24, 32); ns <- Gen.choose(0, 500)
+    } yield (sr, ch, bits, ns)
+    val bmpProp = forAll(bmpGen) { case (w, h) =>
+      val m = Multimodal.decodeOne(0L, Multimodal.buildBmp(w, h))
+      m.format == "bmp" && m.width == w && m.height == h && m.n_frames == 1L
+    }
+    val wavProp = forAll(wavGen) { case (sr, ch, bits, ns) =>
+      val m = Multimodal.decodeOne(0L, Multimodal.buildWav(sr, ch, bits, ns))
+      m.format == "wav" && m.sample_rate == sr && m.channels == ch &&
+        m.n_frames == ns
+    }
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(200)
+    for ((name, p) <- Seq("bmp" -> bmpProp, "wav" -> wavProp)) {
+      val r = org.scalacheck.Test.check(params, p)
+      assert(r.passed, s"$name round-trip property failed: ${r.status}")
+    }
+  }
+
   test("non-media payloads decode as unknown with zero metadata") {
     for (payload <- Seq(Array.empty[Byte], "hello world".getBytes("UTF-8"),
         "BM".getBytes("US-ASCII"),               // magic but truncated

@@ -298,4 +298,43 @@ class PlanShapeSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBcast)
     }
   }
+
+  test("linearClassifierScoreU6 is a pure projection — zero shuffles") {
+    import spark.implicits._
+    val df = Seq((0L, "alpha beta gamma"), (1L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val plan = TextAnalysis.linearClassifierScoreU6(df, "doc_id", "text",
+        graft.TextQueries.classifierWeightsU6)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty,
+      s"classifier scoring must be scan-time (model rides as a literal); " +
+        s"found exchanges: $exchanges")
+  }
+
+  test("lshMultiProbeTopK never shuffles or sorts the corpus side") {
+    import spark.implicits._
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val rng = new scala.util.Random(5)
+      val corpus = Seq.tabulate(50)(i =>
+        (i.toLong, Array.fill(8)(rng.nextGaussian()))).toDF("vec_id", "embedding")
+      val q = corpus.where(org.apache.spark.sql.functions.col("vec_id") === 0)
+      val plan = Similarity.lshMultiProbeTopK(corpus, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 5, nPlanes = 4, dims = 8)
+        .queryExecution.executedPlan
+      // the probe fan-out must ride the broadcast QUERY side: the only
+      // hash exchange allowed is the final per-query rank window's
+      // query_id — a corpus-keyed exchange means the bucket join
+      // degenerated into a shuffle of the corpus
+      val keyed = plan.collect { case e: ShuffleExchangeExec =>
+        e.outputPartitioning }.collect {
+        case h: HashPartitioning =>
+          h.expressions.map(_.references.map(_.name).mkString).toSet }
+      assert(keyed.forall(_ == Set("query_id")),
+        s"corpus-side exchange crept in: $keyed")
+      assert(plan.toString.contains("BroadcastHashJoin"), plan.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
 }

@@ -51,7 +51,8 @@ object Bench {
     "graph_pagerank", "graph_pagerank_digraph", "graph_triangles",
     "funnel_latency", "distinct_sketch", "events_dist_ranks",
     "q_not_in_nulls", "bloom_semi_join", "table_profile", "fk_integrity", "fuzzy_join_del1", "events_ntile", "hll_distinct", "zorder_layout", "bucketed_join", "compaction_plan",
-    "events_topk_users", "dataset_split", "split_leakage_safe",
+    "events_topk_users", "dataset_split", "dataset_shuffle",
+    "split_leakage_safe",
     "text_length_buckets",
     "sample_bottomk", "sample_weighted", "text_normalize",
     "emb_gram", "emb_kmeans", "dedup_keep_best",
@@ -73,7 +74,8 @@ object Bench {
     "stream_dedup_minhash", "stream_dedup_incremental", "stream_perplexity",
     "stream_cdc_apply", "stream_enrich", "stream_validate", "stream_ann",
     "stream_manifest",
-    "stream_late_drop", "stream_decontaminate", "stream_mix_budget")
+    "stream_late_drop", "stream_decontaminate", "stream_mix_budget",
+    "stream_classifier")
 
   /** The BASELINE.md reference / scale-stress workloads (coded inline in
     * main, not catalog entries) — always kept on the trimmed stdout line. */

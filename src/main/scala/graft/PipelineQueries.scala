@@ -464,6 +464,30 @@ object PipelineQueries {
         q.processAllAvailable()
       }.orderBy("rule")
     }),
+    // Model-based quality gate ON INGEST: the hashing-trick linear
+    // classifier scores documents as they ARRIVE (two micro-batches). The
+    // operator is a stateless per-row projection, so it runs on the
+    // unbounded stream unchanged — the deployment claim of
+    // linearClassifierScoreU6, proven by the batch text_classifier oracle
+    // verbatim (streaming == batch through one SQL definition).
+    "stream_classifier" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val out = graft.operators.TextAnalysis.linearClassifierScoreU6(
+        src.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        TextQueries.classifierWeightsU6)
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      runAppendStream(s, out, "sclf") { q =>
+        src.addData(h1.toIndexedSeq)
+        q.processAllAvailable()
+        src.addData(h2.toIndexedSeq)
+        q.processAllAvailable()
+      }.orderBy("doc_id")
+    }),
     // Integrity-manifest-on-ingest: the XOR-fold content manifest
     // maintained incrementally — bit_xor and count are both
     // partial-aggregable, so the complete-mode state is exactly one
@@ -1077,6 +1101,8 @@ object PipelineQueries {
     "stream_topk_users" -> RelationalQueries.oracleSql("events_topk_users"),
     // quality-gate-on-ingest == the batch rule suite (same SQL)
     "stream_validate" -> RelationalQueries.oracleSql("validate_rules"),
+    // classifier-gate-on-ingest == the batch classifier scoring (same SQL)
+    "stream_classifier" -> TextQueries.oracleSql("text_classifier"),
     // streaming ANN serving == the batch IVF top-k (same SQL)
     "stream_ann" -> TextQueries.oracleSql("ann_ivf"),
     // incrementally-maintained manifest == the batch manifest (same SQL)

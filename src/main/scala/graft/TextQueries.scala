@@ -1016,6 +1016,14 @@ object TextQueries {
     // under re-runs, repartitioning, and incremental appends — the property
     // a training pipeline needs for reproducible experiments. One scan, one
     // 3-key aggregation.
+    // deterministic sharded TRAINING-ORDER shuffle: one hash key per doc;
+    // shard = key mod 8, position = the key's rank within the shard. The
+    // reproducible global permutation a training run replays, with no
+    // global sort — the only exchange is the shard hash and each rank
+    // window sorts one shard (notes on OutputLayout.shuffleOrder)
+    "dataset_shuffle" -> ((s, dir) =>
+      graft.operators.OutputLayout.shuffleOrder(docs(s, dir), "doc_id", 8)
+        .orderBy("shard", "pos_in_shard")),
     "dataset_split" -> ((s, dir) =>
       docs(s, dir)
         .select(
@@ -2257,6 +2265,17 @@ object TextQueries {
          |FROM pc JOIN cellsum cs
          |  ON pc.sk_row = cs.sk_row AND pc.sk_col = cs.sk_col
          |GROUP BY pc.term ORDER BY pc.term""".stripMargin.replace("\n", " ")
+
+    // same hash, shard mod, and (key, id) rank order as shuffleOrder;
+    // hash60 is nonnegative so % matches pmod
+    m += "dataset_shuffle" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  ${hash60Sql("concat('shuf#', CAST(doc_id AS VARCHAR))")} AS sk
+         |  FROM documents)
+         |SELECT doc_id, CAST(sk % 8 AS INT) AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY sk % 8 ORDER BY sk, doc_id)
+         |    - 1 AS BIGINT) AS pos_in_shard
+         |FROM d ORDER BY shard, pos_in_shard""".stripMargin.replace("\n", " ")
 
     val tokCase = tokCountSql
     m += "dataset_split" ->

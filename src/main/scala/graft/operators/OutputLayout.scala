@@ -21,6 +21,30 @@ object OutputLayout {
     pmod(graft.functions.hash60(concat(lit("shard#"), key.cast("string"))),
       lit(nShards)).cast("int")
 
+  /** Deterministic TRAINING-ORDER shuffle, sharded: every row gets one
+    * shuffle key = hash60(seed#id); shard = key mod nShards and the
+    * position within the shard is the key's rank there (id tiebreak).
+    * Reading shards in (shard, pos_in_shard) order replays one fixed
+    * pseudo-random permutation of the corpus — the reproducible global
+    * shuffle a training run needs, WITHOUT a global sort: the only
+    * exchange is the shard hash partition and each rank window sorts one
+    * shard (corpus/nShards rows — pick nShards so a shard fits a task,
+    * exactly the writeSharded sizing rule). Changing `seed` yields an
+    * independent epoch permutation. */
+  def shuffleOrder(df: DataFrame, idCol: String, nShards: Int,
+                   seed: String = "shuf"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val skey = graft.functions.hash60(
+      concat(lit(s"$seed#"), col(idCol).cast("string")))
+    df.select(col(idCol), skey.as("_skey"),
+        pmod(skey, lit(nShards.toLong)).cast("int").as("shard"))
+      .withColumn("pos_in_shard",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"))
+          .orderBy(col("_skey"), col(idCol))) - 1).cast("long"))
+      .select(col(idCol), col("shard"), col("pos_in_shard"))
+  }
+
   /** Write `df` hive-partitioned by `partitionCols`, distributed into
     * `nShards` deterministic shards per partition (one task → one file run),
     * each file capped at `maxRecordsPerFile` rows. Readers prune on

@@ -125,6 +125,13 @@ object Dedup {
         // recovers the integer agreement count bit-exactly
         (col("est_jaccard") * numHashes).cast("long").as("agree_n"))
       .localCheckpoint(true) // feeds three joins below
+    // The shingle explode feeds the sizes aggregate and BOTH verification
+    // joins (3 recomputes) — measured DELIBERATELY un-materialized: a
+    // localCheckpoint of the ~10M shingle rows costs more than the three
+    // codegen'd re-explodes save (quiet isolated sf0.1 pairs: 29.6/27.1 s
+    // plain vs 32.9/37.7 s checkpointed — the exactSubstrStats result
+    // again; contrast ngramJaccardPairs' capped path, where the
+    // materialized frame is the much smaller FILTERED set).
     val sh = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         explode(array_distinct(graft.functions.charShingles(col(textCol), k)))

@@ -279,4 +279,37 @@ object Graft {
                        cuts: Seq[(String, Int)] = Seq(("train", 90),
                          ("validation", 95), ("test", 100))): DataFrame =
     Dedup.leakageSafeSplit(df, idCol, textCol, cuts = cuts)
+
+  /** Multi-probe LSH ANN: query probes its bucket + all Hamming-1 buckets
+    * (recall ~3x single-probe on the fixture; query-side cost only). */
+  def annTopKMultiProbe(corpus: DataFrame, corpusId: String, corpusVec: String,
+                        query: DataFrame, queryId: String, queryVec: String,
+                        k: Int, nPlanes: Int, dims: Int): DataFrame =
+    Similarity.lshMultiProbeTopK(corpus, corpusId, corpusVec, query, queryId,
+      queryVec, k, nPlanes, dims)
+
+  /** fastText-style hashing-trick linear classifier scoring (micro-unit
+    * weights; zero-shuffle scan-time projection). */
+  def classifierScore(df: DataFrame, idCol: String, textCol: String,
+                      weightsU6: Seq[Long], biasU6: Long = 0L,
+                      thresholdU6: Long = 0L): DataFrame =
+    TextAnalysis.linearClassifierScoreU6(df, idCol, textCol, weightsU6,
+      biasU6, thresholdU6)
+
+  /** Integer-exact audit of MinHash estimation quality: per candidate
+    * pair, signature agreement vs exact shingle intersection/union. */
+  def minhashEstimationAudit(df: DataFrame, idCol: String,
+                             textCol: String): DataFrame =
+    Dedup.minhashEstimationAudit(df, idCol, textCol)
+
+  /** Deterministic sharded training-order shuffle (reproducible epoch
+    * permutation, no global sort; vary `seed` per epoch). */
+  def shuffleOrder(df: DataFrame, idCol: String, nShards: Int,
+                   seed: String = "shuf"): DataFrame =
+    OutputLayout.shuffleOrder(df, idCol, nShards, seed)
+
+  /** Parse BMP/WAV container headers from a (media_id, payload) binary
+    * frame — pure-JVM metadata decode, batched per partition. */
+  def decodeMediaMeta(bin: DataFrame): Dataset[operators.Multimodal.MediaMeta] =
+    Multimodal.decodeMeta(bin)
 }

@@ -86,7 +86,7 @@ object Bench {
     "sky_1m_3d_tree_uni", "dedup_minhash_600k_sig", "dedup_minhash_600k",
     "dedup_simhash_600k",
     "text_perplexity_600k", "dedup_substring_600k", "hybrid_rrf_600k",
-    "cdc_apply_5m", "stream_dedup_600k")
+    "cdc_apply_5m", "stream_dedup_600k", "multimodal_600k")
 
   /** FROZEN cross-round comparison set (judge r6 item 3): the exact 118
     * workloads of the round-5 closing sweep (commit 89c0ce1
@@ -426,6 +426,23 @@ object Bench {
       graft.operators.Similarity.rrfFuse(
           Seq("lex" -> lex, "vec" -> vec), "doc_id")
         .orderBy(col("rrf_u9").desc, col("doc_id")).limit(20).count()
+    }
+    // Multimodal codec path at volume: 600k REAL container files built
+    // (even ids full BMPs ~2-9 KB, odd ids PCM WAVs) and header-parsed
+    // back through the partition-batched decode seam, reduced to per-format
+    // counts/frame sums. ~1.5 GB of payload bytes flow through encode +
+    // decode on 32 cores — the per-row media-metadata cost at corpus scale,
+    // with zero shuffle until the 2-group aggregate.
+    bench("multimodal_600k") {
+      import org.apache.spark.sql.functions._
+      val ids = spark.range(600000L).select(col("id").as("doc_id"))
+      graft.operators.Multimodal.decodeMeta(
+          graft.operators.Multimodal.syntheticMedia(ids, "doc_id"))
+        .toDF()
+        .groupBy("format")
+        .agg(count(lit(1)).as("n"), sum("n_frames").as("frames"),
+          sum("n_bytes").as("bytes"))
+        .write.format("noop").mode("overwrite").save()
     }
     // CDC MERGE at volume: a 5M-row synthetic changelog (distinct-date
     // churn per key, 1/13 delete tombstones) collapsed latest-wins onto a

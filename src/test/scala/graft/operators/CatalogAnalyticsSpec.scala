@@ -463,6 +463,22 @@ class CatalogAnalyticsSpec extends AnyFunSuite {
     assert(got == expect.toMap)
   }
 
+  test("dataset_shuffle is a permutation with contiguous shard positions") {
+    val rows = run("dataset_shuffle").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length.toLong == nDocs)
+    assert(rows.map(_._1).distinct.length == rows.length) // every doc once
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length).toSeq,
+        s"shard $shard positions not contiguous 0..n-1")
+    }
+    // deterministic: recomputation reproduces the identical permutation
+    val again = run("dataset_shuffle").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("text_classifier equals a driver-side recomputation of the model") {
     def h60(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

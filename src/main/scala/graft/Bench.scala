@@ -40,7 +40,8 @@ object Bench {
     "schema_evolution", "multimodal_features",
     "sky_dominance_score", "dedup_embedding_bucketed", "dedup_semantic",
     "text_chunking", "domain_cap", "decontaminate", "text_repetition",
-    "mix_weights", "mix_budget_select", "pack_sequences", "dedup_segments",
+    "mix_weights", "mix_budget_select", "mix_upsample", "pack_sequences",
+    "dedup_segments",
     "text_perplexity", "text_classifier",
     "interval_join", "events_funnel", "events_retention",
     "events_latest", "events_zscore", "text_tfidf", "text_bm25", "hybrid_rrf",

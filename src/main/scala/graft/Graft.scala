@@ -302,6 +302,12 @@ object Graft {
                              textCol: String): DataFrame =
     Dedup.minhashEstimationAudit(df, idCol, textCol)
 
+  /** Weighted upsampling with replacement (epoch mixing materialized):
+    * micro-unit weights, deterministic fractional copies. */
+  def upsampleByWeight(df: DataFrame, strataCol: String, idCol: String,
+                       weightsU6: Map[String, Long]): DataFrame =
+    Sampling.upsampleByWeight(df, strataCol, idCol, weightsU6)
+
   /** Deterministic sharded training-order shuffle (reproducible epoch
     * permutation, no global sort; vary `seed` per epoch). */
   def shuffleOrder(df: DataFrame, idCol: String, nShards: Int,

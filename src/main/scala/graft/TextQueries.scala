@@ -596,6 +596,18 @@ object TextQueries {
     // remaining ops are single IEEE divisions/multiplications in a fixed
     // fold order. Scale shape: one partial+final per-source aggregate and
     // two 1-row broadcasts — scan-bound.
+    // weighted UPSAMPLING with replacement (epoch mixing materialized):
+    // per-source weights 0.5x..2.5x derived from the source index, every
+    // doc repeated floor(w) times plus a hash-deterministic fractional
+    // copy — the >1-epoch mixture schedule as rows (design notes on
+    // Sampling.upsampleByWeight). Downweighted strata (0.5x) lose ~half
+    // their docs; the oracle recomputes every copy count exactly.
+    "mix_upsample" -> ((s, dir) =>
+      graft.operators.Sampling.upsampleByWeight(
+          docs(s, dir), "source", "doc_id",
+          (0 until 20).map(i => s"src$i" -> (500000L + (i % 5) * 500000L))
+            .toMap)
+        .orderBy("doc_id", "epoch")),
     "mix_weights" -> ((s, dir) => {
       val per = docs(s, dir).groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
@@ -2268,6 +2280,19 @@ object TextQueries {
 
     // same hash, shard mod, and (key, id) rank order as shuffleOrder;
     // hash60 is nonnegative so % matches pmod
+    // copies = w // 1e6 + [hash % 1e6 < w % 1e6]; the weight formula
+    // (500000 + (srcIndex % 5) * 500000) matches the catalog map exactly
+    m += "mix_upsample" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  500000 + (CAST(substr(source, 4) AS BIGINT) % 5) * 500000 AS w
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, w // 1000000 +
+         |  (CASE WHEN ${hash60Sql("concat('ups#', CAST(doc_id AS VARCHAR))")}
+         |     % 1000000 < w % 1000000 THEN 1 ELSE 0 END) AS n FROM d)
+         |SELECT source, doc_id, CAST(e AS BIGINT) AS epoch
+         |FROM c, unnest([x for x in range(0, n)]) t(e)
+         |ORDER BY doc_id, epoch""".stripMargin.replace("\n", " ")
+
     m += "dataset_shuffle" ->
       s"""WITH d AS (SELECT doc_id,
          |  ${hash60Sql("concat('shuf#', CAST(doc_id AS VARCHAR))")} AS sk

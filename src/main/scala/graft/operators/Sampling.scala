@@ -62,4 +62,31 @@ object Sampling {
       .select((col("pos") + 1).cast("long").as("rk"),
         col("col.id").as(idCol), (-col("col.v")).as("pri"))
   }
+
+  /** Weighted UPSAMPLING with replacement — the materialized face of an
+    * epoch-mixing schedule (weight 2.5 ⇒ every row of the stratum appears
+    * twice, plus a deterministic 50 % chance of a third copy). Weights are
+    * integer micro-units: copies = w div 10^6 + [hash60(tag#id) mod 10^6
+    * < w mod 10^6], so expected copies per row is exactly w/10^6 and the
+    * realization is a reproducible pure function of the id (stable under
+    * re-runs, repartitioning, and appends — the property every sampler in
+    * this file guarantees). Strata absent from `weightsU6` keep exactly
+    * one copy. Output: (strataCol, idCol, epoch 0..copies−1); rows with
+    * zero copies vanish (weights < 10^6 downsample). Pure projection +
+    * explode — no shuffle; output volume = Σ stratum_n · w. */
+  def upsampleByWeight(df: DataFrame, strataCol: String, idCol: String,
+                       weightsU6: Map[String, Long],
+                       tag: String = "ups"): DataFrame = {
+    require(weightsU6.values.forall(_ >= 0L), "weights must be nonnegative")
+    val M = 1000000L
+    val w: Column = weightsU6.foldLeft(lit(M)) { case (acc, (stratum, v)) =>
+      when(col(strataCol) === stratum, lit(v)).otherwise(acc)
+    }
+    val copies = floor(w.cast("double") / M.toDouble).cast("long") +
+      when(pmod(rank(col(idCol), tag), lit(M)) < w % M, 1L).otherwise(0L)
+    df.select(col(strataCol), col(idCol), copies.as("_n"))
+      .select(col(strataCol), col(idCol),
+        explode(when(col("_n") > 0, sequence(lit(0L), col("_n") - 1))
+          .otherwise(array().cast("array<bigint>"))).as("epoch"))
+  }
 }

@@ -87,7 +87,8 @@ object Bench {
     "sky_1m_3d_tree_uni", "dedup_minhash_600k_sig", "dedup_minhash_600k",
     "dedup_simhash_600k",
     "text_perplexity_600k", "dedup_substring_600k", "hybrid_rrf_600k",
-    "cdc_apply_5m", "stream_dedup_600k", "multimodal_600k")
+    "cdc_apply_5m", "stream_dedup_600k", "multimodal_600k",
+    "text_classifier_600k")
 
   /** FROZEN cross-round comparison set (judge r6 item 3): the exact 118
     * workloads of the round-5 closing sweep (commit 89c0ce1
@@ -427,6 +428,15 @@ object Bench {
       graft.operators.Similarity.rrfFuse(
           Seq("lex" -> lex, "vec" -> vec), "doc_id")
         .orderBy(col("rrf_u9").desc, col("doc_id")).limit(20).count()
+    }
+    // The classifier gate at corpus volume: 24M tokens through the native
+    // one-pass bucket-hash/weight-fold expression (one md5 per token, no
+    // shuffle) — the scan-time cost of model-based quality filtering.
+    bench("text_classifier_600k") {
+      graft.operators.TextAnalysis.linearClassifierScoreU6(
+          Generators.syntheticCorpus(spark, 600000L), "doc_id", "text",
+          TextQueries.classifierWeightsU6)
+        .write.format("noop").mode("overwrite").save()
     }
     // Multimodal codec path at volume: 600k REAL container files built
     // (even ids full BMPs ~2-9 KB, odd ids PCM WAVs) and header-parsed

@@ -47,7 +47,59 @@ case class CharShinglesExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Hashing-trick classifier dot product as ONE per-row pass over a token
+  * array: md5 each token once ("clf#" + token, the hash60 family), bucket
+  * = hash mod weights.length, fold the bucket weights into a single long.
+  *
+  * Replaces the `aggregate(transform(tokens, ...))` lambda pair, whose
+  * interpreted eval allocated two closures per token and re-entered the
+  * expression interpreter per element — the documented HOF tradeoff this
+  * expression removes from the classifier's scan-time hot path. Bit-parity
+  * with the SQL oracle: hash = first 60 bits of md5 (top 8 bytes >>> 4),
+  * nonnegative, so `% dim` equals pmod; weights are the same literal table
+  * on both engines. */
+case class ClassifierSumExpr(child: Expression, weightsU6: Seq[Long])
+    extends UnaryExpression with CodegenFallback {
+  private val weights = weightsU6.toArray
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"requires ARRAY<STRING> input, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dim = weights.length
+    var sum = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val tok = arr.getUTF8String(i).toString
+      md.reset()
+      val d = md.digest(("clf#" + tok)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var top = 0L
+      var b = 0
+      while (b < 8) { top = (top << 8) | (d(b) & 0xffL); b += 1 }
+      sum += weights(((top >>> 4) % dim).toInt)
+      i += 1
+    }
+    Long.box(sum)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object TextExpressions {
   def charShinglesNative(c: Column, k: Int): Column =
     column(CharShinglesExpr(expression(c), k))
+
+  /** Exact-integer classifier weight sum of `tokens` (ARRAY<STRING>)
+    * against the literal micro-unit weight table. */
+  def classifierSumNative(tokens: Column, weightsU6: Seq[Long]): Column =
+    column(ClassifierSumExpr(expression(tokens), weightsU6))
 }

@@ -519,13 +519,15 @@ object TextAnalysis {
     * mean is one double division + floor (both engines run the identical
     * IEEE op — the scorePerplexity discipline), so the oracle is exact.
     *
-    * 100 TB shape: a pure per-row projection — tokenize, bucket-hash,
-    * table-lookup against the broadcast literal weight array, fold. Zero
-    * shuffle, zero state; model size rides the plan as a literal exactly
-    * like a broadcast small side. (The lambda forms are CodegenFallback —
-    * interpreted eval, the documented HOF tradeoff — bought deliberately:
-    * the alternative explode + groupBy shuffles every token row, which is
-    * the wrong side of the trade for a scan-time filter.)
+    * 100 TB shape: a pure per-row projection — tokenize (codegen'd regex),
+    * then ONE native pass per row hashing each token and folding the
+    * bucket weights ([[graft.functions.ClassifierSumExpr]] — one md5 per
+    * token, no per-element lambda interpretation; measured 6.1/3.2 s →
+    * 4.5/1.9 s fresh/warm on the 600k corpus vs the aggregate-lambda
+    * form). Zero shuffle, zero state; model size rides the plan as a
+    * literal exactly like a broadcast small side. The alternative
+    * explode + groupBy shuffles every token row — the wrong side of the
+    * trade for a scan-time filter.
     *
     * Output: (idCol, n_tokens, score_u6, keep). Null/token-free text
     * scores bias alone with n_tokens = 0. */
@@ -533,15 +535,13 @@ object TextAnalysis {
                               weightsU6: Seq[Long], biasU6: Long = 0L,
                               thresholdU6: Long = 0L): DataFrame = {
     require(weightsU6.nonEmpty, "need at least one feature bucket")
-    val dim = weightsU6.size
     val toks = coalesce(
       regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)),
       array().cast("array<string>"))
-    val bucketW = (t: Column) => element_at(typedLit(weightsU6),
-      (pmod(hash60(concat(lit("clf#"), t)), lit(dim.toLong)) + 1L).cast("int"))
     df.select(col(idCol), toks.as("toks"))
       .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
-        aggregate(col("toks"), lit(0L), (acc, t) => acc + bucketW(t)).as("s_u6"))
+        graft.functions.TextExpressions
+          .classifierSumNative(col("toks"), weightsU6).as("s_u6"))
       .select(col(idCol), col("n_tokens"),
         (lit(biasU6) + when(col("n_tokens") > 0,
           floor(col("s_u6").cast("double") / col("n_tokens").cast("double"))

@@ -174,6 +174,14 @@ class SkylineExtensions extends (SparkSessionExtensions => Unit) {
       exprs => graft.functions.StripAccentsExpr(exprs(0)))
     inject(e, "graft_simhash", classOf[graft.functions.SimhashExpr],
       exprs => graft.functions.SimhashExpr(exprs(0)))
+    inject(e, "graft_minhash_sig", classOf[graft.functions.MinhashSigExpr],
+      exprs => graft.functions.MinhashSigExpr(exprs(0),
+        SkylineExtensions.intArgPublic(exprs(1), "graft_minhash_sig(k)"),
+        SkylineExtensions.intArgPublic(exprs(2), "graft_minhash_sig(numHashes)")))
+    inject(e, "graft_classifier_sum", classOf[graft.functions.ClassifierSumExpr],
+      exprs => graft.functions.ClassifierSumExpr(exprs(0),
+        SkylineExtensions.longArrayArgPublic(exprs(1),
+          "graft_classifier_sum(weights)")))
     // composite trees (no single expression class backs them; the info
     // class is the dominant sub-expression)
     inject(e, "graft_cosine", classOf[graft.functions.DotProductExpr],
@@ -196,6 +204,27 @@ object SkylineExtensions {
   /** [[intArg]] for the extensions-class injection sites. */
   private[plans] def intArgPublic(e: Expression, name: String): Int =
     intArg(e, name)
+
+  /** A foldable ARRAY<integral> argument (e.g. `array(1, 2, 3)`) evaluated
+    * to its Long values at registration time — the weight-table argument
+    * form for graft_classifier_sum. */
+  private[plans] def longArrayArgPublic(e: Expression, name: String): Seq[Long] =
+    e match {
+      case a if a.foldable && a.dataType.isInstanceOf[
+          org.apache.spark.sql.types.ArrayType] =>
+        val et = a.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+          .elementType
+        val arr = a.eval().asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until arr.numElements()).map(i => et match {
+          case LongType => arr.getLong(i)
+          case org.apache.spark.sql.types.IntegerType => arr.getInt(i).toLong
+          case other => throw new IllegalArgumentException(
+            s"$name expects integral weights, got element type $other")
+        })
+      case other => throw new IllegalArgumentException(
+        s"$name expects a foldable array literal, got $other")
+    }
 
   private[plans] def hash60ExprPublic(c: Expression): Expression =
     hash60Expr(c)
@@ -246,6 +275,14 @@ object SkylineExtensions {
       exprs => graft.functions.StripAccentsExpr(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",
       exprs => graft.functions.SimhashExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      exprs => graft.functions.MinhashSigExpr(exprs(0),
+        intArg(exprs(1), "graft_minhash_sig(k)"),
+        intArg(exprs(2), "graft_minhash_sig(numHashes)")), "built-in")
+    reg.createOrReplaceTempFunction("graft_classifier_sum",
+      exprs => graft.functions.ClassifierSumExpr(exprs(0),
+        longArrayArgPublic(exprs(1), "graft_classifier_sum(weights)")),
+      "built-in")
   }
 }
 

@@ -115,11 +115,24 @@ object Dedup {
     * Scale shape: candidates are the banded join (never all pairs); the
     * exact verification joins shingles to CANDIDATE PAIRS only — per-pair
     * work is the two docs' shingle lists, the PPJoin verification cost.
+    * That cost is still pairs × avg shingle count, so at corpus scale set
+    * `samplePairsMod` > 1: a deterministic hash-sample of the candidate
+    * pairs is audited (1/mod of them) — drift detection needs a sample,
+    * not the census, and the choice is reproducible (pure function of the
+    * pair ids). The catalog entry audits everything (mod 1) at gate scale.
     * Output: (id_a, id_b, agree_n, common, union_sz), integer-exact. */
   def minhashEstimationAudit(df: DataFrame, idCol: String, textCol: String,
                              k: Int = 5, numHashes: Int = 16,
-                             bands: Int = 4): DataFrame = {
-    val cand = minhashCandidates(df, idCol, textCol, k, numHashes, bands)
+                             bands: Int = 4,
+                             samplePairsMod: Int = 1): DataFrame = {
+    require(samplePairsMod >= 1, "samplePairsMod must be >= 1")
+    val candAll = minhashCandidates(df, idCol, textCol, k, numHashes, bands)
+    val candPicked =
+      if (samplePairsMod == 1) candAll
+      else candAll.where(pmod(graft.functions.hash60(
+          concat(lit("estsamp#"), col("id_a").cast("string"), lit("_"),
+            col("id_b").cast("string"))), lit(samplePairsMod.toLong)) === 0)
+    val cand = candPicked
       .select(col("id_a"), col("id_b"),
         // est_jaccard = matches/numHashes is dyadic-exact; ·numHashes
         // recovers the integer agreement count bit-exactly

@@ -88,7 +88,7 @@ object Bench {
     "dedup_simhash_600k",
     "text_perplexity_600k", "dedup_substring_600k", "hybrid_rrf_600k",
     "cdc_apply_5m", "stream_dedup_600k", "multimodal_600k",
-    "text_classifier_600k")
+    "text_classifier_600k", "dedup_minhash_est_600k")
 
   /** FROZEN cross-round comparison set (judge r6 item 3): the exact 118
     * workloads of the round-5 closing sweep (commit 89c0ce1
@@ -428,6 +428,22 @@ object Bench {
       graft.operators.Similarity.rrfFuse(
           Seq("lex" -> lex, "vec" -> vec), "doc_id")
         .orderBy(col("rrf_u9").desc, col("doc_id")).limit(20).count()
+    }
+    // Estimation audit at corpus volume WITH the sampling lever: the
+    // banded candidates of the 600k corpus, 1/4 of the pairs
+    // hash-sampled into the exact shingle verification — the
+    // drift-detection shape you would run at 100 TB (sample, not census).
+    bench("dedup_minhash_est_600k") {
+      // materialized: the audit reads the text column four times
+      // (signatures + sizes + both verification joins) and an unpinned
+      // synthetic corpus would make this a generator re-evaluation bench
+      // (the round-6 syntheticCorpus lesson)
+      val corpus = Generators.syntheticCorpus(spark, 600000L)
+        .localCheckpoint(true)
+      try graft.operators.Dedup.minhashEstimationAudit(
+          corpus, "doc_id", "text", samplePairsMod = 4)
+        .write.format("noop").mode("overwrite").save()
+      finally corpus.unpersist()
     }
     // The classifier gate at corpus volume: 24M tokens through the native
     // one-pass bucket-hash/weight-fold expression (one md5 per token, no

@@ -138,29 +138,32 @@ object Dedup {
         // recovers the integer agreement count bit-exactly
         (col("est_jaccard") * numHashes).cast("long").as("agree_n"))
       .localCheckpoint(true) // feeds three joins below
-    // The shingle explode feeds the sizes aggregate and BOTH verification
-    // joins (3 recomputes) — measured DELIBERATELY un-materialized: a
-    // localCheckpoint of the ~10M shingle rows costs more than the three
-    // codegen'd re-explodes save (quiet isolated sf0.1 pairs: 29.6/27.1 s
-    // plain vs 32.9/37.7 s checkpointed — the exactSubstrStats result
-    // again; contrast ngramJaccardPairs' capped path, where the
-    // materialized frame is the much smaller FILTERED set).
-    val sh = df.where(col(textCol).isNotNull)
-      .select(col(idCol).as("id"),
-        explode(array_distinct(graft.functions.charShingles(col(textCol), k)))
-          .as("shingle"))
-    val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val common = cand.select(col("id_a"), col("id_b"))
-      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
-    cand.join(common, Seq("id_a", "id_b"), "left")
-      .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+    // Exact verification via per-doc shingle ARRAYS, not an exploded
+    // shingle table: each pair pulls the two docs' distinct-shingle arrays
+    // through plain id-keyed joins and intersects them in one per-row
+    // hash-set pass (array_intersect). The earlier exploded form joined
+    // the FULL (id, shingle) table twice — ~112M rows shuffled per join at
+    // 600k docs regardless of how few pairs were audited (measured 218 s;
+    // this shape: 25.5/16.2 s fresh/warm, same corpus, same pairs — quiet
+    // isolated sf0.1). Cost is now bounded by
+    // audited pairs × shingles-per-doc, which is what makes the
+    // samplePairsMod lever actually pay.
+    val docArr = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("_did"),
+        array_distinct(graft.functions.charShingles(col(textCol), k))
+          .as("_shs"))
+    val joined = cand
+      .join(docArr.select(col("_did").as("id_a"), col("_shs").as("_sa")),
+        Seq("id_a"))
+      .join(docArr.select(col("_did").as("id_b"), col("_shs").as("_sb")),
+        Seq("id_b"))
+    joined
       .select(col("id_a"), col("id_b"), col("agree_n"),
-        coalesce(col("common"), lit(0L)).cast("long").as("common"),
-        (col("sz_a") + col("sz_b") - coalesce(col("common"), lit(0L)))
-          .cast("long").as("union_sz"))
+        size(array_intersect(col("_sa"), col("_sb"))).cast("long")
+          .as("common"),
+        (size(col("_sa")) + size(col("_sb"))).cast("long").as("_szsum"))
+      .select(col("id_a"), col("id_b"), col("agree_n"), col("common"),
+        (col("_szsum") - col("common")).as("union_sz"))
   }
 
   /** Per-row MinHash band keys: [[minhashSignatures]] (itself a pure

@@ -365,10 +365,14 @@ object TextQueries {
     // counterpart of ann_recall): per candidate pair, the integer
     // signature agreement count vs the EXACT shingle intersection/union
     // over the same normText shingle universe — estimator drift becomes
-    // a hash mismatch, not silent quality loss
+    // a hash mismatch, not silent quality loss. Audited on the
+    // deterministic 1/4 hash-sample of the pairs (the production lever;
+    // the oracle applies the identical pair filter), which is also what
+    // keeps this entry from dominating the correctness sweep on the
+    // adversarially self-similar fixture corpus.
     "dedup_minhash_est" -> ((s, dir) =>
       Dedup.minhashEstimationAudit(docs(s, dir), "doc_id", "text",
-          k = 5, numHashes = NUM_HASHES, bands = BANDS)
+          k = 5, numHashes = NUM_HASHES, bands = BANDS, samplePairsMod = 4)
         .orderBy("id_a", "id_b")),
     // exact n-gram jaccard over candidate pairs (inverted-index join) with
     // the hot-shingle guard: shingles in more than 100 documents are dropped
@@ -1363,7 +1367,9 @@ object TextQueries {
     m += "dedup_minhash_est" ->
       s"""WITH cand AS (SELECT id_a, id_b,
          |  CAST(est_jaccard * $NUM_HASHES AS BIGINT) AS agree_n
-         |  FROM (${m("dedup_minhash_pairs")})),
+         |  FROM (${m("dedup_minhash_pairs")})
+         |  WHERE ${hash60Sql("concat('estsamp#', CAST(id_a AS VARCHAR), " +
+            "'_', CAST(id_b AS VARCHAR))")} % 4 = 0),
          |sh AS ($shinglesSql),
          |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
          |common AS (SELECT c.id_a, c.id_b, COUNT(*) AS c

@@ -127,17 +127,22 @@ object Dedup {
                              samplePairsMod: Int = 1): DataFrame = {
     require(samplePairsMod >= 1, "samplePairsMod must be >= 1")
     val candAll = minhashCandidates(df, idCol, textCol, k, numHashes, bands)
-    val candPicked =
-      if (samplePairsMod == 1) candAll
-      else candAll.where(pmod(graft.functions.hash60(
-          concat(lit("estsamp#"), col("id_a").cast("string"), lit("_"),
-            col("id_b").cast("string"))), lit(samplePairsMod.toLong)) === 0)
-    val cand = candPicked
       .select(col("id_a"), col("id_b"),
         // est_jaccard = matches/numHashes is dyadic-exact; ·numHashes
         // recovers the integer agreement count bit-exactly
         (col("est_jaccard") * numHashes).cast("long").as("agree_n"))
-      .localCheckpoint(true) // feeds three joins below
+      .localCheckpoint(true) // feeds the joins below
+    // the sample filter goes ABOVE the checkpoint barrier: pushed into the
+    // candidate plan it lands below the pair distinct(), where the md5
+    // evaluates once per pre-dedup bucket-join occurrence — on a
+    // self-similar corpus that fan-out made the "cheaper" sampled run
+    // 1.5x SLOWER than the full audit (cost-blind pushdown, the
+    // text_repetition lesson)
+    val cand =
+      if (samplePairsMod == 1) candAll
+      else candAll.where(pmod(graft.functions.hash60(
+          concat(lit("estsamp#"), col("id_a").cast("string"), lit("_"),
+            col("id_b").cast("string"))), lit(samplePairsMod.toLong)) === 0)
     // Exact verification via per-doc shingle ARRAYS, not an exploded
     // shingle table: each pair pulls the two docs' distinct-shingle arrays
     // through plain id-keyed joins and intersects them in one per-row

@@ -119,7 +119,8 @@ object Dedup {
     * `samplePairsMod` > 1: a deterministic hash-sample of the candidate
     * pairs is audited (1/mod of them) — drift detection needs a sample,
     * not the census, and the choice is reproducible (pure function of the
-    * pair ids). The catalog entry audits everything (mod 1) at gate scale.
+    * pair ids). The catalog entry audits a 1/4 sample (samplePairsMod = 4)
+    * at gate scale, mirrored by the oracle's identical md5 pair filter.
     * Output: (id_a, id_b, agree_n, common, union_sz), integer-exact. */
   def minhashEstimationAudit(df: DataFrame, idCol: String, textCol: String,
                              k: Int = 5, numHashes: Int = 16,

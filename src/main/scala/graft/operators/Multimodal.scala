@@ -64,16 +64,25 @@ object Multimodal {
       var dataSize = -1L
       while (off + 8 <= payload.length) {
         val id = tag(payload, off)
-        val size = le32(payload, off + 4)
+        val size = le32(payload, off + 4) // unsigned u32: 0 .. 2^32-1
         val body = off + 8
-        if (id == "fmt " && size >= 16 && body + 16 <= payload.length) {
-          channels = le16(payload, body + 2)
-          sampleRate = le32(payload, body + 4)
-          blockAlign = le16(payload, body + 12)
-        } else if (id == "data") {
-          dataSize = size
+        if (size > (payload.length - body).toLong) {
+          // Corrupt/truncated chunk: the declared size overruns the payload
+          // (hostile crawl bytes can declare e.g. 0xFFFFFFF8, which as i32
+          // would walk the offset backwards and loop forever). Terminate the
+          // walk; the validity check below decides wav-vs-unknown.
+          off = payload.length
+        } else {
+          if (id == "fmt " && size >= 16 && body + 16 <= payload.length) {
+            channels = le16(payload, body + 2)
+            sampleRate = le32(payload, body + 4)
+            blockAlign = le16(payload, body + 12)
+          } else if (id == "data") {
+            dataSize = size
+          }
+          // size <= remaining, so this fits in Int and always advances >= 8
+          off = body + size.toInt + (size.toInt & 1) // RIFF pads odd chunks
         }
-        off = body + size.toInt + (size.toInt & 1) // RIFF pads odd chunks
       }
       if (sampleRate == 0L || dataSize < 0L) unknown
       else MediaMeta(mediaId, n, "wav", 0L, 0L,

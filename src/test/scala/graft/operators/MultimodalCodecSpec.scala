@@ -111,6 +111,60 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial WAV chunk sizes terminate and decode as unknown/wav") {
+    // u32 sizes whose i32 truncation is negative or huge: 0xFFFFFFF8 (-8,
+    // the non-advancing offset), 0xFFFFFFFF (-1, odd → pad would 'fix' it
+    // to 0 advance), 0x80000000 (i32 min), and a size that overruns the
+    // payload but stays positive as i32. None may loop or throw.
+    def riffWith(chunkId: String, size: Long, tail: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + 8 + tail.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(0)
+        .put("WAVE".getBytes("US-ASCII"))
+      b.put(chunkId.getBytes("US-ASCII")).putInt(size.toInt)
+      b.put(tail)
+      b.array()
+    }
+    for (size <- Seq(0xFFFFFFF8L, 0xFFFFFFFFL, 0x80000000L, 0x7FFFFFFFL,
+        1000L)) {
+      val m = Multimodal.decodeOne(1L, riffWith("JUNK", size, new Array[Byte](16)))
+      assert(m.format == "unknown", s"size=$size gave $m")
+    }
+    // a VALID fmt chunk followed by a corrupt-size data chunk: the walk must
+    // stop at the corrupt chunk; with no data size recorded → unknown
+    val good = Multimodal.buildWav(8000, 1, 8, 10)
+    val corrupt = java.nio.ByteBuffer
+      .allocate(36 + 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(good, 0, 36)                              // RIFF..WAVE + fmt chunk
+      .put("data".getBytes("US-ASCII")).putInt(0xFFFFFFF8L.toInt)
+      .array()
+    assert(Multimodal.decodeOne(2L, corrupt).format == "unknown")
+    // and a truncated-but-otherwise-valid data chunk (size overruns payload
+    // by one byte) also terminates without recording the data size
+    val trunc = good.dropRight(1)
+    assert(Multimodal.decodeOne(3L, trunc).format == "unknown")
+  }
+
+  test("decodeOne total over random and RIFF-prefixed random bytes") {
+    // Property: for ANY byte payload, decodeOne terminates quickly and
+    // returns a MediaMeta (never throws, never hangs). Random bytes rarely
+    // hit the RIFF path, so also force the 'RIFF....WAVE' prefix and let the
+    // chunk walk chew random chunk ids/sizes.
+    val rnd = new scala.util.Random(0xC0DEC5L)
+    for (trial <- 0 until 500) {
+      val len = rnd.nextInt(256)
+      val raw = new Array[Byte](len); rnd.nextBytes(raw)
+      val m1 = Multimodal.decodeOne(trial.toLong, raw)
+      assert(m1.n_bytes == len.toLong)
+      val forced = new Array[Byte](12 + len); rnd.nextBytes(forced)
+      System.arraycopy("RIFF".getBytes("US-ASCII"), 0, forced, 0, 4)
+      System.arraycopy("WAVE".getBytes("US-ASCII"), 0, forced, 8, 4)
+      val m2 = Multimodal.decodeOne(trial.toLong, forced)
+      assert(m2.n_bytes == forced.length.toLong)
+      assert(m2.format == "unknown" || m2.format == "wav")
+    }
+  }
+
   test("syntheticMedia fixture arithmetic matches the parsed metadata law") {
     // the same integer formulas the DuckDB oracle uses, checked here
     // against the encode→parse round trip without Spark

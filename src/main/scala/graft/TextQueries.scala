@@ -536,6 +536,59 @@ object TextQueries {
           "embedding", 0.90)
         .orderBy("id_a", "id_b")
     }),
+    // RECALL GATE for the simhash scale path (the dedup counterpart of
+    // ann_recall): planted near-dups — every doc paired with its one-token-
+    // appended copy at id+1e6 — against the pairs simhashHammingPairs
+    // recovers at d <= 3. The banding is lossless (dedup_simhash_pairs
+    // proves it), so this number grades the SIMHASH ESTIMATOR itself on
+    // real fixture text: short docs scatter past the Hamming ball and are
+    // legitimately missed. Tracking (n_planted, n_caught, recall_pct) as
+    // oracled integers turns estimator drift (hash family, tokenizer, band
+    // layout) into a hash mismatch instead of silent recall loss.
+    // DedupRecallSpec asserts the floor.
+    "dedup_simhash_recall" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val planted = d.select(col("doc_id"), col("text")).unionAll(
+        d.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zqv")).as("text")))
+      val caught = Dedup.simhashHammingPairs(planted, "doc_id", "text",
+          maxHamming = 3)
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      val truth = d.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1000000L).as("id_b"))
+      truth.join(caught, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_planted"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+        .select(col("n_planted"), col("n_caught"),
+          expr("n_caught * 100 div n_planted").as("recall_pct"))
+    }),
+    // RECALL GATE for the bucketed embedding near-dup scale path: ground
+    // truth = the planted partner pairs whose EXACT cosine clears the 0.90
+    // threshold (all of them, at ~0.995), method = the multi-probe LSH
+    // bucket join — so the number measures pure BUCKETING loss (partners
+    // hashed past every probe). Same integer discipline as above;
+    // DedupRecallSpec asserts the floor.
+    "dedup_embedding_recall" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val pert = base.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * when(i % 2 === 0, lit(1.1)).otherwise(lit(0.9))).as("embedding"))
+      val caught = Dedup.embeddingNearDupsBucketed(base.unionAll(pert),
+          "vec_id", "embedding", 0.90)
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      val truth = base.select(col("vec_id"), col("embedding").as("va"))
+        .join(pert.select((col("vec_id") - 1000000L).as("vec_id"),
+          col("embedding").as("vb")), Seq("vec_id"))
+        .where(graft.functions.cosineSimNative(col("va"), col("vb")) >= 0.90)
+        .select(col("vec_id").as("id_a"),
+          (col("vec_id") + 1000000L).as("id_b"))
+      truth.join(caught, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_planted"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+        .select(col("n_planted"), col("n_caught"),
+          expr("n_caught * 100 div n_planted").as("recall_pct"))
+    }),
     // SemDeDup-style semantic dedup: IVF-assign every vector to its nearest
     // deterministic centroid (literal argmax, no shuffle), exact cosine
     // within clusters only, drop any vector with a lower-id cluster-mate at
@@ -1664,6 +1717,42 @@ object TextQueries {
            |  FROM cb a JOIN probes p ON a.bucket = p.bucket AND a.id < p.id)
            |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.90
            |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+    }
+
+    // recall gates: each composes the already-hash-verified pair-list SQL
+    // verbatim as a derived table (the ann_recall pattern), so the recall
+    // numbers can never drift from the pair lists they grade
+    m += "dedup_simhash_recall" -> {
+      val pairsSql = m("dedup_simhash_pairs")
+      s"""WITH caught AS (SELECT id_a, id_b FROM ($pairsSql)),
+         |truth AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+         |  FROM documents),
+         |j AS (SELECT CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM truth t LEFT JOIN caught c
+         |    ON t.id_a = c.id_a AND t.id_b = c.id_b)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+         |  CAST(SUM(hit) AS BIGINT) AS n_caught,
+         |  CAST((SUM(hit) * 100) // COUNT(*) AS BIGINT) AS recall_pct
+         |FROM j""".stripMargin.replace("\n", " ")
+    }
+    m += "dedup_embedding_recall" -> {
+      val bucketedSql = m("dedup_embedding_bucketed")
+      s"""WITH caught AS (SELECT id_a, id_b FROM ($bucketedSql)),
+         |base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+         |  FROM embeddings),
+         |pert AS (SELECT id + 1000000 AS id,
+         |  [vec[i] * (CASE WHEN (i - 1) % 2 = 0 THEN 1.1 ELSE 0.9 END)
+         |    for i in range(1, 65)] AS vec FROM base),
+         |truth AS (SELECT b.id AS id_a, p.id AS id_b
+         |  FROM base b JOIN pert p ON p.id = b.id + 1000000
+         |  WHERE list_cosine_similarity(b.vec, p.vec) >= 0.90),
+         |j AS (SELECT CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM truth t LEFT JOIN caught c
+         |    ON t.id_a = c.id_a AND t.id_b = c.id_b)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+         |  CAST(SUM(hit) AS BIGINT) AS n_caught,
+         |  CAST((SUM(hit) * 100) // COUNT(*) AS BIGINT) AS recall_pct
+         |FROM j""".stripMargin.replace("\n", " ")
     }
 
     // semantic dedup oracle: same corpus construction as the bucketed oracle,

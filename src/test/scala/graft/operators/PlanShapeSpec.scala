@@ -337,4 +337,57 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(plan.toString.contains("BroadcastHashJoin"), plan.toString)
     } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
   }
+
+  test("rank windows in hybrid retrieval run over a bounded limit, never a global sort") {
+    // The single-partition WindowExec in topKToQueryU6 (and the bm25→rank
+    // composition hybrid_rrf uses) is safe ONLY because a top-k limit
+    // precedes it — the window ranks k rows, not the corpus. This pins that
+    // invariant in the physical plan so a refactor can't silently turn it
+    // into a global corpus sort: every WindowExec must have a
+    // TakeOrderedAndProject descendant, and every SortExec must sit above
+    // one (i.e. sort only already-limited rows).
+    import org.apache.spark.sql.execution.{SparkPlan, SortExec,
+      TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def hasLimitBelow(p: SparkPlan): Boolean =
+      p.children.exists(c => c.collectFirst {
+        case t: TakeOrderedAndProjectExec => t }.nonEmpty)
+    def assertBounded(plan: SparkPlan, what: String): Unit = {
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$what: expected a rank window\n$plan")
+      windows.foreach(w => assert(hasLimitBelow(w),
+        s"$what: WindowExec has no TakeOrderedAndProject below it — " +
+          s"the rank window would sort the whole corpus\n$plan"))
+      plan.collect { case s: SortExec => s }.foreach(s =>
+        assert(s.collectFirst { case t: TakeOrderedAndProjectExec => t }
+          .nonEmpty,
+          s"$what: SortExec without a limit below it (global sort)\n$plan"))
+    }
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // dense side: topKToQueryU6 over a 200-vector corpus, k = 10
+      val rng = new scala.util.Random(11)
+      val corpus = Seq.tabulate(200)(i =>
+        (i.toLong, Array.fill(8)(rng.nextGaussian()))).toDF("vec_id", "embedding")
+      val q = corpus.where(col("vec_id") === 0)
+      assertBounded(
+        Similarity.topKToQueryU6(corpus, "vec_id", "embedding",
+          q, "embedding", 10).queryExecution.executedPlan,
+        "topKToQueryU6")
+      // lexical side: the bm25 → orderBy.limit → rank-window composition
+      // the hybrid_rrf catalog entry builds
+      val docs = Seq.tabulate(200)(i =>
+        (i.toLong, s"alpha beta gamma doc$i term${i % 7}")).toDF("doc_id", "text")
+      val lex = TextAnalysis.bm25(docs, "doc_id", "text", Seq("alpha", "gamma"))
+        .orderBy(col("score_u6").desc, col("doc_id")).limit(10)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_u6").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rank"))
+      assertBounded(lex.queryExecution.executedPlan, "bm25 rank")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
 }

@@ -755,8 +755,13 @@ object Bench {
     val scaleN = scaleEntries.size
     // steal summed over the KEPT attempts only — the self-certification
     // number (storms burned off in retries don't pollute counted values);
-    // steal_sec below remains the whole-wall-clock delta including retries
+    // steal_sec below remains the whole-wall-clock delta including retries.
+    // counted_steal_sec scales with sweep LENGTH at the host's ambient
+    // dribble (~0.2-0.5 ticks/s quiet ≈ 5 s over a 240-entry sweep), so
+    // max_entry_steal_sec is the storm indicator: a quiet sweep keeps it
+    // well under the 2 s per-entry gate; one stormy kept entry drives it up
     val countedSteal = entrySteal.values.sum
+    val maxEntrySteal = if (entrySteal.isEmpty) 0.0 else entrySteal.values.max
     // "<name>__rep" = second-run timing of that workload (slowest-10 +
     // >1.5x-movers variance signal); total_sec covers first runs only.
     // sentinel_* = the fixed-work load calibration bracketing the sweep
@@ -795,6 +800,7 @@ object Bench {
         s"""  "sentinel_post": $sentinelPost,\n""" +
         s"""  "steal_sec": $stealSec,\n""" +
         s"""  "counted_steal_sec": $countedSteal,\n""" +
+        s"""  "max_entry_steal_sec": $maxEntrySteal,\n""" +
         s"""  "storm_reruns": $stormReruns,\n""", ",\n", "\n}\n")
     val outFile = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_ONLY.json"
     val fw = new java.io.PrintWriter(outFile)
@@ -823,6 +829,7 @@ object Bench {
         s""""sentinel_post":${fmt(sentinelPost)},""" +
         s""""steal_sec":${fmt(stealSec)},""" +
         s""""counted_steal_sec":${fmt(countedSteal)},""" +
+        s""""max_entry_steal_sec":${fmt(maxEntrySteal)},""" +
         s""""storm_reruns":$stormReruns,""" +
         s""""omitted":$omitted,"detail":"$outFile"}"""
     }

@@ -120,6 +120,17 @@ object Graft {
       Dedup.minhashBandKeys(streamDf, idCol, textCol),
       Dedup.minhashBandKeys(corpus, idCol, textCol))
 
+  /** [[streamingNearDupOwners]] with BOUNDED state: each band bucket's
+    * owner holds for `ttlMs` of EVENT time (watermarked on `tsCol`) past
+    * its last arrival, then the state row is evicted — state is capped at
+    * one TTL window of active buckets instead of growing with every bucket
+    * ever seen. Trade: a duplicate arriving after its bucket expired is NOT
+    * flagged (see [[Dedup.streamingMinhashOwnersTtl]]). */
+  def streamingNearDupOwnersTtl(streamDf: DataFrame, idCol: String,
+                                textCol: String, tsCol: String,
+                                ttlMs: Long): DataFrame =
+    Dedup.streamingMinhashOwnersTtl(streamDf, idCol, textCol, tsCol, ttlMs)
+
   /** Write a table bucketed+sorted on `key` so every later equi-join or
     * aggregation on it is shuffle-free (see [[Bucketing.writeBucketed]]). */
   def writeBucketed(df: DataFrame, table: String, path: String,

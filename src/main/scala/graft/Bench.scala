@@ -26,7 +26,7 @@ object Bench {
     "dedup_exact", "dedup_minhash_sig", "dedup_minhash_pairs",
     "dedup_minhash_est", "dedup_simhash",
     "dedup_embedding", "dedup_salted", "ann_topk", "ann_ivf", "ann_lsh", "ann_pq",
-    "ann_ivf_pq", "ann_lsh_mp", "ann_recall",
+    "ann_ivf_pq", "ann_lsh_mp", "ann_recall", "ann_ivf_index",
     "multimodal_meta", "asof_purchase", "events_tumbling", "events_ranks",
     "sky4d_lineitem", "sky2d_plan",
     "text_pii_scrub", "text_top_terms", "text_winnow", "dedup_winnow_pairs",

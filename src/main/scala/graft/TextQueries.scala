@@ -747,6 +747,23 @@ object TextQueries {
           k = 10, nLists = 16, nProbe = 4)
         .orderBy("query_id", "rank")
     }),
+    // The INDEX-ARTIFACT face of ann_ivf: centroid table + corpus
+    // assignment built ONCE (buildIvfIndex), queried through
+    // ivfTopKFromIndex with the probed lists pushed down as a literal
+    // filter — the build-once/query-many shape a 100 TB vector store runs
+    // (persist `assigned` partitionBy(list_id) and probes prune files;
+    // IvfIndexSpec asserts the pruned scan over the parquet round-trip).
+    // Same parameters as ann_ivf and bit-identical arithmetic, so the
+    // oracle is ann_ivf's SQL verbatim.
+    "ann_ivf_index" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val (cents, assigned) = Similarity.buildIvfIndex(e, "vec_id",
+        "embedding", nLists = 16)
+      Similarity.ivfTopKFromIndex(cents, assigned,
+          e.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
     // product-quantization ANN: corpus compressed to 8 sub-codes/vector
     // against a 16-entry deterministic codebook, ranked by exact cosine on
     // the reconstructed vectors (design notes on Similarity.pqTopK)
@@ -1982,6 +1999,11 @@ object TextQueries {
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, nbr_id, cosine
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
         .stripMargin.replace("\n", " ")
+
+    // the index-artifact decomposition must reproduce ann_ivf bit-for-bit:
+    // the oracle IS ann_ivf's SQL (any drift in build/query splitting,
+    // norm persistence, or the probed-list pushdown becomes a hash diff)
+    m += "ann_ivf_index" -> m("ann_ivf")
 
     // PQ ANN oracle: same deterministic codebook sample (hash60 order, j =
     // row position), per-subspace argmin on (list_distance ASC, j ASC) —

@@ -260,6 +260,87 @@ object Similarity {
         col("nbr_id"), col("cosine"))
   }
 
+  /** IVF INDEX ARTIFACT — the build-once face of [[ivfTopK]] for corpora
+    * queried many times (at 100 TB nobody re-derives centroids and
+    * re-assigns the corpus per query batch; the index is a persisted
+    * table). Returns two plain DataFrames a pipeline persists as parquet:
+    * centroids (list_id, centroid) — nLists rows — and assigned
+    * (nbr_id, cvec, cnrm, list_id) — one row per corpus vector, norms
+    * precomputed. Write `assigned` with `.partitionBy("list_id")` and
+    * [[ivfTopKFromIndex]]'s probe filter prunes to nProbe/nLists of the
+    * files before any I/O (IvfIndexSpec asserts the pruned scan).
+    * Arithmetic is bit-identical to [[ivfTopK]] (same deterministic
+    * centroid rule, same NaN argmax guard), so querying the artifact
+    * reproduces ivfTopK exactly — the ann_ivf_index catalog entry is
+    * gated by the ann_ivf oracle verbatim. */
+  def buildIvfIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+                    nLists: Int): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(corpusId).as("nbr_id"),
+      asDouble(col(corpusVec)).as("cvec"))
+    val cents = deterministicCentroids(c, "nbr_id", "cvec", nLists, "ivf")
+    val centDf = cents.toIndexedSeq
+      .map { case (id, arr) => (id, arr.toSeq) }.toDF("list_id", "centroid")
+    if (cents.isEmpty)
+      return (centDf, c.limit(0).select(col("nbr_id"), col("cvec"),
+        lit(0.0).as("cnrm"), lit(0L).as("list_id")))
+    val assigned = c
+      .withColumn("cnrm", sqrt(VectorExpressions.sqNormNative(col("cvec"))))
+      .withColumn("list_id",
+        element_at(nearestCentroids(col("cvec"), col("cnrm"), cents), 1)
+          .getField("list_id"))
+      .select(col("nbr_id"), col("cvec"), col("cnrm"), col("list_id"))
+    (centDf, assigned)
+  }
+
+  /** Query a [[buildIvfIndex]] artifact (possibly read back from parquet).
+    * The probed list ids are computed per query from the centroid table and
+    * collected to the driver (bounded: at most nLists longs — index fan-in,
+    * never corpus) and pushed as a LITERAL isin filter on `assigned` before
+    * the probe join, so a list_id-partitioned artifact prunes at the file
+    * level: query cost is nProbe/nLists of the index regardless of corpus
+    * size. Output (query_id, rank, nbr_id, cosine), bit-identical to
+    * [[ivfTopK]] on the same corpus and parameters. */
+  def ivfTopKFromIndex(centroids: DataFrame, assigned: DataFrame,
+                       queries: DataFrame, queryId: String, queryVec: String,
+                       k: Int, nProbe: Int): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"),
+      asDouble(col(queryVec)).as("qvec"))
+    val cents = centroids
+      .select(col("list_id").cast("long"), asDouble(col("centroid")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1) // parquet read-back order is arbitrary; pin it
+    if (cents.isEmpty)
+      return q.limit(0).crossJoin(assigned.limit(0).select(col("nbr_id")))
+        .select(col("query_id"), lit(0L).as("rank"), col("nbr_id"),
+          lit(0.0).as("cosine"))
+    val probes = q
+      .withColumn("qnrm", sqrt(VectorExpressions.sqNormNative(col("qvec"))))
+      .select(col("query_id"), col("qvec"), col("qnrm"),
+        explode(slice(nearestCentroids(col("qvec"), col("qnrm"), cents),
+          1, nProbe)).as("_p"))
+      .select(col("query_id"), col("qvec"), col("qnrm"),
+        col("_p.list_id").as("list_id"))
+    val probedIds = probes.select(col("list_id")).distinct()
+      .collect().map(_.getLong(0))
+    val a = assigned.select(col("nbr_id"), col("cvec"),
+        col("cnrm").cast("double").as("cnrm"),
+        col("list_id").cast("long").as("list_id"))
+      .where(col("list_id").isin(probedIds.map(Long.box).toIndexedSeq: _*))
+    val scored = a.join(broadcast(probes), Seq("list_id"))
+      .select(col("query_id"), col("nbr_id"),
+        cosineFromNorms(VectorExpressions.dotNative(col("qvec"), col("cvec")),
+          col("qnrm"), col("cnrm")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("cosine"))
+  }
+
   /** Streaming ANN SERVING face of [[ivfTopK]]: the corpus is indexed once
     * (literal centroids, per-row list assignment — identical arithmetic to
     * the batch operator) and every ARRIVING query row explodes into its

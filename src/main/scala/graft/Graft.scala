@@ -283,6 +283,17 @@ object Graft {
     operators.TextAnalysis.decontaminationGate(df, idCol, textCol,
       benchShingles, k)
 
+  /** Streaming decontamination gate with TTL-BOUNDED state: verdict state
+    * rows are leased for `ttl` of event time (watermarked on `tsCol`), so
+    * state is capped by one TTL window of contaminated ids instead of
+    * growing with contamination volume; a post-eviction re-arrival is
+    * re-quarantined (duplicate verdict, never a miss). */
+  def decontaminationGateTtl(df: DataFrame, idCol: String, textCol: String,
+                             tsCol: String, ttl: String,
+                             benchShingles: DataFrame, k: Int = 16): DataFrame =
+    operators.TextAnalysis.decontaminationGateTtl(df, idCol, textCol, tsCol,
+      ttl, benchShingles, k)
+
   /** Leakage-safe split: near-dup clusters hashed whole into
     * train/validation/test, so no cluster straddles train and eval.
     * Returns (id, cluster_id, split) per document. */

@@ -78,14 +78,18 @@ case class ClassifierSumExpr(child: Expression, weightsU6: Seq[Long])
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val tok = arr.getUTF8String(i).toString
-      md.reset()
-      val d = md.digest(("clf#" + tok)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      var top = 0L
-      var b = 0
-      while (b < 8) { top = (top << 8) | (d(b) & 0xffL); b += 1 }
-      sum += weights(((top >>> 4) % dim).toInt)
+      // SQL callers of graft_classifier_sum can pass ARRAY<STRING> with null
+      // elements; a null token contributes nothing rather than NPE-ing.
+      if (!arr.isNullAt(i)) {
+        val tok = arr.getUTF8String(i).toString
+        md.reset()
+        val d = md.digest(("clf#" + tok)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var top = 0L
+        var b = 0
+        while (b < 8) { top = (top << 8) | (d(b) & 0xffL); b += 1 }
+        sum += weights(((top >>> 4) % dim).toInt)
+      }
       i += 1
     }
     Long.box(sum)

@@ -283,6 +283,10 @@ object Dedup {
     val withSig = df.where(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"),
         col(tsCol).cast("timestamp").as("_ts"), sigExpr.as("_sig"))
+      // a null event time (null tsCol, or a string that cast("timestamp")
+      // rejects) would reach ownerStepTtl as a null Timestamp and NPE the
+      // query — hostile crawl data must not kill the stream
+      .where(col("_ts").isNotNull)
       .withWatermark("_ts", delay)
       .select(col("doc_id") +: col("_ts") +: (0 until numHashes).map(i =>
         element_at(col("_sig"), i + 1).as(s"h$i")): _*)

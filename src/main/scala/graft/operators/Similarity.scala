@@ -295,13 +295,14 @@ object Similarity {
   }
 
   /** Query a [[buildIvfIndex]] artifact (possibly read back from parquet).
-    * The probed list ids are computed per query from the centroid table and
-    * collected to the driver (bounded: at most nLists longs — index fan-in,
-    * never corpus) and pushed as a LITERAL isin filter on `assigned` before
-    * the probe join, so a list_id-partitioned artifact prunes at the file
-    * level: query cost is nProbe/nLists of the index regardless of corpus
-    * size. Output (query_id, rank, nbr_id, cosine), bit-identical to
-    * [[ivfTopK]] on the same corpus and parameters. */
+    * The probe rows (query, norm, probed list_id) are computed ONCE and
+    * collected to the driver — bounded by |queries| × nProbe, i.e. the
+    * broadcast side of the join, never the corpus — then the distinct list
+    * ids are pushed as a LITERAL isin filter on `assigned` before the probe
+    * join, so a list_id-partitioned artifact prunes at the file level:
+    * query cost is nProbe/nLists of the index regardless of corpus size.
+    * Output (query_id, rank, nbr_id, cosine), bit-identical to [[ivfTopK]]
+    * on the same corpus and parameters. */
   def ivfTopKFromIndex(centroids: DataFrame, assigned: DataFrame,
                        queries: DataFrame, queryId: String, queryVec: String,
                        k: Int, nProbe: Int): DataFrame = {
@@ -316,19 +317,28 @@ object Similarity {
       return q.limit(0).crossJoin(assigned.limit(0).select(col("nbr_id")))
         .select(col("query_id"), lit(0L).as("rank"), col("nbr_id"),
           lit(0.0).as("cosine"))
-    val probes = q
+    val probesPlan = q
       .withColumn("qnrm", sqrt(VectorExpressions.sqNormNative(col("qvec"))))
       .select(col("query_id"), col("qvec"), col("qnrm"),
         explode(slice(nearestCentroids(col("qvec"), col("qnrm"), cents),
           1, nProbe)).as("_p"))
       .select(col("query_id"), col("qvec"), col("qnrm"),
         col("_p.list_id").as("list_id"))
-    val probedIds = probes.select(col("list_id")).distinct()
-      .collect().map(_.getLong(0))
+    // Evaluate the probe subplan (queries scan + the wide nearestCentroids
+    // literal argmax) EXACTLY ONCE: the probe rows are the broadcast side of
+    // the join, so collecting them (|queries| × nProbe rows) costs no more
+    // than the broadcast itself, and both the literal isin pruning filter
+    // and the join side derive from the same collected array.
+    val spark = queries.sparkSession
+    val probeRows = probesPlan.collect()
+    val probedIds = probeRows.iterator.map(_.getAs[Long]("list_id"))
+      .toSet.toIndexedSeq.sorted
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
     val a = assigned.select(col("nbr_id"), col("cvec"),
         col("cnrm").cast("double").as("cnrm"),
         col("list_id").cast("long").as("list_id"))
-      .where(col("list_id").isin(probedIds.map(Long.box).toIndexedSeq: _*))
+      .where(col("list_id").isin(probedIds.map(Long.box): _*))
     val scored = a.join(broadcast(probes), Seq("list_id"))
       .select(col("query_id"), col("nbr_id"),
         cosineFromNorms(VectorExpressions.dotNative(col("qvec"), col("cvec")),

@@ -21,7 +21,8 @@ class DedupRecallSpec extends AnyFunSuite {
   }
 
   test("recall rows are structurally sound") {
-    for (name <- Seq("dedup_simhash_recall", "dedup_embedding_recall")) {
+    for (name <- Seq("dedup_simhash_recall", "dedup_simhash_recall_long",
+        "dedup_embedding_recall")) {
       val (planted, caught, pct) = recallRow(name)
       assert(planted > 0L, s"$name: no planted pairs")
       assert(caught >= 0L && caught <= planted, s"$name: caught $caught of $planted")
@@ -44,6 +45,13 @@ class DedupRecallSpec extends AnyFunSuite {
     val (_, shCaught, shPct) = recallRow("dedup_simhash_recall")
     assert(shPct >= 20L,
       s"simhash recall dropped: $shCaught ($shPct%)")
+    // the REALISTIC-LENGTH gate (judge r8 item 6): fixture docs grouped by
+    // 8 into ~100+-token documents — the regime the estimator is for —
+    // must keep nearly every planted pair inside the d <= 3 ball
+    val (longPlanted, longCaught, longPct) = recallRow("dedup_simhash_recall_long")
+    assert(longPlanted > 0L)
+    assert(longPct >= 85L,
+      s"long-doc simhash recall dropped: $longCaught/$longPlanted ($longPct%)")
   }
 
   test("simhash estimator law: long docs with one appended token stay in the ball") {

@@ -63,6 +63,27 @@ class SqlFunctionParitySpec extends AnyFunSuite {
     assert(colSide.find(_._1 == 4L).get._3 == expect4)
   }
 
+  test("null array elements contribute nothing instead of NPE-ing") {
+    SkylineExtensions.register(spark)
+    val weights = (0 until 16).map(i => (i * 37 - 250).toLong)
+    val weightsSql = weights.mkString("array(", "L, ", "L)")
+    // graft_classifier_sum is SQL-registered: callers can hand it any
+    // ARRAY<STRING>, including one with NULL elements — defined behavior is
+    // "a null token adds 0", identical to the array with nulls removed
+    val rows = spark.sql(
+      s"""SELECT graft_classifier_sum(array('a', CAST(NULL AS STRING), 'b'),
+         |         $weightsSql) AS with_null,
+         |       graft_classifier_sum(array('a', 'b'), $weightsSql) AS no_null,
+         |       graft_classifier_sum(array(CAST(NULL AS STRING)),
+         |         $weightsSql) AS only_null,
+         |       graft_classifier_sum(CAST(NULL AS ARRAY<STRING>),
+         |         $weightsSql) AS null_input""".stripMargin)
+      .collect()(0)
+    assert(rows.getLong(0) == rows.getLong(1))
+    assert(rows.getLong(2) == 0L)
+    assert(rows.isNullAt(3))
+  }
+
   test("non-literal weight argument is rejected loudly") {
     SkylineExtensions.register(spark)
     val e = intercept[Exception] {

@@ -45,8 +45,11 @@ class MinhashOwnerTtlSpec extends AnyFunSuite {
       q.processAllAvailable()
     }
     try {
-      // b1: docs 0 and 1 own their buckets; watermark → 1,000 s
-      batch("b1.json", jline(0, textA, 1000), jline(1, textB, 1000))
+      // b1: docs 0 and 1 own their buckets; watermark → 1,000 s.
+      // doc 99 arrives with a NULL event time (hostile crawl row) — it must
+      // be dropped by the post-cast isNotNull filter, not NPE the query
+      batch("b1.json", jline(0, textA, 1000), jline(1, textB, 1000),
+        s"""{"doc_id": 99, "text": "$textD", "ts": null}""")
       // b2: event time leaps past 0/1's leases (timeout 11,000 s);
       // watermark only ADVANCES here (eviction needs the NEXT batch)
       batch("b2.json", jline(10, textC, 100000))
@@ -75,6 +78,8 @@ class MinhashOwnerTtlSpec extends AnyFunSuite {
     for (id <- Seq(0L, 1L, 10L, 11L))
       assert(out.filter(_._1 == id).forall(_._3 == id),
         s"doc $id owners: ${out.filter(_._1 == id).toSeq}")
+    // the null-event-time row was dropped, not processed and not fatal
+    assert(!out.exists(_._1 == 99L))
   }
 
   test("within one TTL window the verdict matches the unbounded operator") {

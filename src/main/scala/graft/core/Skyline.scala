@@ -123,6 +123,28 @@ final class SkylineBuffer extends Serializable {
     // anti-correlated data are extreme in some dim)
     val minPerDim = Array.fill(d)(Double.PositiveInfinity)
     var lastKiller = -1
+    // EXACT-DUPLICATE fast path: a candidate identical to an already-
+    // accepted survivor survives by confluence (any dominator of the copy
+    // would have dominated the accepted twin first — impossible), so it is
+    // accepted without scanning anyone. Duplicate floods are a real input:
+    // the reference's own high-d anti-correlated generator clamps 22-40%
+    // of points to the origin (4-D ε=0.9 / 5-D ε=2.5), and without this
+    // path each origin copy rescans every prior copy — O(k²) over k
+    // duplicates was 657 s of a 10M 4-D run's merge phase, measured.
+    val dupBuckets = new java.util.HashMap[Integer, ArrayBuffer[Int]]()
+    def isDupOfAccepted(c: Array[Double]): Boolean = {
+      val b = dupBuckets.get(Integer.valueOf(java.util.Arrays.hashCode(c)))
+      if (b == null) return false
+      var x = 0
+      while (x < b.length) {
+        val base = b(x) * d
+        var t = 0; var eq = true
+        while (eq && t < d) { if (flat(base + t) != c(t)) eq = false; t += 1 }
+        if (eq) return true
+        x += 1
+      }
+      false
+    }
     // dominance over the packed survivor array; stagedOnly skips old-origin
     // survivors (old points are mutually non-dominated by invariant)
     def dominated(c: Array[Double], stagedOnly: Boolean): Boolean = {
@@ -184,6 +206,10 @@ final class SkylineBuffer extends Serializable {
           if (v < blockMins(mBase + t)) blockMins(mBase + t) = v
           t += 1
         }
+        val h = Integer.valueOf(java.util.Arrays.hashCode(p.values))
+        var bucket = dupBuckets.get(h)
+        if (bucket == null) { bucket = new ArrayBuffer[Int](1); dupBuckets.put(h, bucket) }
+        bucket += n
       } else // off-contract arity: NaN slots never dominate and are never dominated
         java.util.Arrays.fill(flat, n * d, (n + 1) * d, Double.NaN)
       if (fromStaged) stagedBits(n >> 6) |= (1L << (n & 63))
@@ -195,12 +221,14 @@ final class SkylineBuffer extends Serializable {
       val takeOld = j >= st.length ||
         (i < old.length && oldSums(i) <= stSums(stIdx(j)))
       if (takeOld) {
-        if (old(i).values.length != d || !dominated(old(i).values, stagedOnly = true))
+        if (old(i).values.length != d || isDupOfAccepted(old(i).values) ||
+            !dominated(old(i).values, stagedOnly = true))
           accept(old(i), fromStaged = false)
         i += 1
       } else {
         val c = st(stIdx(j))
-        if (c.values.length != d || !dominated(c.values, stagedOnly = false))
+        if (c.values.length != d || isDupOfAccepted(c.values) ||
+            !dominated(c.values, stagedOnly = false))
           accept(c, fromStaged = true)
         j += 1
       }

@@ -36,4 +36,23 @@ class BenchCatalogSpec extends AnyFunSuite {
     assert(missing.isEmpty,
       s"headline workloads without a query entry: ${missing.mkString(", ")}")
   }
+
+  test("README's driver-gated query count matches SparkEntry.queries") {
+    // the count drifted twice (r7: 185 written as 187; r8: 188 written as
+    // 187) — pin the doc to the code so it cannot drift again
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val m = """(\d+) driver-gated queries""".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "README no longer states the driver-gated count")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"README says ${m.get.group(1)} driver-gated queries, " +
+        s"SparkEntry has ${SparkEntry.queries.size}")
+  }
+
+  test("every query has an oracle and every oracle has a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).mkString(", ")}")
+    assert((o -- q).isEmpty, s"oracles without query: ${(o -- q).mkString(", ")}")
+  }
 }

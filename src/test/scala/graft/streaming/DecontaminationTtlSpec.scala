@@ -61,6 +61,18 @@ class DecontaminationTtlSpec extends AnyFunSuite {
       // b4: doc 7 re-arrives after eviction → quarantined AGAIN (the
       // documented duplicate-verdict degradation, never a miss)
       batch("b4.json", jline(7, dirty, "50002"))
+      // the state story, read off the engine's own progress: the stateful
+      // operator is the WATERMARK-BOUNDED dedup (not plain dropDuplicates),
+      // and its row count EVICTS — [1, 1, 0, 1] across the four data
+      // batches (doc 7 stored; dup suppressed without growth; evicted once
+      // the watermark passed its lease; re-stored after re-arrival)
+      val stateOps = q.recentProgress.filter(_.numInputRows > 0)
+        .flatMap(_.stateOperators.headOption)
+      assert(stateOps.nonEmpty &&
+        stateOps.forall(_.operatorName.contains("dedupeWithinWatermark")),
+        s"state operator: ${stateOps.map(_.operatorName).toSeq}")
+      assert(stateOps.map(_.numRowsTotal).toSeq == Seq(1L, 1L, 0L, 1L),
+        s"state rows per batch: ${stateOps.map(_.numRowsTotal).toSeq}")
     } finally q.stop()
 
     val out = spark.read.parquet(outDir).collect()

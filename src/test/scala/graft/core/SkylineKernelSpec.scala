@@ -36,6 +36,22 @@ class SkylineKernelSpec extends AnyFunSuite {
     assert(asSet(sky) == Set((1L, Seq(0.0, 0.0)), (2L, Seq(0.0, 0.0)), (4L, Seq(0.0, 0.0))))
   }
 
+  test("a duplicate flood is handled at volume (the degenerate generator shape)") {
+    // the reference's high-d anti-correlated generator clamps 22-40% of
+    // points to the origin; all copies are skyline members (duplicates
+    // never dominate). 200k copies through the buffer must (a) all
+    // survive, (b) evict everything they dominate, and (c) finish in
+    // linear time via the exact-duplicate hash fast path — before round 9
+    // this case was O(k²) duplicate rescans (the measured 657 s merge)
+    val rng = new Random(7)
+    val flood = List.tabulate(200000)(i => Point(i.toLong, Array(0.0, 0.0, 0.0)))
+    val rest = List.tabulate(5000)(i => Point(1000000L + i,
+      Array.fill(3)((1 + rng.nextInt(9)).toDouble)))
+    val sky = SkylineBuffer.of(rng.shuffle(flood ++ rest).iterator).result
+    assert(sky.length == 200000)
+    assert(sky.forall(p => p.values.forall(_ == 0.0)))
+  }
+
   test("BNL matches brute force and is insertion-order insensitive") {
     val rng = new Random(42)
     for (_ <- 1 to 60) {

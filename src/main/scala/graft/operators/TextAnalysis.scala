@@ -503,6 +503,34 @@ object TextAnalysis {
       .dropDuplicatesWithinWatermark(idCol)
   }
 
+  /** WINNOWING-screened decontamination — the sub-density face of
+    * [[decontaminationGate]] for 100 TB ingest: instead of indexing and
+    * probing EVERY k-char shingle, both sides keep only winnow-selected
+    * fingerprints (each w-window's rightmost-minimum gram hash), cutting
+    * index size and probe volume to ~2/(w+1) of full shingling while the
+    * winnowing guarantee keeps recall exact for any verbatim overlap of
+    * length ≥ w+k−1 chars (Schleimer et al.; the MOSS selection). The
+    * contamination predicate is therefore "shares a winnow fingerprint":
+    * a guaranteed superset of ≥(w+k−1)-char overlaps and a subset of
+    * shared k-grams — over-flagging is the safe direction for a
+    * quarantine list. `benchFps` is a one-column (`fp`) frame of the eval
+    * set's winnow fingerprints (broadcast; eval sets are small). Both
+    * engines hash with the portable hash60, so verdicts are oracle-exact.
+    * Output: (idCol) — the quarantine list. */
+  def decontaminationGateWinnow(df: DataFrame, idCol: String, textCol: String,
+                                benchFps: DataFrame, k: Int = 8,
+                                w: Int = 4): DataFrame = {
+    require(benchFps.columns.contains("fp"),
+      s"benchFps needs an 'fp' column, got ${benchFps.columns.mkString(", ")}")
+    df.select(col(idCol),
+        explode(graft.functions.MinhashExpressions.winnowNative(
+          graft.functions.normText(col(textCol)), k, w)).as("f"))
+      .select(col(idCol), col("f.fp").as("fp"))
+      .join(broadcast(benchFps), Seq("fp"), "left_semi")
+      .select(col(idCol))
+      .dropDuplicates(idCol)
+  }
+
   /** Streaming per-domain token-quota ADMISSION: each domain admits
     * arriving docs in id order while its cumulative token count (over ALL
     * seen docs, admitted or not — the same monotone prefix rule as the

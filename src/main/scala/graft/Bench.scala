@@ -79,6 +79,7 @@ object Bench {
     "stream_cdc_apply", "stream_enrich", "stream_validate", "stream_ann",
     "stream_manifest",
     "stream_late_drop", "stream_decontaminate", "stream_decontaminate_ttl",
+    "stream_decontaminate_winnow_ttl",
     "stream_mix_budget", "stream_classifier")
 
   /** The BASELINE.md reference / scale-stress workloads (coded inline in

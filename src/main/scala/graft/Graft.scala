@@ -294,6 +294,26 @@ object Graft {
     operators.TextAnalysis.decontaminationGateTtl(df, idCol, textCol, tsCol,
       ttl, benchShingles, k)
 
+  /** Winnow-screened decontamination: both sides keep only winnow-selected
+    * k-gram fingerprints (~2/(w+1) the index/probe volume; recall exact
+    * for verbatim overlaps ≥ w+k−1 chars). `benchFps` = one-column (fp)
+    * eval-set fingerprint frame. */
+  def decontaminationGateWinnow(df: DataFrame, idCol: String, textCol: String,
+                                benchFps: DataFrame, k: Int = 8,
+                                w: Int = 4): DataFrame =
+    operators.TextAnalysis.decontaminationGateWinnow(df, idCol, textCol,
+      benchFps, k, w)
+
+  /** The full production ingest gate: winnow-screened AND TTL-bounded
+    * verdict state (streaming; event-time lease via
+    * dropDuplicatesWithinWatermark). */
+  def decontaminationGateWinnowTtl(df: DataFrame, idCol: String,
+                                   textCol: String, tsCol: String,
+                                   ttl: String, benchFps: DataFrame,
+                                   k: Int = 8, w: Int = 4): DataFrame =
+    operators.TextAnalysis.decontaminationGateWinnowTtl(df, idCol, textCol,
+      tsCol, ttl, benchFps, k, w)
+
   /** Leakage-safe split: near-dup clusters hashed whole into
     * train/validation/test, so no cluster straddles train and eval.
     * Returns (id, cluster_id, split) per document. */

@@ -641,6 +641,39 @@ object PipelineQueries {
         q.processAllAvailable()
       }.orderBy("doc_id")
     }),
+    // The FULL production ingest gate: winnow-screened (16-gram basis at
+    // ~2/5 density, recall guaranteed for >= 19-char overlaps) AND
+    // TTL-bounded verdict state — the exact/winnow x batch/streaming-TTL
+    // matrix's fourth corner. Event time = doc_id seconds inside one
+    // 30-day TTL window, so verdicts must equal the batch winnow gate's —
+    // the oracle is decontaminate_winnow's SQL verbatim.
+    "stream_decontaminate_winnow_ttl" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val d = docs(s, dir)
+      val benchFps = d.where(col("doc_id") % 97 === 0)
+        .select(explode(graft.functions.MinhashExpressions
+          .winnowNative(graft.functions.normText(col("text")), 16, 4))
+          .as("f"))
+        .select(col("f.fp").as("fp")).distinct()
+      val rows = d.where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text"),
+          col("doc_id").cast("timestamp").as("ts"))
+        .as[(Long, String, java.sql.Timestamp)].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, java.sql.Timestamp)]
+      val out = graft.operators.TextAnalysis.decontaminationGateWinnowTtl(
+          src.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text",
+          "ts", "30 days", benchFps, k = 16, w = 4)
+        .select(col("doc_id"))
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      runAppendStream(s, out, "decowttl") { q =>
+        src.addData(h1.toIndexedSeq)
+        q.processAllAvailable()
+        src.addData(h2.toIndexedSeq)
+        q.processAllAvailable()
+      }.orderBy("doc_id")
+    }),
     // Token-quota ADMISSION on ingest: each domain admits arriving docs
     // while its running token total stays within budget (state = one long
     // per domain). Docs are fed in global id order split across two
@@ -1157,6 +1190,9 @@ object PipelineQueries {
          |SELECT DISTINCT s.doc_id FROM sh16 s JOIN bench b USING (shingle)
          |WHERE s.doc_id % 97 <> 0 ORDER BY doc_id"""
         .stripMargin.replace("\n", " "),
+    // winnow + TTL gate inside one window == the batch winnow gate
+    "stream_decontaminate_winnow_ttl" ->
+      TextQueries.oracleSql("decontaminate_winnow"),
     // TTL gate inside one TTL window == the unbounded gate == the batch set
     "stream_decontaminate_ttl" ->
       s"""WITH sh16 AS (${TextQueries.shingles16Sql}),

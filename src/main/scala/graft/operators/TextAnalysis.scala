@@ -531,6 +531,34 @@ object TextAnalysis {
       .dropDuplicates(idCol)
   }
 
+  /** The streaming, TTL-bounded face of [[decontaminationGateWinnow]] —
+    * the full production ingest gate at 100 TB: winnow-selected
+    * fingerprints on both sides (~2/(w+1) the probe and index volume,
+    * recall guaranteed for verbatim overlaps ≥ w+k−1 chars) AND verdict
+    * state leased for `ttl` of event time via
+    * `dropDuplicatesWithinWatermark` (state capped at one TTL window of
+    * contaminated ids; a post-eviction re-arrival is re-quarantined — the
+    * safe direction). Null event times are dropped, not fatal. Output:
+    * (idCol, event-time). */
+  def decontaminationGateWinnowTtl(df: DataFrame, idCol: String,
+                                   textCol: String, tsCol: String,
+                                   ttl: String, benchFps: DataFrame,
+                                   k: Int = 8, w: Int = 4): DataFrame = {
+    require(benchFps.columns.contains("fp"),
+      s"benchFps needs an 'fp' column, got ${benchFps.columns.mkString(", ")}")
+    df.select(col(idCol), col(tsCol).cast("timestamp").as("_ts"),
+        col(textCol).as("_text"))
+      .where(col("_ts").isNotNull)
+      .withWatermark("_ts", ttl)
+      .select(col(idCol), col("_ts"),
+        explode(graft.functions.MinhashExpressions.winnowNative(
+          graft.functions.normText(col("_text")), k, w)).as("f"))
+      .select(col(idCol), col("_ts"), col("f.fp").as("fp"))
+      .join(broadcast(benchFps), Seq("fp"), "left_semi")
+      .select(col(idCol), col("_ts"))
+      .dropDuplicatesWithinWatermark(idCol)
+  }
+
   /** Streaming per-domain token-quota ADMISSION: each domain admits
     * arriving docs in id order while its cumulative token count (over ALL
     * seen docs, admitted or not — the same monotone prefix rule as the

@@ -79,7 +79,7 @@ object Bench {
     "stream_cdc_apply", "stream_enrich", "stream_validate", "stream_ann",
     "stream_manifest",
     "stream_late_drop", "stream_decontaminate", "stream_decontaminate_ttl",
-    "stream_decontaminate_winnow_ttl",
+    "stream_decontaminate_winnow_ttl", "stream_decontaminate_proc_ttl",
     "stream_mix_budget", "stream_classifier")
 
   /** The BASELINE.md reference / scale-stress workloads (coded inline in
@@ -93,7 +93,8 @@ object Bench {
     "dedup_simhash_600k",
     "text_perplexity_600k", "dedup_substring_600k", "hybrid_rrf_600k",
     "cdc_apply_5m", "stream_dedup_600k", "stream_dedup_600k_ttl",
-    "stream_decontaminate_600k_ttl", "multimodal_600k",
+    "stream_decontaminate_600k_ttl", "stream_decontaminate_winnow_600k_ttl",
+    "multimodal_600k",
     "text_classifier_600k", "dedup_minhash_est_600k")
 
   /** FROZEN scale-family comparison set (judge r7 item 6): the round-7
@@ -172,6 +173,27 @@ object Bench {
       f
       (System.nanoTime() - t0) / 1e9
     }
+
+    // Unpersist every RDD a lap left pinned — localCheckpoint pushdown
+    // barriers (minhashEstimationAudit, hybrid_rrf_600k's materialized
+    // retrieval lists) and eager merge caches (crossFilterChunks'
+    // survivors) otherwise outlive their lap and tax whatever runs later:
+    // the r9 "anti-warm-up", where dedup_minhash_est_600k's REPEAT read
+    // 2-3x its first run across three artifacts, is block-manager
+    // carryover from exactly these. Scoped by snapshot: only RDDs created
+    // inside `f` are swept, so deliberately cross-lap fixtures (the
+    // decontamination bench indexes, persisted outside the timed bodies)
+    // are exempt.
+    def withRddSweep(f: => Unit): Unit = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      try f finally spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before(id) }
+        .values.foreach(_.unpersist(true))
+    }
+    // block-manager residency (MB) — the attempt-start bracket that names
+    // carryover machine-readably when a lap still anti-warms
+    def cachedMb(): Double = spark.sparkContext.getRDDStorageInfo
+      .map(s => s.memSize + s.diskSize).sum / 1e6
 
     // Fixed-work LOAD SENTINEL: every core runs the same integer-mix loop,
     // so the wall time on a quiet machine is one thread's quantum and ANY
@@ -292,6 +314,11 @@ object Bench {
     // __first_run_cause adjudication below and land in BENCH_FULL.json.
     val entryGc = scala.collection.mutable.LinkedHashMap[String, Double]()
     val entryJit = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // block-manager MB resident when the kept attempt STARTED — near zero
+    // on an honest lap (every attempt sweeps its own leavings); material
+    // residency names the carryover mechanism when a repeat still reads
+    // slower than its first run
+    val entryCacheMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     def gcMillis(): Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -304,24 +331,26 @@ object Bench {
     }
     var stormReruns = 0
     def timeQuiet(name: String, f: () => Unit): Double = {
-      def attempt(): (Double, Double, Double, Double) = {
+      def attempt(): (Double, Double, Double, Double, Double) = {
+        val c0 = cachedMb()
         val s0 = stealTicks(); val g0 = gcMillis(); val j0 = jitMillis()
-        val t = try time(f()) catch { case _: Throwable => -1.0 }
+        val t = try time(withRddSweep(f())) catch { case _: Throwable => -1.0 }
         (t, (stealTicks() - s0) / 100.0, (gcMillis() - g0) / 1000.0,
-          (jitMillis() - j0) / 1000.0)
+          (jitMillis() - j0) / 1000.0, c0)
       }
-      var (keptT, keptS, keptG, keptJ) = attempt()
+      var (keptT, keptS, keptG, keptJ, keptC) = attempt()
       var tries = 0
       while (keptT >= 0 && keptS > StealGateSec && tries < StealRetries) {
         tries += 1; stormReruns += 1
-        val (t, s, g, j) = attempt()
+        val (t, s, g, j, c) = attempt()
         if (t >= 0 && (t < keptT || (s <= StealGateSec && t <= keptT * 1.05))) {
-          keptT = t; keptS = s; keptG = g; keptJ = j
+          keptT = t; keptS = s; keptG = g; keptJ = j; keptC = c
         }
       }
       entrySteal(name) = keptS
       entryGc(name) = keptG
       entryJit(name) = keptJ
+      entryCacheMb(name) = keptC
       keptT
     }
 
@@ -452,7 +481,7 @@ object Bench {
     // __first_run_cause adjudication certify whatever inflation remains.
     if (Seq("dedup_minhash_600k_sig", "dedup_minhash_600k",
         "dedup_simhash_600k", "text_perplexity_600k", "dedup_substring_600k",
-        "dedup_minhash_est_600k", "text_classifier_600k").exists(wanted)) {
+        "dedup_minhash_est_600k", "text_classifier_600k").exists(wanted)) withRddSweep {
       import org.apache.spark.sql.functions.col
       val w = Generators.syntheticCorpus(spark, 20000L).localCheckpoint(true)
       try {
@@ -914,6 +943,75 @@ object Bench {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
 
+    // WINNOW-screened twin of stream_decontaminate_600k_ttl (judge r9
+    // item 2): the same 600k corpus / 20 micro-batches / 60,000 s TTL, but
+    // both sides keep only winnow fingerprints (k=16, w=4 → ~2/5 the probe
+    // and index volume, recall exact for >= 19-char verbatim overlaps) —
+    // the documented 100 TB ingest default. The full-shingle gate is the
+    // sweep's single most expensive entry (76-80 s r9); this twin measures
+    // exactly what the sub-density screen buys at volume. Same fixture,
+    // same state-row plateau claim, recorded as
+    // stream_decontaminate_winnow_600k_ttl__state_rows_per_batch.
+    var sdecoWinStateRows: Seq[Long] = Nil
+    if (wanted("stream_decontaminate_winnow_600k_ttl")) {
+      val sdDir = java.nio.file.Files.createTempDirectory("sdecow").toString
+      Generators.syntheticCorpus(spark, 600000L)
+        .withColumn("ts", org.apache.spark.sql.functions.col("doc_id"))
+        .repartitionByRange(20, org.apache.spark.sql.functions.col("doc_id"))
+        .write.mode("overwrite").parquet(sdDir)
+      // the eval-set fingerprint index is build-once setup (untimed),
+      // persisted for the same stream-static-rescan reason as benchSh above
+      val benchFps = spark.read.parquet(sdDir)
+        .where(org.apache.spark.sql.functions.expr("doc_id % 971 = 0"))
+        .select(org.apache.spark.sql.functions.explode(
+          graft.functions.MinhashExpressions.winnowNative(
+            graft.functions.normText(
+              org.apache.spark.sql.functions.col("text")), 16, 4)).as("f"))
+        .select(org.apache.spark.sql.functions.col("f.fp").as("fp"))
+        .distinct()
+        .persist()
+      benchFps.count() // materialize outside the timed region
+      val sdSchema = spark.read.parquet(sdDir).schema
+      bench("stream_decontaminate_winnow_600k_ttl") {
+        val prior = spark.conf.getOption(
+          "spark.sql.streaming.stateStore.providerClass")
+        val ckpt = java.nio.file.Files.createTempDirectory("sdecowckpt")
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val src = spark.readStream.schema(sdSchema)
+            .option("maxFilesPerTrigger", 1).parquet(sdDir)
+          val verdicts =
+            graft.operators.TextAnalysis.decontaminationGateWinnowTtl(
+              src, "doc_id", "text", "ts", "60000 seconds", benchFps,
+              k = 16, w = 4)
+          val q = verdicts.writeStream.format("noop")
+            .option("checkpointLocation", ckpt.toString)
+            .outputMode("append").start()
+          try {
+            q.processAllAvailable()
+            sdecoWinStateRows = q.recentProgress.filter(_.numInputRows > 0)
+              .flatMap(_.stateOperators.headOption.map(_.numRowsTotal)).toSeq
+          } finally q.stop()
+        } finally {
+          prior match {
+            case Some(p) => spark.conf.set(
+              "spark.sql.streaming.stateStore.providerClass", p)
+            case None => spark.conf.unset(
+              "spark.sql.streaming.stateStore.providerClass")
+          }
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+      benchFps.unpersist()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(sdDir)).iterator()
+        .asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+
     val sentinelPost = loadSentinel()
     val stealSec = (stealTicks() - stealStart) / 100.0
 
@@ -973,7 +1071,11 @@ object Bench {
       (if (sdecoTtlStateRows.isEmpty) Seq.empty[String]
        else Seq(
          s"""  "stream_decontaminate_600k_ttl__state_rows_per_batch": """ +
-         s"""[${sdecoTtlStateRows.mkString(", ")}]"""))
+         s"""[${sdecoTtlStateRows.mkString(", ")}]""")) ++
+      (if (sdecoWinStateRows.isEmpty) Seq.empty[String]
+       else Seq(
+         s"""  "stream_decontaminate_winnow_600k_ttl__state_rows_per_batch": """ +
+         s"""[${sdecoWinStateRows.mkString(", ")}]"""))
     // per-entry steal labels land in BENCH_FULL.json only for kept attempts
     // that stayed stormy after the bounded retries (the entries a reader
     // must still adjudicate by hand); "__steal_sec" keys are harmless to
@@ -989,13 +1091,43 @@ object Bench {
         .map { case (k, v) => s"""  "${k}__gc_sec": $v""" } ++
       entryJit.toSeq.filter(_._2 > 1.0)
         .map { case (k, v) => s"""  "${k}__jit_sec": $v""" }
+    // REPEAT-LAP certification (judge r9 item 3, the anti-warm-up): any
+    // scale-family entry whose repeat read > 1.5x its first run gets a
+    // machine-readable cause from the rep attempt's own brackets — "gc" /
+    // "jit" when the JVM counters account for >= half the excess,
+    // "block_manager_carryover" when the rep attempt STARTED with material
+    // cache residency (the r9 mechanism — now swept per-attempt, so this
+    // label firing means the sweep missed something), else "unexplained".
+    // Labels land as <name>__rep_cause; min-of-pair already rules the
+    // totals either way.
+    val repCauses = scala.collection.mutable.LinkedHashMap[String, String]()
+    (frozenScale ++ refWorkloads).toSeq.sorted
+      .filter(n => results.get(n).exists(_ >= 0) &&
+        repeats.get(n).exists(_ >= 0) &&
+        repeats(n) > results(n) * 1.5 && repeats(n) - results(n) > 1.0)
+      .foreach { n =>
+        val excess = repeats(n) - results(n)
+        val gc = entryGc.getOrElse(s"${n}__rep", 0.0)
+        val jit = entryJit.getOrElse(s"${n}__rep", 0.0)
+        val cache = entryCacheMb.getOrElse(s"${n}__rep", 0.0)
+        repCauses(n) =
+          if (gc >= excess * 0.5) "gc"
+          else if (jit >= excess * 0.5) "jit"
+          else if (cache > 64.0) "block_manager_carryover"
+          else "unexplained"
+      }
+    val cacheDetail = entryCacheMb.toSeq.filter(_._2 > 64.0)
+      .map { case (k, v) => s"""  "${k}__cache_mb": $v""" }
     val causeDetail =
       confirms.toSeq.map { case (k, v) => s"""  "${k}__confirm": $v""" } ++
       causes.toSeq.map { case (k, v) =>
-        s"""  "${k}__first_run_cause": "$v"""" }
+        s"""  "${k}__first_run_cause": "$v"""" } ++
+      repCauses.toSeq.map { case (k, v) =>
+        s"""  "${k}__rep_cause": "$v"""" }
     val fullJson = (results.map { case (k, v) => s"""  "$k": $v""" } ++
       repeats.map { case (k, v) => s"""  "${k}__rep": $v""" } ++
-      streamDetail ++ ttlDetail ++ stealDetail ++ gcJitDetail ++ causeDetail)
+      streamDetail ++ ttlDetail ++ stealDetail ++ gcJitDetail ++
+      cacheDetail ++ causeDetail)
       .mkString(s"""{\n  "total_sec": $total,\n""" +
         s"""  "stable_total_sec": $stableTotal,\n""" +
         s"""  "stable_n": $stableN,\n""" +
@@ -1023,13 +1155,23 @@ object Bench {
         else if (v >= 100) "%.0f" else if (v >= 10) "%.1f" else "%.2f"
       String.format(java.util.Locale.ROOT, pattern, Double.box(v))
     }
+    // cause labels ride the stdout line too (judge r9 item 6): the driver's
+    // run of record is THIS line, and labels living only in BENCH_FULL.json
+    // left the r9 driver artifact with unexplained 3x+ first/rep columns
+    val causesJson = {
+      val all = causes.toSeq.map { case (k, v) => (s"${k}__first", v) } ++
+        repCauses.toSeq.map { case (k, v) => (s"${k}__rep", v) }
+      if (all.isEmpty) ""
+      else all.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString(""""causes":{""", ",", "},")
+    }
     def render(keep: collection.Map[String, Double], omitted: Int): String = {
       val qs = keep.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""stable_total_sec":${fmt(stableTotal)},"stable_n":$stableN,""" +
         s""""scale_total_sec":${fmt(scaleTotal)},"scale_n":$scaleN,""" +
-        s""""queries":$qs,""" +
+        s""""queries":$qs,""" + causesJson +
         s""""sf":$sfNum,"sentinel_pre":${fmt(sentinelPre)},""" +
         s""""sentinel_gen":${fmt(sentinelGen)},""" +
         s""""sentinel_batch":${fmt(sentinelBatch)},""" +
@@ -1044,8 +1186,25 @@ object Bench {
     // workloads (the BASELINE.md comparison) and __rep repeat columns (the
     // variance signal the judge adjudicates regressions with) always stay
     val MaxLine = 1800
+    // The per-query map prints MIN-OF-PAIR (judge r9 item 4): every
+    // cross-round comparison reads this map, and first-run values made a
+    // noisy driver host mint fake 2-4x regressions (r9: 50.8 printed vs
+    // true 6.7 on dedup_minhash_600k). The repeat stays as "<name>__rep";
+    // a first run that exceeded 3x its repeat additionally keeps its raw
+    // value as "<name>__first" so the adjudication trail survives the trim.
+    // Raw first runs for everything remain in BENCH_FULL.json.
+    val minOfPair = results.toSeq.map { case (k, v) =>
+      k -> (repeats.get(k).filter(_ >= 0) match {
+        case Some(r) if v >= 0 => math.min(v, r)
+        case _ => v
+      })
+    }
+    val firstDetail = results.toSeq.filter { case (k, v) =>
+      v >= 0 && repeats.get(k).exists(r => r >= 0 && v >= r * 3)
+    }.map { case (k, v) => (s"${k}__first", v) }
     val kept = collection.mutable.LinkedHashMap(
-      (results.toSeq ++ repeats.toSeq.map { case (k, v) => (s"${k}__rep", v) }): _*)
+      (minOfPair ++ repeats.toSeq.map { case (k, v) => (s"${k}__rep", v) } ++
+        firstDetail): _*)
     val droppable = results.toSeq
       .filter { case (k, v) => !refWorkloads.contains(k) && v >= 0 }
       .sortBy(_._2).map(_._1).iterator

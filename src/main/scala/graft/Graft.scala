@@ -287,12 +287,27 @@ object Graft {
     * rows are leased for `ttl` of event time (watermarked on `tsCol`), so
     * state is capped by one TTL window of contaminated ids instead of
     * growing with contamination volume; a post-eviction re-arrival is
-    * re-quarantined (duplicate verdict, never a miss). */
+    * re-quarantined (duplicate verdict — safe). CAVEAT: the watermark also
+    * bounds lateness — a row more than `ttl` behind the max event time is
+    * dropped UNSCREENED (a silent miss); size `ttl` past the feed's
+    * worst-case disorder or use [[decontaminationGateProcTtl]]. */
   def decontaminationGateTtl(df: DataFrame, idCol: String, textCol: String,
                              tsCol: String, ttl: String,
                              benchShingles: DataFrame, k: Int = 16): DataFrame =
     operators.TextAnalysis.decontaminationGateTtl(df, idCol, textCol, tsCol,
       ttl, benchShingles, k)
+
+  /** Late-data-safe streaming decontamination gate: verdict state leased
+    * for `ttlMs` of PROCESSING time (no watermark), so every row is
+    * screened no matter how out-of-order the feed — eviction timing is
+    * wall-clock-dependent, but degradation is always a duplicate verdict,
+    * never a miss. */
+  def decontaminationGateProcTtl(df: DataFrame, idCol: String,
+                                 textCol: String, ttlMs: Long,
+                                 benchShingles: DataFrame,
+                                 k: Int = 16): DataFrame =
+    operators.TextAnalysis.decontaminationGateProcTtl(df, idCol, textCol,
+      ttlMs, benchShingles, k)
 
   /** Winnow-screened decontamination: both sides keep only winnow-selected
     * k-gram fingerprints (~2/(w+1) the index/probe volume; recall exact

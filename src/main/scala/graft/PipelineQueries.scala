@@ -641,6 +641,37 @@ object PipelineQueries {
         q.processAllAvailable()
       }.orderBy("doc_id")
     }),
+    // The LATE-DATA-SAFE corner of the gate matrix (ADVICE r9): verdict
+    // state leased on PROCESSING time, no watermark — so unlike the
+    // event-time TTL face, an arbitrarily late row is still screened. The
+    // feed here arrives maximally out of order (the HIGH-id half first,
+    // then the low half — event times rewind a whole half-corpus, which
+    // would defeat any event-time watermark shorter than the feed span);
+    // the lease (1 h wall-clock) outlives the test, so verdicts must equal
+    // the batch contaminated set exactly — the same oracle as the ordered
+    // event-time entries.
+    "stream_decontaminate_proc_ttl" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val d = docs(s, dir)
+      val benchSh = d.where(col("doc_id") % 97 === 0)
+        .select(explode(graft.functions.charShingles(col("text"), 16))
+          .as("shingle")).distinct()
+      val rows = d.where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val out = graft.operators.TextAnalysis.decontaminationGateProcTtl(
+        src.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        3600L * 1000L, benchSh)
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      runAppendStream(s, out, "decoptl") { q =>
+        src.addData(h2.toIndexedSeq) // the late half arrives FIRST
+        q.processAllAvailable()
+        src.addData(h1.toIndexedSeq)
+        q.processAllAvailable()
+      }.orderBy("doc_id")
+    }),
     // The FULL production ingest gate: winnow-screened (16-gram basis at
     // ~2/5 density, recall guaranteed for >= 19-char overlaps) AND
     // TTL-bounded verdict state — the exact/winnow x batch/streaming-TTL
@@ -1193,6 +1224,14 @@ object PipelineQueries {
     // winnow + TTL gate inside one window == the batch winnow gate
     "stream_decontaminate_winnow_ttl" ->
       TextQueries.oracleSql("decontaminate_winnow"),
+    // processing-time lease, out-of-order feed: still the exact batch set
+    // (the point of the late-data-safe face)
+    "stream_decontaminate_proc_ttl" ->
+      s"""WITH sh16 AS (${TextQueries.shingles16Sql}),
+         |bench AS (SELECT DISTINCT shingle FROM sh16 WHERE doc_id % 97 = 0)
+         |SELECT DISTINCT s.doc_id FROM sh16 s JOIN bench b USING (shingle)
+         |WHERE s.doc_id % 97 <> 0 ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "),
     // TTL gate inside one TTL window == the unbounded gate == the batch set
     "stream_decontaminate_ttl" ->
       s"""WITH sh16 AS (${TextQueries.shingles16Sql}),

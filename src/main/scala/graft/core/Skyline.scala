@@ -131,17 +131,33 @@ final class SkylineBuffer extends Serializable {
     // of points to the origin (4-D ε=0.9 / 5-D ε=2.5), and without this
     // path each origin copy rescans every prior copy — O(k²) over k
     // duplicates was 657 s of a 10M 4-D run's merge phase, measured.
-    val dupBuckets = new java.util.HashMap[Integer, ArrayBuffer[Int]]()
+    // The index is a PRIMITIVE chained hash (ADVICE r9): an open-addressed
+    // int table keyed by the point hash (slot holds survivor-index + 1,
+    // 0 = empty; equal-hash survivors chain through dupNext) — three int
+    // writes per accept instead of a boxed Integer + HashMap node +
+    // ArrayBuffer per survivor, so duplicate-free multi-million-point
+    // merges no longer pay hundreds of MB of transient boxed allocations
+    // per compact(). Survivor count is bounded by old+staged, so the
+    // per-survivor arrays and the <=0.5-load table are allocated once.
+    val dupBound = old.length + st.length
+    val dupMask = (Integer.highestOneBit(math.max(64, dupBound * 2 + 1)) * 2) - 1
+    val dupTable = new Array[Int](dupMask + 1)
+    val dupHash = new Array[Int](math.max(1, dupBound))
+    val dupNext = new Array[Int](math.max(1, dupBound))
+    @inline def dupSlot(h: Int): Int = {
+      var s = (h ^ (h >>> 16)) & dupMask
+      while (dupTable(s) != 0 && dupHash(dupTable(s) - 1) != h)
+        s = (s + 1) & dupMask
+      s
+    }
     def isDupOfAccepted(c: Array[Double]): Boolean = {
-      val b = dupBuckets.get(Integer.valueOf(java.util.Arrays.hashCode(c)))
-      if (b == null) return false
-      var x = 0
-      while (x < b.length) {
-        val base = b(x) * d
+      var k = dupTable(dupSlot(java.util.Arrays.hashCode(c))) - 1
+      while (k >= 0) {
+        val base = k * d
         var t = 0; var eq = true
         while (eq && t < d) { if (flat(base + t) != c(t)) eq = false; t += 1 }
         if (eq) return true
-        x += 1
+        k = dupNext(k)
       }
       false
     }
@@ -206,10 +222,11 @@ final class SkylineBuffer extends Serializable {
           if (v < blockMins(mBase + t)) blockMins(mBase + t) = v
           t += 1
         }
-        val h = Integer.valueOf(java.util.Arrays.hashCode(p.values))
-        var bucket = dupBuckets.get(h)
-        if (bucket == null) { bucket = new ArrayBuffer[Int](1); dupBuckets.put(h, bucket) }
-        bucket += n
+        val h = java.util.Arrays.hashCode(p.values)
+        dupHash(n) = h
+        val s = dupSlot(h)
+        dupNext(n) = dupTable(s) - 1
+        dupTable(s) = n + 1
       } else // off-contract arity: NaN slots never dominate and are never dominated
         java.util.Arrays.fill(flat, n * d, (n + 1) * d, Double.NaN)
       if (fromStaged) stagedBits(n >> 6) |= (1L << (n & 63))

@@ -477,14 +477,23 @@ object TextAnalysis {
     * state row is evicted once the watermark passes its event time + `ttl`
     * — state is capped at the contaminated ids seen inside one TTL window.
     *
-    * DOCUMENTED degradation past the TTL: a contaminated doc id re-arriving
-    * more than `ttl` of event time after its last emission is quarantined
-    * AGAIN (a duplicate verdict row, never a missed one — re-emission is
-    * the safe direction for a quarantine list; consumers treat it as a
-    * set). Within the TTL, verdicts are identical to the unbounded gate.
-    * Rows with a null event time are dropped, not fatal. Output:
-    * (idCol, event-time) — the timestamp rides along so downstream sinks
-    * can window the quarantine feed. */
+    * DOCUMENTED degradations past the TTL — one safe, one NOT (ADVICE r9):
+    * (a) a contaminated doc id re-arriving more than `ttl` of event time
+    * after its last emission is quarantined AGAIN (a duplicate verdict row;
+    * consumers treat the feed as a set — safe); (b) the watermark that
+    * bounds the state ALSO bounds lateness: a row whose event time lags the
+    * stream's max event time by more than `ttl` is DROPPED before it
+    * reaches the gate, so a late-arriving contaminated document produces NO
+    * verdict and passes the screen — the UNSAFE direction on out-of-order
+    * crawl data. Lateness tolerance == `ttl` here by construction
+    * (`dropDuplicatesWithinWatermark` ties state retention to the watermark
+    * delay); pick `ttl` >= the feed's worst-case disorder, or use
+    * [[decontaminationGateProcTtl]], which leases state on PROCESSING time
+    * and never drops a late row. Within the TTL (and within the lateness
+    * bound), verdicts are identical to the unbounded gate. Rows with a null
+    * event time are dropped, not fatal. Output: (idCol, event-time) — the
+    * timestamp rides along so downstream sinks can window the quarantine
+    * feed. */
   def decontaminationGateTtl(df: DataFrame, idCol: String, textCol: String,
                              tsCol: String, ttl: String,
                              benchShingles: DataFrame,
@@ -501,6 +510,56 @@ object TextAnalysis {
       .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
       .select(col(idCol), col("_ts"))
       .dropDuplicatesWithinWatermark(idCol)
+  }
+
+  /** [[decontaminationGateTtl]] with state leased on PROCESSING time — the
+    * late-data-safe corner of the gate matrix (ADVICE r9). The event-time
+    * variant's watermark makes lateness tolerance == state TTL: a row more
+    * than `ttl` behind the stream's max event time is dropped UNSCREENED,
+    * which for a decontamination screen is a silent miss. This variant
+    * keeps NO watermark — every arriving row is screened no matter how
+    * out-of-order the feed is — and instead leases each contaminated id's
+    * verdict state for `ttlMs` of wall-clock via a ProcessingTimeTimeout
+    * group state (same cap: one TTL window of contaminated ids).
+    *
+    * Trade vs the event-time face: eviction here is a function of
+    * wall-clock, not of the data, so WHICH re-arrivals produce duplicate
+    * verdict rows is not replay-deterministic — but every duplicate is in
+    * the safe direction (re-quarantine), and no row is ever missed. Use
+    * this when the feed's disorder is unbounded or unknown; use the
+    * event-time face when replay-deterministic output matters and `ttl`
+    * can be sized past the worst-case disorder. Null text is dropped.
+    * Output: (idCol) — the quarantine list. */
+  def decontaminationGateProcTtl(df: DataFrame, idCol: String,
+                                 textCol: String, ttlMs: Long,
+                                 benchShingles: DataFrame,
+                                 k: Int = 16): DataFrame = {
+    require(ttlMs > 0, "ttlMs must be positive")
+    require(benchShingles.columns.contains("shingle"),
+      s"benchShingles needs a 'shingle' column, got " +
+        benchShingles.columns.mkString(", "))
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    df.select(col(idCol).cast("long").as("_id"), col(textCol).as("_text"))
+      .where(col("_text").isNotNull)
+      .select(col("_id"), explode(charShingles(col("_text"), k)).as("shingle"))
+      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .select(col("_id"))
+      .as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout)(
+        (id: Long, rows: Iterator[Long], state: GroupState[Boolean]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val fresh = state.getOption.isEmpty
+            state.update(true)
+            state.setTimeoutDuration(ttlMs)
+            if (fresh) Iterator.single(id) else Iterator.empty
+          }
+        })
+      .toDF(idCol)
   }
 
   /** WINNOWING-screened decontamination — the sub-density face of
@@ -538,7 +597,11 @@ object TextAnalysis {
     * state leased for `ttl` of event time via
     * `dropDuplicatesWithinWatermark` (state capped at one TTL window of
     * contaminated ids; a post-eviction re-arrival is re-quarantined — the
-    * safe direction). Null event times are dropped, not fatal. Output:
+    * safe direction). The same watermark caveat as
+    * [[decontaminationGateTtl]] applies (ADVICE r9): lateness tolerance ==
+    * `ttl`, and a row arriving later than that is dropped UNSCREENED — size
+    * `ttl` to the feed's worst-case disorder or use the processing-time
+    * lease. Null event times are dropped, not fatal. Output:
     * (idCol, event-time). */
   def decontaminationGateWinnowTtl(df: DataFrame, idCol: String,
                                    textCol: String, tsCol: String,
@@ -568,6 +631,8 @@ object TextAnalysis {
     * (group iterators are unordered); across batches the feed must be
     * id-ordered — the same precondition as streamingMinhashOwners, under
     * which the admitted set equals the batch id-order prefix exactly.
+    * Duplicate ids within a batch are admitted per-ROW in arrival order
+    * (the stable-sort tie rule — see [[budgetAdmitBatch]]).
     * Emits admitted (domainCol, idCol, tokCol) rows.
     *
     * MEMORY BOUND (in-code, judge r8 item 5): the admitted set is the
@@ -607,39 +672,52 @@ object TextAnalysis {
     * ALL seen docs stays ≤ budget") equals the maximal id-prefix of the
     * batch whose token sum is ≤ `remaining` — once one id overflows, every
     * later id is rejected, so rejected tokens past the cutoff never matter.
-    * That prefix is computable without sorting: keep a max-id heap of
-    * candidates, evict the largest id while the buffered token sum exceeds
-    * `remaining` (an evicted id — and anything above it — can never be in
-    * the prefix, so arrivals ≥ the smallest evicted id are skipped
-    * outright), and finally keep the ids below the smallest eviction.
-    * Retained token weight is ≤ `remaining` at all times, so the buffer is
-    * ≤ remaining rows for ≥1-token docs regardless of batch size.
+    * That prefix is computable without sorting: keep a max heap of
+    * candidates, evict the largest while the buffered token sum exceeds
+    * `remaining` (an evicted row — and anything ordered after it — can
+    * never be in the prefix, so arrivals ≥ the smallest eviction are
+    * skipped outright), and finally keep the rows below the smallest
+    * eviction. Retained token weight is ≤ `remaining` at all times, so the
+    * buffer is ≤ remaining rows for ≥1-token docs regardless of batch size.
     *
-    * Returns (admitted rows sorted by id, token sum over ALL rows seen,
-    * peak buffered row count — the last for the spec's bound assertion). */
+    * DUPLICATE ids (ADVICE r9): the heap is keyed by (id, arrival-seq) —
+    * the exact order a stable sort by id gives — so the prefix cut is
+    * per-ROW, not per-id: with remaining = 3 and rows (id 2, tok 1),
+    * (id 2, tok 3), the first duplicate is admitted and the second
+    * rejected, matching the stable-sort-then-cumulative-prefix reference
+    * form row for row.
+    *
+    * Returns (admitted rows in (id, arrival) order, token sum over ALL rows
+    * seen, peak buffered row count — the last for the spec's bound
+    * assertion). */
   private[operators] def budgetAdmitBatch(remaining: Long,
       rows: Iterator[(Long, Long)]): (Seq[(Long, Long)], Long, Int) = {
     var seenSum = 0L
     var peak = 0
+    // (id, arrival-seq, tok), max-heap on (id, seq) lexicographic
     val heap = scala.collection.mutable.PriorityQueue
-      .empty[(Long, Long)](Ordering.by(_._1))
+      .empty[(Long, Long, Long)](Ordering.by(r => (r._1, r._2)))
     var heapSum = 0L
-    var minEvicted = Long.MaxValue
+    var seq = 0L
+    var evId = Long.MaxValue; var evSeq = Long.MaxValue // smallest eviction
     rows.foreach { case (id, tok) =>
       seenSum += tok
       // remaining == 0 still admits zero-token prefix rows (cum <= budget)
-      if (remaining >= 0L && id < minEvicted) {
-        heap.enqueue((id, tok))
+      if (remaining >= 0L && (id < evId || (id == evId && seq < evSeq))) {
+        heap.enqueue((id, seq, tok))
         heapSum += tok
         if (heap.size > peak) peak = heap.size
         while (heapSum > remaining && heap.nonEmpty) {
-          val (eid, etok) = heap.dequeue()
+          val (eid, esq, etok) = heap.dequeue()
           heapSum -= etok
-          if (eid < minEvicted) minEvicted = eid
+          if (eid < evId || (eid == evId && esq < evSeq)) { evId = eid; evSeq = esq }
         }
       }
+      seq += 1
     }
-    val admitted = heap.toIndexedSeq.filter(_._1 < minEvicted).sortBy(_._1)
+    val admitted = heap.toIndexedSeq
+      .filter(r => r._1 < evId || (r._1 == evId && r._2 < evSeq))
+      .sortBy(r => (r._1, r._2)).map(r => (r._1, r._3))
     (admitted, seenSum, peak)
   }
 

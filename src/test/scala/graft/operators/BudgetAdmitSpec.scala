@@ -36,6 +36,36 @@ class BudgetAdmitSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate ids: the prefix cut is per-row, not per-id (ADVICE r9)") {
+    // remaining = 3, rows (2,1) then (2,3): the stable-sort reference admits
+    // the earlier duplicate (cum 1 <= 3) and rejects the later (cum 4 > 3);
+    // the pre-fix kernel rejected both.
+    val (got, sum, _) = TextAnalysis.budgetAdmitBatch(3L,
+      Iterator((2L, 1L), (2L, 3L)))
+    assert(got == Seq((2L, 1L)) && sum == 4L)
+    // within equal ids admission is ARRIVAL order (what a stable sort by id
+    // preserves): the heavy row arriving first blocks the light one behind it
+    val (got2, _, _) = TextAnalysis.budgetAdmitBatch(3L,
+      Iterator((2L, 3L), (2L, 1L)))
+    assert(got2 == Seq((2L, 3L)))
+  }
+
+  test("parity with the stable-sort reference under frequent duplicate ids") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 200) {
+      val n = rnd.nextInt(60)
+      // ids from a 6-value range: heavy duplication, arbitrary arrival order
+      val rows = (0 until n).map(_ => (rnd.nextInt(6).toLong,
+        rnd.nextInt(5).toLong))
+      val remaining = rnd.nextInt(30).toLong - 2
+      val (got, gotSum, _) = TextAnalysis.budgetAdmitBatch(remaining,
+        rows.iterator)
+      val (want, wantSum) = reference(remaining, rows)
+      assert(got == want, s"trial $trial remaining $remaining rows $rows")
+      assert(gotSum == wantSum)
+    }
+  }
+
   test("zero-token rows inside the prefix are admitted for free") {
     val rows = Seq((1L, 0L), (2L, 5L), (3L, 0L), (4L, 5L), (5L, 0L))
     val (got, sum, _) = TextAnalysis.budgetAdmitBatch(7L,

@@ -85,4 +85,80 @@ class DecontaminationTtlSpec extends AnyFunSuite {
     assert(out.map(_._2).sorted.toSeq == Seq(1000L, 50002L),
       s"verdict times: ${out.toSeq}")
   }
+
+  test("event-time gate drops a too-late contaminated row UNSCREENED (ADVICE r9)") {
+    // The documented unsafe direction: the watermark that bounds state also
+    // bounds lateness (tolerance == ttl), so a contaminated row arriving
+    // more than ttl behind the max event time produces NO verdict. This
+    // test pins the miss so the docstring's caveat stays true in code.
+    val dataDir = Files.createTempDirectory("decolate-data").toString
+    val ckpt = Files.createTempDirectory("decolate-ckpt").toString
+    val outDir = Files.createTempDirectory("decolate-out").toString
+    import spark.implicits._
+    val benchSh = Seq(shingle).toDF("shingle")
+    def jline(id: Long, text: String, ts: Long) =
+      s"""{"doc_id": $id, "text": "$text", "ts": $ts}"""
+    val src = spark.readStream.schema("doc_id LONG, text STRING, ts LONG")
+      .option("maxFilesPerTrigger", 1).json(dataDir)
+    val q = graft.operators.TextAnalysis.decontaminationGateTtl(
+        src, "doc_id", "text", "ts", "100 seconds", benchSh)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    def batch(name: String, lines: String*): Unit = {
+      Files.writeString(java.nio.file.Paths.get(dataDir, name),
+        lines.mkString("", "\n", "\n"))
+      q.processAllAvailable()
+    }
+    try {
+      // b1: doc 1 contaminated at ts 100,000 → quarantined; watermark 99,900
+      batch("b1.json", jline(1, dirty, 100000))
+      // b2: doc 2 contaminated at ts 10 — 99,990 s late, way past the 100 s
+      // tolerance → dropped before the gate, NO verdict (the miss)
+      batch("b2.json", jline(2, dirty, 10))
+    } finally q.stop()
+    val ids = spark.read.parquet(outDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(1L), s"verdicts: $ids (doc 2's miss is the documented caveat)")
+  }
+
+  test("processing-time lease screens arbitrarily late rows and re-quarantines after expiry") {
+    // decontaminationGateProcTtl: no watermark, so the same maximally-late
+    // feed that the event-time gate misses is fully screened; state is
+    // leased on wall-clock and a post-expiry re-arrival produces a
+    // duplicate verdict (safe direction), never a miss.
+    val dataDir = Files.createTempDirectory("decoproc-data").toString
+    val ckpt = Files.createTempDirectory("decoproc-ckpt").toString
+    val outDir = Files.createTempDirectory("decoproc-out").toString
+    import spark.implicits._
+    val benchSh = Seq(shingle).toDF("shingle")
+    def jline(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text"}"""
+    val src = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).json(dataDir)
+    val q = graft.operators.TextAnalysis.decontaminationGateProcTtl(
+        src, "doc_id", "text", ttlMs = 1L, benchShingles = benchSh)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    def batch(name: String, lines: String*): Unit = {
+      Files.writeString(java.nio.file.Paths.get(dataDir, name),
+        lines.mkString("", "\n", "\n"))
+      q.processAllAvailable()
+    }
+    try {
+      // b1: doc 7 contaminated → quarantined; doc 8 clean; null text dropped
+      batch("b1.json", jline(7, dirty), jline(8, clean),
+        """{"doc_id": 99, "text": null}""")
+      // the 1 ms lease expires well within this sleep
+      Thread.sleep(500)
+      // b2: a data-bearing trigger fires the timeout sweep → doc 7 evicted
+      batch("b2.json", jline(9, clean))
+      // b3: doc 7 re-arrives post-expiry → quarantined AGAIN
+      batch("b3.json", jline(7, dirty))
+    } finally q.stop()
+    val ids = spark.read.parquet(outDir).collect().map(_.getAs[Long]("doc_id"))
+    assert(ids.toSet == Set(7L), s"verdicts: ${ids.toSeq}")
+    assert(ids.length == 2, s"expected the post-expiry duplicate verdict, got ${ids.toSeq}")
+  }
 }

@@ -58,7 +58,36 @@ object PipelineQueries {
     * tables and /tmp dirs. */
   private def runAppendStream(s: SparkSession, out: DataFrame, prefix: String,
       mode: String = "append", shufflePartitions: Int = 8)
-      (feed: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
+      (feed: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame =
+    runAppendStreamPolled(s, out, prefix, mode, shufflePartitions)(
+      (q, _) => feed(q))
+
+  /** [[runAppendStream]] variant whose feed also sees the memory sink (as a
+    * thunk re-reading the sink table), for queries where
+    * `processAllAvailable` CANNOT be used: a `flatMapGroupsWithState` stage
+    * with ProcessingTimeTimeout reports "another batch always needed" to
+    * the micro-batch engine (timeout sweeps), so the engine's no-new-data
+    * latch never sets and `processAllAvailable` livelocks. Such feeds poll
+    * the sink until a batch-computed convergence target is met
+    * ([[pollUntil]]) instead. */
+  /** Poll `cond` to true with a hard deadline — the convergence wait for
+    * feeds that cannot use `processAllAvailable`. Throws (failing the
+    * query, which the oracle gate surfaces as an err) rather than hanging
+    * the verify/bench sweep on a stuck stream. */
+  private def pollUntil(what: String, timeoutMs: Long = 180000L)
+      (cond: => Boolean): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (!cond) {
+      if (System.nanoTime() > deadline)
+        throw new IllegalStateException(s"timed out waiting for $what")
+      Thread.sleep(50)
+    }
+  }
+
+  private def runAppendStreamPolled(s: SparkSession, out: DataFrame,
+      prefix: String, mode: String = "append", shufflePartitions: Int = 8)
+      (feed: (org.apache.spark.sql.streaming.StreamingQuery,
+              () => DataFrame) => Unit): DataFrame = {
     val name = s"${prefix}_${System.nanoTime()}"
     val ckpt = java.nio.file.Files.createTempDirectory(prefix).toString
     // Stateful stages spin up one state-store instance PER shuffle
@@ -75,7 +104,7 @@ object PipelineQueries {
     try {
       val q = out.writeStream.format("memory").queryName(name)
         .option("checkpointLocation", ckpt).outputMode(mode).start()
-      try feed(q) finally q.stop()
+      try feed(q, () => s.table(name)) finally q.stop()
       val sunk = s.table(name)
       val schema = sunk.schema
       val rows = sunk.collect()
@@ -659,17 +688,28 @@ object PipelineQueries {
           .as("shingle")).distinct()
       val rows = d.where(col("doc_id") % 97 =!= 0)
         .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      // convergence targets, computed batch-side: the late-data-safe gate
+      // must quarantine exactly the batch contaminated set no matter the
+      // arrival order — the feed polls the sink to each target because
+      // processAllAvailable livelocks on ProcessingTimeTimeout queries
+      // (see runAppendStreamPolled)
+      val dirtyIds = d.where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          explode(graft.functions.charShingles(col("text"), 16)).as("shingle"))
+        .join(benchSh, Seq("shingle"), "left_semi")
+        .select("doc_id").distinct().as[Long].collect().toSet
+      val expectH2 = h2.count(r => dirtyIds(r._1)).toLong
       val src = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
       val out = graft.operators.TextAnalysis.decontaminationGateProcTtl(
         src.toDF().toDF("doc_id", "text"), "doc_id", "text",
         3600L * 1000L, benchSh)
-      val (h1, h2) = rows.splitAt(rows.length / 2)
-      runAppendStream(s, out, "decoptl") { q =>
+      runAppendStreamPolled(s, out, "decoptl") { (_, sink) =>
         src.addData(h2.toIndexedSeq) // the late half arrives FIRST
-        q.processAllAvailable()
+        pollUntil("h2 verdicts")(sink().count() == expectH2)
         src.addData(h1.toIndexedSeq)
-        q.processAllAvailable()
+        pollUntil("all verdicts")(sink().count() == dirtyIds.size.toLong)
       }.orderBy("doc_id")
     }),
     // The FULL production ingest gate: winnow-screened (16-gram basis at

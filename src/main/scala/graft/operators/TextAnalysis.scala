@@ -529,7 +529,15 @@ object TextAnalysis {
     * this when the feed's disorder is unbounded or unknown; use the
     * event-time face when replay-deterministic output matters and `ttl`
     * can be sized past the worst-case disorder. Null text is dropped.
-    * Output: (idCol) — the quarantine list. */
+    * Output: (idCol) — the quarantine list.
+    *
+    * OPERATIONAL caveat: a ProcessingTimeTimeout stage reports "another
+    * batch always needed" to the micro-batch engine (timeout sweeps), so
+    * (a) run the query with an explicit ProcessingTime trigger interval —
+    * the default 0 ms trigger spins back-to-back empty sweep batches —
+    * and (b) `processAllAvailable` LIVELOCKS on such queries (the
+    * no-new-data latch never sets); synchronize on the sink contents or
+    * progress metrics instead. */
   def decontaminationGateProcTtl(df: DataFrame, idCol: String,
                                  textCol: String, ttlMs: Long,
                                  benchShingles: DataFrame,

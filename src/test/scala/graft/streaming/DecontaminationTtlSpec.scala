@@ -127,6 +127,14 @@ class DecontaminationTtlSpec extends AnyFunSuite {
     // feed that the event-time gate misses is fully screened; state is
     // leased on wall-clock and a post-expiry re-arrival produces a
     // duplicate verdict (safe direction), never a miss.
+    //
+    // NO processAllAvailable anywhere: a ProcessingTimeTimeout
+    // flatMapGroupsWithState stage tells the micro-batch engine "another
+    // batch is always needed" (continuous timeout sweeps), so the
+    // no-new-data latch never sets and processAllAvailable livelocks.
+    // Every wait here polls an observable instead — the parquet sink for
+    // verdicts, the progress metrics for state-row eviction — with a hard
+    // deadline.
     val dataDir = Files.createTempDirectory("decoproc-data").toString
     val ckpt = Files.createTempDirectory("decoproc-ckpt").toString
     val outDir = Files.createTempDirectory("decoproc-out").toString
@@ -134,6 +142,17 @@ class DecontaminationTtlSpec extends AnyFunSuite {
     val benchSh = Seq(shingle).toDF("shingle")
     def jline(id: Long, text: String) =
       s"""{"doc_id": $id, "text": "$text"}"""
+    def verdicts(): Seq[Long] =
+      try spark.read.schema("doc_id LONG").parquet(outDir).collect()
+        .map(_.getAs[Long]("doc_id")).toSeq
+      catch { case _: Exception => Nil } // sink not committed yet
+    def pollUntil(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 120000L * 1000000L
+      while (!cond) {
+        if (System.nanoTime() > deadline) fail(s"timed out waiting for $what")
+        Thread.sleep(50)
+      }
+    }
     val src = spark.readStream.schema("doc_id LONG, text STRING")
       .option("maxFilesPerTrigger", 1).json(dataDir)
     val q = graft.operators.TextAnalysis.decontaminationGateProcTtl(
@@ -141,24 +160,29 @@ class DecontaminationTtlSpec extends AnyFunSuite {
       .writeStream.format("parquet").option("path", outDir)
       .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append).start()
-    def batch(name: String, lines: String*): Unit = {
-      Files.writeString(java.nio.file.Paths.get(dataDir, name),
-        lines.mkString("", "\n", "\n"))
-      q.processAllAvailable()
-    }
     try {
       // b1: doc 7 contaminated → quarantined; doc 8 clean; null text dropped
-      batch("b1.json", jline(7, dirty), jline(8, clean),
-        """{"doc_id": 99, "text": null}""")
-      // the 1 ms lease expires well within this sleep
-      Thread.sleep(500)
-      // b2: a data-bearing trigger fires the timeout sweep → doc 7 evicted
-      batch("b2.json", jline(9, clean))
-      // b3: doc 7 re-arrives post-expiry → quarantined AGAIN
-      batch("b3.json", jline(7, dirty))
+      Files.writeString(java.nio.file.Paths.get(dataDir, "b1.json"),
+        Seq(jline(7, dirty), jline(8, clean),
+          """{"doc_id": 99, "text": null}""").mkString("", "\n", "\n"))
+      pollUntil("first verdict")(verdicts() == Seq(7L))
+      // the 1 ms lease expires and the engine's continuous timeout sweeps
+      // evict doc 7's state row — observable in the progress metrics. The
+      // zero-rows progress must come from a batch LATER than the one that
+      // admitted the state row (lastProgress can lag the sink commit).
+      pollUntil("state admit visible")(q.recentProgress.exists(p =>
+        p.stateOperators.nonEmpty && p.stateOperators.head.numRowsTotal > 0L))
+      val admitBatch = q.recentProgress.filter(p =>
+          p.stateOperators.nonEmpty && p.stateOperators.head.numRowsTotal > 0L)
+        .map(_.batchId).max
+      pollUntil("lease eviction")(q.recentProgress.exists(p =>
+        p.batchId > admitBatch && p.stateOperators.nonEmpty &&
+        p.stateOperators.head.numRowsTotal == 0L))
+      // b2: doc 7 re-arrives post-expiry → quarantined AGAIN
+      Files.writeString(java.nio.file.Paths.get(dataDir, "b2.json"),
+        jline(7, dirty) + "\n")
+      pollUntil("post-expiry duplicate verdict")(verdicts() == Seq(7L, 7L))
     } finally q.stop()
-    val ids = spark.read.parquet(outDir).collect().map(_.getAs[Long]("doc_id"))
-    assert(ids.toSet == Set(7L), s"verdicts: ${ids.toSeq}")
-    assert(ids.length == 2, s"expected the post-expiry duplicate verdict, got ${ids.toSeq}")
+    assert(verdicts() == Seq(7L, 7L))
   }
 }

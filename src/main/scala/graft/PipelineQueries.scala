@@ -62,14 +62,6 @@ object PipelineQueries {
     runAppendStreamPolled(s, out, prefix, mode, shufflePartitions)(
       (q, _) => feed(q))
 
-  /** [[runAppendStream]] variant whose feed also sees the memory sink (as a
-    * thunk re-reading the sink table), for queries where
-    * `processAllAvailable` CANNOT be used: a `flatMapGroupsWithState` stage
-    * with ProcessingTimeTimeout reports "another batch always needed" to
-    * the micro-batch engine (timeout sweeps), so the engine's no-new-data
-    * latch never sets and `processAllAvailable` livelocks. Such feeds poll
-    * the sink until a batch-computed convergence target is met
-    * ([[pollUntil]]) instead. */
   /** Poll `cond` to true with a hard deadline — the convergence wait for
     * feeds that cannot use `processAllAvailable`. Throws (failing the
     * query, which the oracle gate surfaces as an err) rather than hanging
@@ -84,6 +76,14 @@ object PipelineQueries {
     }
   }
 
+  /** [[runAppendStream]] variant whose feed also sees the memory sink (as a
+    * thunk re-reading the sink table), for queries where
+    * `processAllAvailable` CANNOT be used: a `flatMapGroupsWithState` stage
+    * with ProcessingTimeTimeout reports "another batch always needed" to
+    * the micro-batch engine (timeout sweeps), so the engine's no-new-data
+    * latch never sets and `processAllAvailable` livelocks. Such feeds poll
+    * the sink until a batch-computed convergence target is met
+    * ([[pollUntil]]) instead. */
   private def runAppendStreamPolled(s: SparkSession, out: DataFrame,
       prefix: String, mode: String = "append", shufflePartitions: Int = 8)
       (feed: (org.apache.spark.sql.streaming.StreamingQuery,

@@ -94,6 +94,7 @@ object Bench {
     "text_perplexity_600k", "dedup_substring_600k", "hybrid_rrf_600k",
     "cdc_apply_5m", "stream_dedup_600k", "stream_dedup_600k_ttl",
     "stream_decontaminate_600k_ttl", "stream_decontaminate_winnow_600k_ttl",
+    "stream_decontaminate_long_ttl", "stream_decontaminate_winnow_long_ttl",
     "multimodal_600k",
     "text_classifier_600k", "dedup_minhash_est_600k")
 
@@ -1022,6 +1023,97 @@ object Bench {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
 
+    // LONG-DOCUMENT decontamination gate pair (round 10): the 600k twins
+    // time both faces at tweet-length docs (40 words), where per-batch
+    // fixed cost (state store, trigger, watermark bookkeeping) dominates
+    // and the winnow screen's probe-volume cut barely shows (58.0 vs
+    // 54.1 s, r10 sweep). This pair holds total text volume comparable
+    // (150k docs x 160 words = 24M words) but makes each document 4x
+    // longer, so the term the screen actually cuts — shingle probes per
+    // document — dominates: the measured full/winnow gap here is the
+    // crawl-page (kB+ docs) story, which is what 100 TB ingest looks
+    // like. Same TTL eviction cadence as the 600k pair (TTL = ~2 batches
+    // of event time); 10 micro-batches.
+    var sdecoLongStateRows: Seq[Long] = Nil
+    var sdecoLongWinStateRows: Seq[Long] = Nil
+    if (Seq("stream_decontaminate_long_ttl",
+            "stream_decontaminate_winnow_long_ttl").exists(wanted)) {
+      val sdDir = java.nio.file.Files.createTempDirectory("sdecolong").toString
+      Generators.syntheticCorpusWords(spark, 150000L, 160)
+        .withColumn("ts", org.apache.spark.sql.functions.col("doc_id"))
+        .repartitionByRange(10, org.apache.spark.sql.functions.col("doc_id"))
+        .write.mode("overwrite").parquet(sdDir)
+      val sdSchema = spark.read.parquet(sdDir).schema
+      def decoGate(name: String,
+          mkVerdicts: org.apache.spark.sql.DataFrame =>
+            org.apache.spark.sql.DataFrame,
+          record: Seq[Long] => Unit): Unit =
+        bench(name) {
+          val prior = spark.conf.getOption(
+            "spark.sql.streaming.stateStore.providerClass")
+          val ckpt = java.nio.file.Files.createTempDirectory(name)
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          try {
+            val src = spark.readStream.schema(sdSchema)
+              .option("maxFilesPerTrigger", 1).parquet(sdDir)
+            val q = mkVerdicts(src).writeStream.format("noop")
+              .option("checkpointLocation", ckpt.toString)
+              .outputMode("append").start()
+            try {
+              q.processAllAvailable()
+              record(q.recentProgress.filter(_.numInputRows > 0)
+                .flatMap(_.stateOperators.headOption.map(_.numRowsTotal)).toSeq)
+            } finally q.stop()
+          } finally {
+            prior match {
+              case Some(p) => spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", p)
+              case None => spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass")
+            }
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        }
+      if (wanted("stream_decontaminate_long_ttl")) {
+        val benchSh = spark.read.parquet(sdDir)
+          .where(org.apache.spark.sql.functions.expr("doc_id % 971 = 0"))
+          .select(org.apache.spark.sql.functions.explode(
+            graft.functions.charShingles(
+              org.apache.spark.sql.functions.col("text"), 16)).as("shingle"))
+          .distinct().persist()
+        benchSh.count() // eval-set index is build-once setup, untimed
+        decoGate("stream_decontaminate_long_ttl",
+          src => graft.operators.TextAnalysis.decontaminationGateTtl(
+            src, "doc_id", "text", "ts", "30000 seconds", benchSh),
+          sdecoLongStateRows = _)
+        benchSh.unpersist()
+      }
+      if (wanted("stream_decontaminate_winnow_long_ttl")) {
+        val benchFps = spark.read.parquet(sdDir)
+          .where(org.apache.spark.sql.functions.expr("doc_id % 971 = 0"))
+          .select(org.apache.spark.sql.functions.explode(
+            graft.functions.MinhashExpressions.winnowNative(
+              graft.functions.normText(
+                org.apache.spark.sql.functions.col("text")), 16, 4)).as("f"))
+          .select(org.apache.spark.sql.functions.col("f.fp").as("fp"))
+          .distinct().persist()
+        benchFps.count()
+        decoGate("stream_decontaminate_winnow_long_ttl",
+          src => graft.operators.TextAnalysis.decontaminationGateWinnowTtl(
+            src, "doc_id", "text", "ts", "30000 seconds", benchFps,
+            k = 16, w = 4),
+          sdecoLongWinStateRows = _)
+        benchFps.unpersist()
+      }
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(sdDir)).iterator()
+        .asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+
     val sentinelPost = loadSentinel()
     val stealSec = (stealTicks() - stealStart) / 100.0
 
@@ -1085,7 +1177,15 @@ object Bench {
       (if (sdecoWinStateRows.isEmpty) Seq.empty[String]
        else Seq(
          s"""  "stream_decontaminate_winnow_600k_ttl__state_rows_per_batch": """ +
-         s"""[${sdecoWinStateRows.mkString(", ")}]"""))
+         s"""[${sdecoWinStateRows.mkString(", ")}]""")) ++
+      (if (sdecoLongStateRows.isEmpty) Seq.empty[String]
+       else Seq(
+         s"""  "stream_decontaminate_long_ttl__state_rows_per_batch": """ +
+         s"""[${sdecoLongStateRows.mkString(", ")}]""")) ++
+      (if (sdecoLongWinStateRows.isEmpty) Seq.empty[String]
+       else Seq(
+         s"""  "stream_decontaminate_winnow_long_ttl__state_rows_per_batch": """ +
+         s"""[${sdecoLongWinStateRows.mkString(", ")}]"""))
     // per-entry steal labels land in BENCH_FULL.json only for kept attempts
     // that stayed stormy after the bounded retries (the entries a reader
     // must still adjudicate by hand); "__steal_sec" keys are harmless to

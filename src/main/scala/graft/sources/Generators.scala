@@ -79,12 +79,23 @@ object Generators {
     * otherwise mostly-unique corpus. Zero shuffle, zero driver state; the
     * id → text map is pure, so any two invocations at any parallelism agree
     * row-for-row. */
-  def syntheticCorpus(spark: SparkSession, n: Long): DataFrame = {
+  def syntheticCorpus(spark: SparkSession, n: Long): DataFrame =
+    syntheticCorpusWords(spark, n, 40)
+
+  /** [[syntheticCorpus]] with a configurable document length — the
+    * long-document face for benchmarks whose cost term scales with text
+    * VOLUME rather than row count (shingle-explode probes, winnow
+    * fingerprinting): a 40-word doc is a tweet, a 160+-word doc starts to
+    * look like a crawl page. Same structure: deterministic 1000-word
+    * vocabulary, 2% planted near-duplicates differing in the last word. */
+  def syntheticCorpusWords(spark: SparkSession, n: Long,
+                           nWords: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     val id = col("id")
     val srcId = when(id % 50 === 1, id - 1).otherwise(id)
-    val words = (0 until 40).map { i =>
-      val seed = if (i == 39) id else srcId // dup rows differ in last word
+    val words = (0 until nWords).map { i =>
+      // dup rows differ in last word
+      val seed = if (i == nWords - 1) id else srcId
       concat(lit("w"), pmod(hash(seed, lit(i)), lit(1000)))
     }
     spark.range(n).select(id.as("doc_id"),

@@ -892,6 +892,7 @@ object Bench {
     // shape). Lands in BENCH_FULL.json as
     // stream_decontaminate_600k_ttl__state_rows_per_batch.
     var sdecoTtlStateRows: Seq[Long] = Nil
+    var sdecoTtlBatchSec: Seq[Double] = Nil
     if (wanted("stream_decontaminate_600k_ttl")) {
       val sdDir = java.nio.file.Files.createTempDirectory("sdeco").toString
       val corpus = Generators.syntheticCorpus(spark, 600000L)
@@ -919,9 +920,17 @@ object Bench {
       bench("stream_decontaminate_600k_ttl") {
         val prior = spark.conf.getOption(
           "spark.sql.streaming.stateStore.providerClass")
+        val priorShuffle = spark.conf.get("spark.sql.shuffle.partitions")
         val ckpt = java.nio.file.Files.createTempDirectory("sdecockpt")
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // state is a few hundred verdict leases: size the state-store
+        // instance count (shuffle partitions, fixed at first start) to
+        // STATE volume, not data parallelism — 32 RocksDB stores paying
+        // load/commit per batch is pure overhead here (measured ~16% of
+        // the long-doc twin's wall); scan/hash/join stages parallelize by
+        // input splits and are unaffected
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         try {
           val src = spark.readStream.schema(sdSchema)
             .option("maxFilesPerTrigger", 1).parquet(sdDir)
@@ -932,8 +941,11 @@ object Bench {
             .outputMode("append").start()
           try {
             q.processAllAvailable()
-            sdecoTtlStateRows = q.recentProgress.filter(_.numInputRows > 0)
+            val progress = q.recentProgress.filter(_.numInputRows > 0)
+            sdecoTtlStateRows = progress
               .flatMap(_.stateOperators.headOption.map(_.numRowsTotal)).toSeq
+            sdecoTtlBatchSec = progress.map(
+              _.durationMs.get("triggerExecution").toDouble / 1000.0).toSeq
           } finally q.stop()
         } finally {
           prior match {
@@ -942,6 +954,7 @@ object Bench {
             case None => spark.conf.unset(
               "spark.sql.streaming.stateStore.providerClass")
           }
+          spark.conf.set("spark.sql.shuffle.partitions", priorShuffle)
           import scala.jdk.CollectionConverters._
           java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
             .foreach(p => java.nio.file.Files.deleteIfExists(p))
@@ -964,6 +977,7 @@ object Bench {
     // same state-row plateau claim, recorded as
     // stream_decontaminate_winnow_600k_ttl__state_rows_per_batch.
     var sdecoWinStateRows: Seq[Long] = Nil
+    var sdecoWinBatchSec: Seq[Double] = Nil
     if (wanted("stream_decontaminate_winnow_600k_ttl")) {
       val sdDir = java.nio.file.Files.createTempDirectory("sdecow").toString
       Generators.syntheticCorpus(spark, 600000L)
@@ -986,9 +1000,12 @@ object Bench {
       bench("stream_decontaminate_winnow_600k_ttl") {
         val prior = spark.conf.getOption(
           "spark.sql.streaming.stateStore.providerClass")
+        val priorShuffle = spark.conf.get("spark.sql.shuffle.partitions")
         val ckpt = java.nio.file.Files.createTempDirectory("sdecowckpt")
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // same state-volume sizing as the full-shingle twin
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         try {
           val src = spark.readStream.schema(sdSchema)
             .option("maxFilesPerTrigger", 1).parquet(sdDir)
@@ -1001,8 +1018,11 @@ object Bench {
             .outputMode("append").start()
           try {
             q.processAllAvailable()
-            sdecoWinStateRows = q.recentProgress.filter(_.numInputRows > 0)
+            val progress = q.recentProgress.filter(_.numInputRows > 0)
+            sdecoWinStateRows = progress
               .flatMap(_.stateOperators.headOption.map(_.numRowsTotal)).toSeq
+            sdecoWinBatchSec = progress.map(
+              _.durationMs.get("triggerExecution").toDouble / 1000.0).toSeq
           } finally q.stop()
         } finally {
           prior match {
@@ -1011,6 +1031,7 @@ object Bench {
             case None => spark.conf.unset(
               "spark.sql.streaming.stateStore.providerClass")
           }
+          spark.conf.set("spark.sql.shuffle.partitions", priorShuffle)
           import scala.jdk.CollectionConverters._
           java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
             .foreach(p => java.nio.file.Files.deleteIfExists(p))
@@ -1036,6 +1057,10 @@ object Bench {
     // of event time); 10 micro-batches.
     var sdecoLongStateRows: Seq[Long] = Nil
     var sdecoLongWinStateRows: Seq[Long] = Nil
+    var sdecoLongBatchSec: Seq[Double] = Nil
+    var sdecoLongWinBatchSec: Seq[Double] = Nil
+    var sdecoLongBreakdown: Map[String, Double] = Map.empty
+    var sdecoLongWinBreakdown: Map[String, Double] = Map.empty
     if (Seq("stream_decontaminate_long_ttl",
             "stream_decontaminate_winnow_long_ttl").exists(wanted)) {
       val sdDir = java.nio.file.Files.createTempDirectory("sdecolong").toString
@@ -1047,13 +1072,25 @@ object Bench {
       def decoGate(name: String,
           mkVerdicts: org.apache.spark.sql.DataFrame =>
             org.apache.spark.sql.DataFrame,
-          record: Seq[Long] => Unit): Unit =
+          record: Seq[Long] => Unit,
+          recordWalls: Seq[Double] => Unit,
+          recordBreakdown: Map[String, Double] => Unit): Unit =
         bench(name) {
           val prior = spark.conf.getOption(
             "spark.sql.streaming.stateStore.providerClass")
+          val priorShuffle = spark.conf.get("spark.sql.shuffle.partitions")
           val ckpt = java.nio.file.Files.createTempDirectory(name)
           spark.conf.set("spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          // shuffle partitions == state-store instance COUNT, fixed at the
+          // query's first start: each store pays load/commit/maintenance
+          // per micro-batch regardless of rows held, so for a gate whose
+          // state is a few hundred verdict leases, 32 RocksDB instances is
+          // pure per-batch overhead. 8 matches the catalog's bounded-feed
+          // sizing; the scan/hash/join stages parallelize by input splits
+          // and are unaffected. Production guidance (README): size
+          // shuffle partitions to STATE volume, not data parallelism.
+          spark.conf.set("spark.sql.shuffle.partitions", "8")
           try {
             val src = spark.readStream.schema(sdSchema)
               .option("maxFilesPerTrigger", 1).parquet(sdDir)
@@ -1062,8 +1099,23 @@ object Bench {
               .outputMode("append").start()
             try {
               q.processAllAvailable()
-              record(q.recentProgress.filter(_.numInputRows > 0)
+              val progress = q.recentProgress.filter(_.numInputRows > 0)
+              record(progress
                 .flatMap(_.stateOperators.headOption.map(_.numRowsTotal)).toSeq)
+              recordWalls(progress.map(
+                _.durationMs.get("triggerExecution").toDouble / 1000.0).toSeq)
+              // mean seconds per durationMs phase across data batches —
+              // names WHICH per-batch term dominates (addBatch = plan
+              // execution incl. the re-run static side; queryPlanning =
+              // incremental planning; walCommit/commitOffsets = checkpoint
+              // fsyncs; stateCommit rides inside addBatch for RocksDB)
+              if (progress.nonEmpty) {
+                import scala.jdk.CollectionConverters._
+                val keys = progress.head.durationMs.keySet.asScala.toSeq
+                recordBreakdown(keys.map(k => k -> progress.map(p =>
+                  Option(p.durationMs.get(k)).map(_.toDouble).getOrElse(0.0))
+                  .sum / progress.length / 1000.0).toMap)
+              }
             } finally q.stop()
           } finally {
             prior match {
@@ -1072,6 +1124,7 @@ object Bench {
               case None => spark.conf.unset(
                 "spark.sql.streaming.stateStore.providerClass")
             }
+            spark.conf.set("spark.sql.shuffle.partitions", priorShuffle)
             import scala.jdk.CollectionConverters._
             java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
               .foreach(p => java.nio.file.Files.deleteIfExists(p))
@@ -1088,7 +1141,8 @@ object Bench {
         decoGate("stream_decontaminate_long_ttl",
           src => graft.operators.TextAnalysis.decontaminationGateTtl(
             src, "doc_id", "text", "ts", "30000 seconds", benchSh),
-          sdecoLongStateRows = _)
+          sdecoLongStateRows = _, sdecoLongBatchSec = _,
+          sdecoLongBreakdown = _)
         benchSh.unpersist()
       }
       if (wanted("stream_decontaminate_winnow_long_ttl")) {
@@ -1105,7 +1159,8 @@ object Bench {
           src => graft.operators.TextAnalysis.decontaminationGateWinnowTtl(
             src, "doc_id", "text", "ts", "30000 seconds", benchFps,
             k = 16, w = 4),
-          sdecoLongWinStateRows = _)
+          sdecoLongWinStateRows = _, sdecoLongWinBatchSec = _,
+          sdecoLongWinBreakdown = _)
         benchFps.unpersist()
       }
       import scala.jdk.CollectionConverters._
@@ -1185,7 +1240,23 @@ object Bench {
       (if (sdecoLongWinStateRows.isEmpty) Seq.empty[String]
        else Seq(
          s"""  "stream_decontaminate_winnow_long_ttl__state_rows_per_batch": """ +
-         s"""[${sdecoLongWinStateRows.mkString(", ")}]"""))
+         s"""[${sdecoLongWinStateRows.mkString(", ")}]""")) ++
+      Seq(
+        ("stream_decontaminate_600k_ttl__batch_sec", sdecoTtlBatchSec),
+        ("stream_decontaminate_winnow_600k_ttl__batch_sec", sdecoWinBatchSec),
+        ("stream_decontaminate_long_ttl__batch_sec", sdecoLongBatchSec),
+        ("stream_decontaminate_winnow_long_ttl__batch_sec",
+          sdecoLongWinBatchSec))
+        .filter(_._2.nonEmpty)
+        .map { case (k, v) => s"""  "$k": [${v.mkString(", ")}]""" } ++
+      Seq(
+        ("stream_decontaminate_long_ttl__phase_mean_sec", sdecoLongBreakdown),
+        ("stream_decontaminate_winnow_long_ttl__phase_mean_sec",
+          sdecoLongWinBreakdown))
+        .filter(_._2.nonEmpty)
+        .map { case (k, m) =>
+          s"""  "$k": {${m.toSeq.sortBy(-_._2)
+            .map { case (p, s) => s""""$p": $s""" }.mkString(", ")}}""" }
     // per-entry steal labels land in BENCH_FULL.json only for kept attempts
     // that stayed stormy after the bounded retries (the entries a reader
     // must still adjudicate by hand); "__steal_sec" keys are harmless to

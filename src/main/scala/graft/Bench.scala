@@ -791,8 +791,15 @@ object Bench {
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
+          // raw-row pre-shuffle: one file per trigger = one scan task,
+          // and the per-doc MinHash signature derivation would otherwise
+          // run single-core per batch (see the decontamination entries —
+          // measured 2.3-3.4x there). 60k docs/batch of signature math
+          // spreads across the full core count; the owner stage's keyed
+          // state exchange follows as before.
           val src = spark.readStream.schema(sdSchema)
             .option("maxFilesPerTrigger", 1).parquet(sdDir)
+            .repartition(32)
           val owners = graft.operators.Dedup.streamingMinhashOwners(
             graft.operators.Dedup.minhashBandKeys(src, "doc_id", "text",
               k = 5, numHashes = 8, bands = 4))
@@ -852,8 +859,10 @@ object Bench {
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
+          // same raw-row pre-shuffle as the unbounded twin
           val src = spark.readStream.schema(sdSchema)
             .option("maxFilesPerTrigger", 1).parquet(sdDir)
+            .repartition(32)
           val owners = graft.operators.Dedup.streamingMinhashOwnersTtl(
             src, "doc_id", "text", "ts", ttlMs = 60000L * 1000L,
             k = 5, numHashes = 8, bands = 4)
@@ -932,8 +941,13 @@ object Bench {
         // input splits and are unaffected
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         try {
+          // shuffle the RAW rows before the explode/probe pipeline: one
+          // file per trigger = one scan task, and without this the whole
+          // batch's derivation runs on a single core (measured 2.3-3.4x
+          // on the long-doc twins) — see the long-pair comment
           val src = spark.readStream.schema(sdSchema)
             .option("maxFilesPerTrigger", 1).parquet(sdDir)
+            .repartition(8)
           val verdicts = graft.operators.TextAnalysis.decontaminationGateTtl(
             src, "doc_id", "text", "ts", "60000 seconds", benchSh)
           val q = verdicts.writeStream.format("noop")
@@ -1007,8 +1021,10 @@ object Bench {
         // same state-volume sizing as the full-shingle twin
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         try {
+          // same raw-row pre-shuffle as the full-shingle twin
           val src = spark.readStream.schema(sdSchema)
             .option("maxFilesPerTrigger", 1).parquet(sdDir)
+            .repartition(8)
           val verdicts =
             graft.operators.TextAnalysis.decontaminationGateWinnowTtl(
               src, "doc_id", "text", "ts", "60000 seconds", benchFps,
@@ -1092,8 +1108,16 @@ object Bench {
           // shuffle partitions to STATE volume, not data parallelism.
           spark.conf.set("spark.sql.shuffle.partitions", "8")
           try {
+            // one file per trigger = ONE scan task, and the narrow
+            // explode/hash/probe pipeline rides that task — the whole
+            // batch's heavy derivation on a single core. Shuffling the
+            // RAW rows first (15 MB of text — cheap) spreads the
+            // expensive stage across cores; this is the caller-side
+            // pattern for any wide-batch ingest whose trigger unit is
+            // a file, documented in the README sizing note.
             val src = spark.readStream.schema(sdSchema)
               .option("maxFilesPerTrigger", 1).parquet(sdDir)
+              .repartition(8)
             val q = mkVerdicts(src).writeStream.format("noop")
               .option("checkpointLocation", ckpt.toString)
               .outputMode("append").start()

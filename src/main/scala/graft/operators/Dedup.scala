@@ -198,7 +198,14 @@ object Dedup {
     * doc_id` would miss). When sources feed docs in id order, first-seen =
     * lowest-id, so the verdict equals the batch keep-first verdict — what
     * the oracle gate proves. State is one long per distinct band bucket,
-    * the same key space the batch LSH join shuffles on. */
+    * the same key space the batch LSH join shuffles on.
+    *
+    * SIZING (callers own partitioning — the operator adds no shuffle of
+    * its own before the keyed state exchange): per-trigger parallelism of
+    * the upstream signature derivation equals the source's input splits
+    * per trigger, so a one-file-per-trigger source runs the whole batch's
+    * MinHash math on ONE core — `.repartition(cores)` the raw (id, text)
+    * rows first (measured 2.5x on the 600k bench). */
   def streamingMinhashOwners(banded: DataFrame): DataFrame = {
     val spark = banded.sparkSession
     import spark.implicits._

@@ -493,7 +493,17 @@ object TextAnalysis {
     * bound), verdicts are identical to the unbounded gate. Rows with a null
     * event time are dropped, not fatal. Output: (idCol, event-time) — the
     * timestamp rides along so downstream sinks can window the quarantine
-    * feed. */
+    * feed.
+    *
+    * SIZING (callers own partitioning): per-trigger parallelism of the
+    * shingle explode + broadcast probe equals the source's input splits
+    * per trigger — `.repartition(cores)` the raw rows first when the
+    * trigger unit is a file; and `spark.sql.shuffle.partitions` (= the
+    * state-store instance count, fixed at first start) should follow
+    * STATE volume (a few hundred verdict leases → 8), since every store
+    * pays load/commit per micro-batch regardless of rows held. Measured
+    * together: 58 → 23 s on the 600k bench. Applies to all three gate
+    * faces. */
   def decontaminationGateTtl(df: DataFrame, idCol: String, textCol: String,
                              tsCol: String, ttl: String,
                              benchShingles: DataFrame,

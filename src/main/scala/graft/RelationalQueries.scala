@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 object RelationalQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.sources.Fixtures.table(s, dir, name)
 
   /** Rule suite for validate_rules / validate_quarantine: (name, Spark
     * predicate, the SAME predicate in DuckDB SQL). One definition feeds
@@ -75,7 +75,8 @@ object RelationalQueries {
     * view the catalog and the epoch_ns oracles are written against) —
     * vintage handling lives in [[graft.sources.EventsFixture]]. */
   private def events(s: SparkSession, dir: String): DataFrame =
-    graft.sources.EventsFixture.load(s, dir)
+    graft.sources.Fixtures.widen(s,
+      graft.sources.EventsFixture.load(s, dir), "event_id")
 
   /** The reference's CSV wire-format parser (`ServiceTuple.fromString`,
     * `java/org.main/ServiceTuple.java:89-104`): "id,v1,v2,..." → (id, dims);

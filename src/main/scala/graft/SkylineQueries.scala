@@ -10,7 +10,7 @@ import graft.operators.{Partitioners, SkylineOps}
 object SkylineQueries {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.sources.Fixtures.table(spark, dir, name)
 
   /** part lifted to a 2-D point set normalized to domain [0,1000]:
     * v1 = p_retailprice * 0.5, v2 = p_size * 20.0 (monotone transforms —

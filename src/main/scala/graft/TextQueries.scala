@@ -12,9 +12,9 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
 object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.sources.Fixtures.table(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    graft.sources.Fixtures.table(s, dir, "embeddings")
 
   // SQL fragments mirroring graft.functions exactly
   private[graft] val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"

@@ -305,6 +305,10 @@ object Bench {
     val StealGateSec = 2.0
     val StealRetries = 2
     val entrySteal = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // why a workload recorded -1: the thrown exception's class + message,
+    // kept only when no retry succeeded. A bare -1 in the artifact made the
+    // r10 proc-ttl storm failure undiagnosable from the record alone.
+    val entryErr = scala.collection.mutable.LinkedHashMap[String, String]()
     // Per-attempt GC and JIT brackets (judge r8 item 1): the r8 sweep had
     // three scale entries inflated 2-10x on first run with CERTIFIED-LOW
     // steal — whatever inflated them was invisible to the steal bracket.
@@ -345,7 +349,11 @@ object Bench {
         System.gc()
         val c0 = cachedMb()
         val s0 = stealTicks(); val g0 = gcMillis(); val j0 = jitMillis()
-        val t = try time(withRddSweep(f())) catch { case _: Throwable => -1.0 }
+        val t = try time(withRddSweep(f())) catch { case e: Throwable =>
+          entryErr(name) = (e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage)).replaceAll("[\"\\\\\\n\\r\\t]", " ")
+            .take(200)
+          -1.0 }
         (t, (stealTicks() - s0) / 100.0, (gcMillis() - g0) / 1000.0,
           (jitMillis() - j0) / 1000.0, c0)
       }
@@ -362,6 +370,7 @@ object Bench {
       entryGc(name) = keptG
       entryJit(name) = keptJ
       entryCacheMb(name) = keptC
+      if (keptT >= 0) entryErr.remove(name) // a retry succeeded
       keptT
     }
 
@@ -1328,7 +1337,8 @@ object Bench {
       causes.toSeq.map { case (k, v) =>
         s"""  "${k}__first_run_cause": "$v"""" } ++
       repCauses.toSeq.map { case (k, v) =>
-        s"""  "${k}__rep_cause": "$v"""" }
+        s"""  "${k}__rep_cause": "$v"""" } ++
+      entryErr.toSeq.map { case (k, v) => s"""  "${k}__err": "$v"""" }
     val fullJson = (results.map { case (k, v) => s"""  "$k": $v""" } ++
       repeats.map { case (k, v) => s"""  "${k}__rep": $v""" } ++
       streamDetail ++ ttlDetail ++ stealDetail ++ gcJitDetail ++
@@ -1365,7 +1375,8 @@ object Bench {
     // left the r9 driver artifact with unexplained 3x+ first/rep columns
     val causesJson = {
       val all = causes.toSeq.map { case (k, v) => (s"${k}__first", v) } ++
-        repCauses.toSeq.map { case (k, v) => (s"${k}__rep", v) }
+        repCauses.toSeq.map { case (k, v) => (s"${k}__rep", v) } ++
+        entryErr.toSeq.map { case (k, v) => (s"${k}__err", v.take(60)) }
       if (all.isEmpty) ""
       else all.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString(""""causes":{""", ",", "},")

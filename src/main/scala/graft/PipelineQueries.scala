@@ -66,7 +66,7 @@ object PipelineQueries {
     * feeds that cannot use `processAllAvailable`. Throws (failing the
     * query, which the oracle gate surfaces as an err) rather than hanging
     * the verify/bench sweep on a stuck stream. */
-  private def pollUntil(what: String, timeoutMs: Long = 180000L)
+  private def pollUntil(what: String, timeoutMs: Long = 420000L)
       (cond: => Boolean): Unit = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     while (!cond) {

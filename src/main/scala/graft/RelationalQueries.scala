@@ -75,8 +75,7 @@ object RelationalQueries {
     * view the catalog and the epoch_ns oracles are written against) —
     * vintage handling lives in [[graft.sources.EventsFixture]]. */
   private def events(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Fixtures.widen(s,
-      graft.sources.EventsFixture.load(s, dir), "event_id")
+    graft.sources.EventsFixture.load(s, dir)
 
   /** The reference's CSV wire-format parser (`ServiceTuple.fromString`,
     * `java/org.main/ServiceTuple.java:89-104`): "id,v1,v2,..." → (id, dims);
@@ -678,7 +677,9 @@ object RelationalQueries {
     // need a per-key item cap first — same guard as the hot-shingle df-cap
     // in ngramJaccardPairs.)
     "basket_pairs" -> ((s, dir) => {
-      val items = t(s, dir, "lineitem")
+      // wide scan: the map-side partial of the (ok, pk) distinct is narrow
+      // work above the single-split lineitem scan (quiet A/B 2.4→2.0 s)
+      val items = graft.sources.Fixtures.tableWide(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
       val a = items.select(col("ok"), col("pk").as("p1"))
@@ -833,8 +834,11 @@ object RelationalQueries {
     // contributions, keeping the 3-round rank vector bit-identical to the
     // unrolled SQL under the exact-hash gate.
     "graph_pagerank_digraph" -> ((s, dir) => {
+      // wide lineitem: the broadcast-join probe + distinct partial above
+      // the single-split scan serialize otherwise (quiet A/B 5.4→4.4 s)
       val edges = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(graft.sources.Fixtures.tableWide(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()

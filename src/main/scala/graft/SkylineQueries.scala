@@ -15,8 +15,17 @@ object SkylineQueries {
   /** part lifted to a 2-D point set normalized to domain [0,1000]:
     * v1 = p_retailprice * 0.5, v2 = p_size * 20.0 (monotone transforms —
     * dominance/skyline membership is unchanged by them). */
+  /** [[partPoints]] over a core-width scan — for the dominator-counting
+    * entries whose per-cell partial aggregation is narrow work above the
+    * single-split part scan (quiet A/B: sky_dominance_score 2.4→1.9 s). */
+  def partPointsWide(spark: SparkSession, dir: String): DataFrame =
+    pointsOf(graft.sources.Fixtures.tableWide(spark, dir, "part"))
+
   def partPoints(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "part").select(
+    pointsOf(t(spark, dir, "part"))
+
+  private def pointsOf(part: DataFrame): DataFrame =
+    part.select(
       col("p_partkey").as("id"),
       (col("p_retailprice") * lit(0.5)).as("v1"),
       (col("p_size").cast("double") * lit(20.0)).as("v2"))
@@ -132,14 +141,14 @@ object SkylineQueries {
     // prefix-sum table, only same-row/column border cells are checked
     // pairwise through a cell-keyed join (no crossJoin anywhere).
     "sky_skyband" -> ((s, dir) =>
-      SkylineOps.dominatorCounts2D(partPoints(s, dir), "id", "v1", "v2",
+      SkylineOps.dominatorCounts2D(partPointsWide(s, dir), "id", "v1", "v2",
           DOMAIN, g = 64)
         .where(col("n_dominators") < 3)
         .orderBy("id")),
     // dominance score over the FULL part table: how many points each point
     // dominates (the dual decomposition — suffix sums + upper border cells)
     "sky_dominance_score" -> ((s, dir) =>
-      SkylineOps.dominatedCounts2D(partPoints(s, dir), "id", "v1", "v2",
+      SkylineOps.dominatedCounts2D(partPointsWide(s, dir), "id", "v1", "v2",
           DOMAIN, g = 64)
         .orderBy(col("n_dominated").desc, col("id").asc)),
     // per-group skyline: one aggregation, every brand's own (size, price)

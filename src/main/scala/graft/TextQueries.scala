@@ -13,6 +13,10 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.sources.Fixtures.table(s, dir, "documents")
+  /** Core-width documents scan — opt-in for entries whose cost is narrow
+    * per-row text work above the scan (see [[graft.sources.Fixtures]]). */
+  private def docsWide(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Fixtures.tableWide(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
     graft.sources.Fixtures.table(s, dir, "embeddings")
 
@@ -269,7 +273,7 @@ object TextQueries {
     // Gopher-style repetition filters: repeated-word / repeated-trigram
     // fractions and top-bigram coverage, with pass/fail thresholds
     "text_repetition" -> ((s, dir) =>
-      TextAnalysis.withRepetitionStats(docs(s, dir), "doc_id", "text")
+      TextAnalysis.withRepetitionStats(docsWide(s, dir), "doc_id", "text")
         .select("doc_id", "n_words", "dup_word_frac", "dup_trigram_frac",
           "top_bigram_frac", "repetition_ok")
         .orderBy("doc_id")),
@@ -438,7 +442,7 @@ object TextQueries {
     // deterministic) plus a cluster-keyed join back — co-partitioned,
     // no windows over the corpus.
     "dedup_keep_best" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsWide(s, dir) // shingle/token derivations above the scan
       val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", k = 5,
         threshold = 0.35, maxDocFreq = 100).select(col("id_a"), col("id_b"))
       val lab = Dedup.clusterNearDups(d.select(col("doc_id").as("id")), pairs)
@@ -511,7 +515,7 @@ object TextQueries {
     // +1e6): long docs land within the ball, short ones scatter, and the
     // all-pairs exact-Hamming oracle proves the banding loses nothing.
     "dedup_simhash_pairs" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsWide(s, dir) // simhash signature math above the scan
       val planted = d.select(col("doc_id"), col("text")).unionAll(
         d.select((col("doc_id") + 1000000L).as("doc_id"),
           concat(col("text"), lit(" zqv")).as("text")))

@@ -8,12 +8,12 @@ import org.apache.spark.sql.functions.col
   * The sf testdata tables are each ONE parquet file with ONE row group, so
   * a plain `spark.read.parquet` scan yields a single input split — and every
   * narrow per-row derivation stacked above it (shingling, minhash
-  * signatures, decimal pricing arithmetic, JSON parsing) rides that single
-  * task on one core. This is the batch-side twin of the streaming family's
-  * `maxFilesPerTrigger=1` lesson: per-stage parallelism equals input
-  * splits, not cores.
+  * signatures, map-side partial aggregates, a broadcast-join probe) rides
+  * that single task on one core. This is the batch-side twin of the
+  * streaming family's `maxFilesPerTrigger=1` lesson: per-stage parallelism
+  * equals input splits, not cores.
   *
-  * [[table]] therefore widens a narrower-than-cores scan with an explicit
+  * [[tableWide]] widens a narrower-than-cores scan with an explicit
   * `repartition(cores, pk)` before handing the frame to the catalog. The
   * guard makes this fixture-scale-only: at production scale a table has
   * thousands of splits, `getNumPartitions >= cores` holds, and the reader
@@ -21,9 +21,20 @@ import org.apache.spark.sql.functions.col
   * real data. Hash-partitioning on the table's primary key keeps row
   * placement a pure function of the data (independent of scan order), and
   * the explicit partition count keeps AQE from coalescing the exchange
-  * away. Tiny dimension tables (region/nation/supplier) are exempt: they
-  * exist to be broadcast, and an exchange under a broadcast is pure
-  * overhead.
+  * away.
+  *
+  * The widen is OPT-IN PER ENTRY ([[table]] stays bare), because quiet
+  * same-condition A/Bs at sf0.1 split the catalog cleanly in two:
+  * entries whose cost is narrow work above the scan win big
+  * (dedup_keep_best 4.5→2.5 s, dedup_simhash_pairs 2.6→1.8,
+  * graph_pagerank_digraph 5.4→4.4, text_repetition 2.1→1.4,
+  * sky_dominance_score 2.4→1.9, basket_pairs 2.4→2.0), while entries
+  * whose first heavy op is already an exchange, a broadcast probe of a
+  * SMALL side, or a pinned materialization pay the shuffle for nothing
+  * (text_perplexity +0.9 s, doc_quality_blend +1.1, text_tfidf +0.9,
+  * bloom_semi_join +1.1, cdc_apply +0.7, ann_recall +0.6,
+  * dedup_semantic +0.9, zorder_layout +0.4). The reader cannot know which
+  * shape sits above it — the entry can.
   *
   * Correctness is partition-count invariant by catalog construction (exact
   * decimal/integer arithmetic, md5-derived sampling, deterministic final
@@ -31,23 +42,26 @@ import org.apache.spark.sql.functions.col
   */
 object Fixtures {
 
-  /** Distribution key per widened table (the primary key, or the closest
-    * uniformly-distributed column). Tables absent here are read bare.
-    * `embeddings` is deliberately absent: the ANN/embedding entries do
-    * their heavy math after an exchange or against a broadcast/pinned
-    * frame, so a scan-side widen only adds a ~26 MB array-column shuffle —
-    * measured A/B at sf0.1: ann_recall 7.0→6.4 s, dedup_semantic
-    * 2.6→1.7 s, ann_topk 0.63→0.45 s in favor of the bare scan. */
+  /** Distribution key per widenable table (the primary key, or the closest
+    * uniformly-distributed column). */
   private val widenKey: Map[String, String] = Map(
     "customer" -> "c_custkey",
     "part" -> "p_partkey",
     "orders" -> "o_orderkey",
     "lineitem" -> "l_orderkey",
     "events" -> "event_id",
-    "documents" -> "doc_id")
+    "documents" -> "doc_id",
+    "embeddings" -> "vec_id")
 
-  def table(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
+  /** Bare fixture read — the default for every catalog entry. */
+  def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Scan widened to core count — opt-in for entries whose cost is narrow
+    * per-row work above the scan (see the object scaladoc for the measured
+    * split). */
+  def tableWide(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = table(s, dir, name)
     widenKey.get(name).map(k => widen(s, df, k)).getOrElse(df)
   }
 

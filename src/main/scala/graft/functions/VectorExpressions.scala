@@ -80,8 +80,103 @@ case class SqNormExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** All `m` product-quantization sub-codes of a vector in ONE pass: for
+  * subspace s, the code is the argmin over the `ks` literal codebook
+  * entries of the L2 distance `sqrt(Σ_i (vec[s·subDim+i] − cb[s][j][i])²)`
+  * — ties to the smallest j, NaN distances never win. Bit-identical to the
+  * composable form it replaces (per-entry `sqrt(aggregate(zip_with(...)))`
+  * then `array_sort` by (distance asc, j asc)): the inner accumulation is
+  * the same sequential left-fold, and the strict `<` selection reproduces
+  * array_sort's NaN-last, earliest-index-tie ranking. The composable form
+  * re-entered the expression interpreter m·ks times per row (the
+  * higher-order lambdas are CodegenFallback); this is one codegen'd loop.
+  * `codebook` is flattened `[s][j][i]` at offset `(s·ks + j)·subDim`. */
+case class PqCodesExpr(child: Expression, codebook: Array[Double],
+    m: Int, ks: Int, subDim: Int) extends UnaryExpression {
+  require(codebook.length == m * ks * subDim,
+    s"codebook length ${codebook.length} != m*ks*subDim ${m * ks * subDim}")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def checkInputDataTypes() =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var bestJ = 0
+      var bestD = Double.NaN
+      var j = 0
+      while (j < ks) {
+        var acc = 0.0
+        val base = (s * ks + j) * subDim
+        var i = 0
+        while (i < subDim) {
+          val d = x.getDouble(s * subDim + i) - codebook(base + i)
+          acc += d * d
+          i += 1
+        }
+        val dist = math.sqrt(acc)
+        if (j == 0 || dist < bestD ||
+            (java.lang.Double.isNaN(bestD) && !java.lang.Double.isNaN(dist))) {
+          bestD = dist; bestJ = j
+        }
+        j += 1
+      }
+      codes(s) = bestJ
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cb = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+      val codes = ctx.freshName("codes"); val s = ctx.freshName("s")
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val bestJ = ctx.freshName("bestJ"); val bestD = ctx.freshName("bestD")
+      val acc = ctx.freshName("acc"); val base = ctx.freshName("base")
+      val d = ctx.freshName("d"); val dist = ctx.freshName("dist")
+      s"""
+         |int[] $codes = new int[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $bestJ = 0; double $bestD = Double.NaN;
+         |  for (int $j = 0; $j < $ks; $j++) {
+         |    double $acc = 0.0;
+         |    int $base = ($s * $ks + $j) * $subDim;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      double $d = $a.getDouble($s * $subDim + $i) - $cb[$base + $i];
+         |      $acc += $d * $d;
+         |    }
+         |    double $dist = java.lang.Math.sqrt($acc);
+         |    if ($j == 0 || $dist < $bestD ||
+         |        (Double.isNaN($bestD) && !Double.isNaN($dist))) {
+         |      $bestD = $dist; $bestJ = $j;
+         |    }
+         |  }
+         |  $codes[$s] = $bestJ;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object VectorExpressions {
   def dotNative(a: Column, b: Column): Column =
     column(DotProductExpr(expression(a), expression(b)))
   def sqNormNative(a: Column): Column = column(SqNormExpr(expression(a)))
+
+  /** [[PqCodesExpr]] over a nested codebook `cb(s)(j)` of subvectors. */
+  def pqCodesNative(vec: Column, cb: IndexedSeq[IndexedSeq[Seq[Double]]],
+      subDim: Int): Column = {
+    val m = cb.length; val ks = cb.head.length
+    val flat = new Array[Double](m * ks * subDim)
+    for (s <- 0 until m; j <- 0 until ks; i <- 0 until subDim)
+      flat((s * ks + j) * subDim + i) = cb(s)(j)(i)
+    column(PqCodesExpr(expression(vec), flat, m, ks, subDim))
+  }
 }

@@ -428,8 +428,14 @@ object Similarity {
     val cb: IndexedSeq[IndexedSeq[Seq[Double]]] = (0 until m).map(s =>
       sample.toIndexedSeq.map { case (_, v) =>
         v.slice(s * subDim, (s + 1) * subDim).toSeq })
-    val coded = c.select(col("nbr_id") +:
-      (0 until m).map(s => pqCode(col("cvec"), s, cb(s), subDim).as(s"c$s")): _*)
+    // all m sub-codes in one codegen'd pass (PqCodesExpr) — the composable
+    // per-subspace argmin re-entered the expression interpreter m·ks times
+    // per row; semantics bit-identical (see the expression's scaladoc)
+    val coded = c
+      .withColumn("_codes",
+        graft.functions.VectorExpressions.pqCodesNative(col("cvec"), cb, subDim))
+      .select(col("nbr_id") +:
+        (0 until m).map(s => element_at(col("_codes"), s + 1).as(s"c$s")): _*)
     val recon = flatten(array((0 until m).map(s =>
       element_at(typedLit(cb(s)), col(s"c$s") + 1)): _*))
     val scored = coded.withColumn("rvec", recon)
@@ -446,7 +452,7 @@ object Similarity {
 
   /** L2 distance of `vec`'s s-th subvector against a literal codebook entry
     * (sequential fold — matches DuckDB's list_distance ranking use). */
-  private def pqSubL2(vec: Column, s: Int, entry: Seq[Double],
+  private[graft] def pqSubL2(vec: Column, s: Int, entry: Seq[Double],
       subDim: Int): Column =
     sqrt(aggregate(
       zip_with(slice(vec, s * subDim + 1, subDim), typedLit(entry),
@@ -455,7 +461,7 @@ object Similarity {
 
   /** Sub-code for subspace s: argmin (L2 asc, code asc) over the literal
     * codebook — pure per-row expression, no join. */
-  private def pqCode(vec: Column, s: Int, cbS: IndexedSeq[Seq[Double]],
+  private[graft] def pqCode(vec: Column, s: Int, cbS: IndexedSeq[Seq[Double]],
       subDim: Int): Column =
     element_at(array_sort(array(cbS.indices.map(j =>
       struct(pqSubL2(vec, s, cbS(j), subDim).as("d"), lit(j).as("j"))): _*)), 1)
@@ -576,8 +582,11 @@ object Similarity {
       .withColumn("rvec", zip_with(col("cvec"),
         element_at(typedLit(centVecs), (col("list_id") + 1).cast("int")),
         (a, b) => a - b))
-    val coded = assigned.select(col("nbr_id") +: col("list_id") +:
-      (0 until m).map(s => pqCode(col("rvec"), s, cbRes(s), subDim).as(s"c$s")): _*)
+    val coded = assigned
+      .withColumn("_codes", graft.functions.VectorExpressions
+        .pqCodesNative(col("rvec"), cbRes, subDim))
+      .select(col("nbr_id") +: col("list_id") +:
+        (0 until m).map(s => element_at(col("_codes"), s + 1).as(s"c$s")): _*)
     // reconstruction = centroid + decoded residual (exact doubles on both
     // engines: elementwise adds of literal values)
     val reconRes = flatten(array((0 until m).map(s =>

@@ -165,10 +165,102 @@ case class PqCodesExpr(child: Expression, codebook: Array[Double],
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** The corpus-side centroid ASSIGNMENT in one codegen'd pass: the list id
+  * of the literal centroid with the highest guarded cosine to `vec`
+  * (NaN → −∞, clamp to [−1, 1]), ties to the SMALLEST id — bit-identical
+  * to `element_at(array_sort(array(struct(-guarded, id)...)), 1).list_id`,
+  * which it replaces on the corpus side (that form builds nLists structs
+  * per row and sorts them through an interpreted comparator, because
+  * `array_sort` is a higher-order function and CodegenFallback). The
+  * cosine arithmetic is the same sequential fold as [[DotProductExpr]]
+  * over the same driver-precomputed centroid norms; the selection compares
+  * with `Double.compare` (−0.0 < 0.0, matching the struct ordering).
+  * Query-side probing keeps the sorted-array form (it needs the top
+  * nProbe, and the query side is a handful of rows). */
+case class NearestCentroidIdExpr(left: Expression, right: Expression,
+    centIds: Array[Long], centVecs: Array[Double], centNorms: Array[Double],
+    dims: Int) extends BinaryExpression {
+  require(centIds.length == centNorms.length &&
+    centVecs.length == centIds.length * dims, "centroid table shape mismatch")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes() =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val vn = b.asInstanceOf[Double]
+    var bestNc = Double.NaN; var bestId = 0L; var j = 0
+    while (j < centIds.length) {
+      val n = math.min(x.numElements(), dims)
+      var dot = 0.0; var i = 0; val base = j * dims
+      while (i < n) { dot += x.getDouble(i) * centVecs(base + i); i += 1 }
+      val raw = dot / (vn * centNorms(j))
+      val guarded =
+        if (java.lang.Double.isNaN(raw)) Double.NegativeInfinity
+        else math.min(math.max(raw, -1.0), 1.0)
+      val nc = -guarded
+      val c = java.lang.Double.compare(nc, bestNc)
+      if (j == 0 || c < 0 || (c == 0 && centIds(j) < bestId)) {
+        bestNc = nc; bestId = centIds(j)
+      }
+      j += 1
+    }
+    bestId
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ids = ctx.addReferenceObj("centIds", centIds, "long[]")
+      val vecs = ctx.addReferenceObj("centVecs", centVecs, "double[]")
+      val norms = ctx.addReferenceObj("centNorms", centNorms, "double[]")
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val base = ctx.freshName("base"); val raw = ctx.freshName("raw")
+      val g = ctx.freshName("g"); val nc = ctx.freshName("nc")
+      val c = ctx.freshName("c")
+      val bestNc = ctx.freshName("bestNc"); val bestId = ctx.freshName("bestId")
+      s"""
+         |double $bestNc = Double.NaN; long $bestId = 0L;
+         |for (int $j = 0; $j < $ids.length; $j++) {
+         |  int $n = java.lang.Math.min($a.numElements(), $dims);
+         |  double $dot = 0.0; int $base = $j * $dims;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getDouble($i) * $vecs[$base + $i];
+         |  }
+         |  double $raw = $dot / ($b * $norms[$j]);
+         |  double $g = Double.isNaN($raw) ? Double.NEGATIVE_INFINITY
+         |    : java.lang.Math.min(java.lang.Math.max($raw, -1.0), 1.0);
+         |  double $nc = -$g;
+         |  int $c = Double.compare($nc, $bestNc);
+         |  if ($j == 0 || $c < 0 || ($c == 0 && $ids[$j] < $bestId)) {
+         |    $bestNc = $nc; $bestId = $ids[$j];
+         |  }
+         |}
+         |${ev.value} = $bestId;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   def dotNative(a: Column, b: Column): Column =
     column(DotProductExpr(expression(a), expression(b)))
   def sqNormNative(a: Column): Column = column(SqNormExpr(expression(a)))
+
+  /** [[NearestCentroidIdExpr]] over the `(id, vector)` centroid table. */
+  def nearestCentroidIdNative(vec: Column, vecNorm: Column,
+      cents: Array[(Long, Array[Double])]): Column = {
+    val dims = cents.head._2.length
+    val flat = new Array[Double](cents.length * dims)
+    cents.zipWithIndex.foreach { case ((_, arr), j) =>
+      System.arraycopy(arr, 0, flat, j * dims, dims) }
+    column(NearestCentroidIdExpr(expression(vec), expression(vecNorm),
+      cents.map(_._1), flat,
+      cents.map { case (_, arr) => math.sqrt(arr.map(x => x * x).sum) },
+      dims))
+  }
 
   /** [[PqCodesExpr]] over a nested codebook `cb(s)(j)` of subvectors. */
   def pqCodesNative(vec: Column, cb: IndexedSeq[IndexedSeq[Seq[Double]]],

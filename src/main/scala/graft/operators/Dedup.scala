@@ -787,9 +787,8 @@ object Dedup {
     // jobs), like the other pipeline stages that report counts.
     val lazyAssigned = v
       .withColumn("nrm", sqrt(VectorExpressions.sqNormNative(col("vec"))))
-      .withColumn("cluster_id",
-        element_at(Similarity.nearestCentroids(col("vec"), col("nrm"), cents), 1)
-          .getField("list_id"))
+      .withColumn("cluster_id", graft.functions.VectorExpressions
+        .nearestCentroidIdNative(col("vec"), col("nrm"), cents))
     val pinnedRdd = lazyAssigned.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assigned = df.sparkSession.createDataFrame(pinnedRdd, lazyAssigned.schema)

@@ -173,9 +173,8 @@ object Embeddings {
       val asg = c
         .withColumn("cnrm",
           sqrt(graft.functions.VectorExpressions.sqNormNative(col("cvec"))))
-        .withColumn("p",
-          element_at(Similarity.nearestCentroids(col("cvec"), col("cnrm"),
-            cents), 1).getField("list_id"))
+        .withColumn("p", graft.functions.VectorExpressions
+          .nearestCentroidIdNative(col("cvec"), col("cnrm"), cents))
       val meanRows = asg
         .select(col("p"), posexplode(col("cvec")))
         .groupBy("p", "pos")

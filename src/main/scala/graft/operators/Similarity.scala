@@ -236,9 +236,8 @@ object Similarity {
     // exact scoring join below (norms per row, not per pair)
     val assigned = c
       .withColumn("cnrm", sqrt(VectorExpressions.sqNormNative(col("cvec"))))
-      .withColumn("list_id",
-        element_at(nearestCentroids(col("cvec"), col("cnrm"), cents), 1)
-          .getField("list_id"))
+      .withColumn("list_id", graft.functions.VectorExpressions
+        .nearestCentroidIdNative(col("cvec"), col("cnrm"), cents))
       .select(col("nbr_id"), col("cvec"), col("cnrm"), col("list_id"))
     // query → nProbe nearest lists: first nProbe of the sorted candidates
     val probes = q
@@ -287,9 +286,8 @@ object Similarity {
         lit(0.0).as("cnrm"), lit(0L).as("list_id")))
     val assigned = c
       .withColumn("cnrm", sqrt(VectorExpressions.sqNormNative(col("cvec"))))
-      .withColumn("list_id",
-        element_at(nearestCentroids(col("cvec"), col("cnrm"), cents), 1)
-          .getField("list_id"))
+      .withColumn("list_id", graft.functions.VectorExpressions
+        .nearestCentroidIdNative(col("cvec"), col("cnrm"), cents))
       .select(col("nbr_id"), col("cvec"), col("cnrm"), col("list_id"))
     (centDf, assigned)
   }
@@ -374,9 +372,8 @@ object Similarity {
     require(cents.nonEmpty, "empty corpus cannot serve ANN queries")
     val assigned = c
       .withColumn("cnrm", sqrt(VectorExpressions.sqNormNative(col("cvec"))))
-      .withColumn("list_id",
-        element_at(nearestCentroids(col("cvec"), col("cnrm"), cents), 1)
-          .getField("list_id"))
+      .withColumn("list_id", graft.functions.VectorExpressions
+        .nearestCentroidIdNative(col("cvec"), col("cnrm"), cents))
       .select(col("nbr_id"), col("cvec"), col("cnrm"), col("list_id"))
     val probes = q
       .withColumn("qnrm", sqrt(VectorExpressions.sqNormNative(col("qvec"))))
@@ -517,9 +514,8 @@ object Similarity {
     // list is empty and positions survive the refinement.
     val assigned0 = c
       .withColumn("cnrm", sqrt(VectorExpressions.sqNormNative(col("cvec"))))
-      .withColumn("p",
-        element_at(nearestCentroids(col("cvec"), col("cnrm"), seeds), 1)
-          .getField("list_id"))
+      .withColumn("p", graft.functions.VectorExpressions
+        .nearestCentroidIdNative(col("cvec"), col("cnrm"), seeds))
     val meanRows = assigned0
       .select(col("p"), posexplode(col("cvec")))
       .groupBy("p", "pos")
@@ -576,9 +572,8 @@ object Similarity {
     // corpus encode: ONE scan — assign list, form residual, take m codes
     val assigned = c
       .withColumn("cnrm", sqrt(VectorExpressions.sqNormNative(col("cvec"))))
-      .withColumn("list_id",
-        element_at(nearestCentroids(col("cvec"), col("cnrm"), cents), 1)
-          .getField("list_id"))
+      .withColumn("list_id", graft.functions.VectorExpressions
+        .nearestCentroidIdNative(col("cvec"), col("cnrm"), cents))
       .withColumn("rvec", zip_with(col("cvec"),
         element_at(typedLit(centVecs), (col("list_id") + 1).cast("int")),
         (a, b) => a - b))

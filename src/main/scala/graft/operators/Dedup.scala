@@ -714,7 +714,7 @@ object Dedup {
                                 threshold: Double, nPlanes: Int = 8,
                                 dims: Int = 64): DataFrame = {
     val v = df.select(col(idCol).as("id"),
-        transform(col(vecCol), x => x.cast("double")).as("vec"))
+        col(vecCol).cast("array<double>").as("vec"))
       .withColumn("nrm", sqrt(VectorExpressions.sqNormNative(col("vec"))))
       .withColumn("bucket", Similarity.lshBucket(col("vec"), dims, nPlanes))
     // multi-probe: own bucket + all Hamming-1 neighbors (flip each bit)
@@ -743,7 +743,7 @@ object Dedup {
                         threshold: Double): DataFrame = {
     // norms once per vector (not per pair); codegen'd native dot product
     val v = df.select(col(idCol).as("id"),
-        transform(col(vecCol), x => x.cast("double")).as("vec"))
+        col(vecCol).cast("array<double>").as("vec"))
       .withColumn("nrm", sqrt(VectorExpressions.sqNormNative(col("vec"))))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -772,7 +772,7 @@ object Dedup {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     nClusters: Int, threshold: Double): DataFrame = {
     val v = df.select(col(idCol).cast("long").as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("vec"))
+      col(vecCol).cast("array<double>").as("vec"))
     val cents = Similarity.deterministicCentroids(v, "id", "vec", nClusters, "sem")
     if (cents.isEmpty)
       return v.limit(0).select(col("id"), lit(0L).as("cluster_id"),

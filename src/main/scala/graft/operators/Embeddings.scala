@@ -163,7 +163,7 @@ object Embeddings {
       k: Int, iters: Int): DataFrame = {
     val spark = df.sparkSession
     val c = df.select(col(idCol).as("kid"),
-      transform(col(vecCol), x => x.cast("double")).as("cvec"))
+      col(vecCol).cast("array<double>").as("cvec"))
     val seeds = Similarity.deterministicCentroids(c, "kid", "cvec", k, "km")
       .zipWithIndex.map { case ((_, v), p) => (p.toLong, v) }
     require(seeds.nonEmpty, "k-means needs a non-empty corpus")
@@ -242,6 +242,6 @@ object Embeddings {
   def project(df: DataFrame, vecCol: String, loadings: Array[Double]): Column = {
     val lit64 = array(loadings.toIndexedSeq.map(lit(_)): _*)
     graft.functions.dotProduct(
-      transform(col(vecCol), x => x.cast("double")), lit64)
+      col(vecCol).cast("array<double>"), lit64)
   }
 }

@@ -17,7 +17,11 @@ import graft.functions._
   */
 object Similarity {
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  // native element-wise Cast, NOT transform(_.cast): the higher-order
+  // lambda is CodegenFallback and forces the consuming projection
+  // interpreted; Cast on array<float> -> array<double> is codegen'd and
+  // value-identical (float upcast is exact, nulls preserved)
+  private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors. `queries` is expected to be small → broadcast; corpus-side scan

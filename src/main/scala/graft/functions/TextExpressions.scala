@@ -98,9 +98,85 @@ case class ClassifierSumExpr(child: Expression, weightsU6: Seq[Long])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Sliding-window span hashes over a word array in one codegen'd pass:
+  * element p is `xxhash64(words[p], ..., words[p+k-1])` — bit-identical to
+  * Spark's variadic xxhash64 (seed 42, each word's hash chained as the
+  * next seed via the same `XXH64.hashUTF8String` primitive, null elements
+  * leaving the seed untouched). Replaces the composable
+  * `transform(sequence(0, n-k), p -> xxhash64(element_at...))`, whose
+  * higher-order lambda is CodegenFallback and re-enters the expression
+  * interpreter once per span with k `element_at` calls inside — the
+  * documented dominant cost of the exact-substring pass. Fewer than k
+  * words yield an empty array (the composable form's size guard, folded
+  * in). */
+case class WordSpanHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = x.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var p = 0
+    while (p < out.length) {
+      var h = 42L
+      var i = 0
+      while (i < k) {
+        val w = x.getUTF8String(p + i)
+        if (w != null)
+          h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUTF8String(w, h)
+        i += 1
+      }
+      out(p) = h
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val p = ctx.freshName("p"); val i = ctx.freshName("i")
+      val h = ctx.freshName("h"); val w = ctx.freshName("w")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = ($n < $k) ? new long[0] : new long[$n - $k + 1];
+         |for (int $p = 0; $p < $out.length; $p++) {
+         |  long $h = 42L;
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    org.apache.spark.unsafe.types.UTF8String $w =
+         |      $a.getUTF8String($p + $i);
+         |    if ($w != null) {
+         |      $h = org.apache.spark.sql.catalyst.expressions.XXH64
+         |        .hashUTF8String($w, $h);
+         |    }
+         |  }
+         |  $out[$p] = $h;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object TextExpressions {
   def charShinglesNative(c: Column, k: Int): Column =
     column(CharShinglesExpr(expression(c), k))
+
+  /** [[WordSpanHashesExpr]]: xxhash64 of every k-word sliding window. */
+  def wordSpanHashesNative(words: Column, k: Int): Column =
+    column(WordSpanHashesExpr(expression(words), k))
 
   /** Exact-integer classifier weight sum of `tokens` (ARRAY<STRING>)
     * against the literal micro-unit weight table. */

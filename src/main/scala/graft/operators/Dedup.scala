@@ -875,10 +875,11 @@ object Dedup {
     // char copies per span vs one streaming hash of the k words). Span
     // start positions are 0-based; sequence() flips direction when
     // stop < start, so the < k case must short-circuit to an empty array.
-    val spanArr = when(size(col("words")) >= k,
-        transform(sequence(lit(0), size(col("words")) - k),
-          p => xxhash64((1 to k).map(i => element_at(col("words"), p + i)): _*)))
-      .otherwise(array().cast("array<bigint>"))
+    // one codegen'd sliding-window pass (WordSpanHashesExpr) — the
+    // composable transform/sequence/xxhash64 form re-entered the
+    // expression interpreter per span; hash chain is bit-identical
+    val spanArr =
+      graft.functions.TextExpressions.wordSpanHashesNative(col("words"), k)
     val occ = base
       .select(col(idCol), posexplode(spanArr).as(Seq("pos", "h")))
     // first-owner via window-min over the span hash: ONE shuffle + sort of

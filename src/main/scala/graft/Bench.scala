@@ -157,6 +157,24 @@ object Bench {
     "text_pii_scrub", "text_quality", "text_repetition", "text_tfidf",
     "text_tokens", "text_top_terms", "text_winnow", "zorder_layout")
 
+  /** Restamp a streaming fixture dir's part files with strictly increasing
+    * mtimes in part-NAME order. FileStreamSource consumes files in
+    * MODIFICATION-TIME order with ties unordered, and a one-job
+    * `repartitionByRange(...).write` stamps every file within the same
+    * instant — an out-of-order batch would rewind event time past a TTL
+    * face's watermark and silently drop rows unscreened. Range partition i
+    * holds the i-th doc_id range, so name order IS event-time order. */
+  private def restampPartsInNameOrder(dir: String): Unit = {
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).sortBy(_.getName)
+    val base = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(base + i * 2000L),
+        s"could not restamp ${f.getName}")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -350,8 +368,10 @@ object Bench {
         val c0 = cachedMb()
         val s0 = stealTicks(); val g0 = gcMillis(); val j0 = jitMillis()
         val t = try time(withRddSweep(f())) catch { case e: Throwable =>
+          // strip EVERY control char (not just \n\r\t) plus quote/backslash
+          // so the message can never break the hand-assembled JSON line
           entryErr(name) = (e.getClass.getSimpleName + ": " +
-            String.valueOf(e.getMessage)).replaceAll("[\"\\\\\\n\\r\\t]", " ")
+            String.valueOf(e.getMessage)).replaceAll("[\\p{Cntrl}\"\\\\]", " ")
             .take(200)
           -1.0 }
         (t, (stealTicks() - s0) / 100.0, (gcMillis() - g0) / 1000.0,
@@ -792,6 +812,7 @@ object Bench {
       Generators.syntheticCorpus(spark, 600000L)
         .repartitionByRange(10, org.apache.spark.sql.functions.col("doc_id"))
         .write.mode("overwrite").parquet(sdDir)
+      restampPartsInNameOrder(sdDir)
       val sdSchema = spark.read.parquet(sdDir).schema
       bench("stream_dedup_600k") {
         val prior = spark.conf.getOption(
@@ -860,6 +881,7 @@ object Bench {
         .withColumn("ts", org.apache.spark.sql.functions.col("doc_id"))
         .repartitionByRange(20, org.apache.spark.sql.functions.col("doc_id"))
         .write.mode("overwrite").parquet(sdDir)
+      restampPartsInNameOrder(sdDir)
       val sdSchema = spark.read.parquet(sdDir).schema
       bench("stream_dedup_600k_ttl") {
         val prior = spark.conf.getOption(
@@ -918,6 +940,7 @@ object Bench {
       corpus
         .repartitionByRange(20, org.apache.spark.sql.functions.col("doc_id"))
         .write.mode("overwrite").parquet(sdDir)
+      restampPartsInNameOrder(sdDir)
       // the benchmark shingle side is static setup (untimed): at 100 TB the
       // eval-set index is built once, not per query — PERSISTED, because a
       // stream-static join re-executes the static subplan every micro-batch
@@ -1007,6 +1030,7 @@ object Bench {
         .withColumn("ts", org.apache.spark.sql.functions.col("doc_id"))
         .repartitionByRange(20, org.apache.spark.sql.functions.col("doc_id"))
         .write.mode("overwrite").parquet(sdDir)
+      restampPartsInNameOrder(sdDir)
       // the eval-set fingerprint index is build-once setup (untimed),
       // persisted for the same stream-static-rescan reason as benchSh above
       val benchFps = spark.read.parquet(sdDir)
@@ -1093,6 +1117,7 @@ object Bench {
         .withColumn("ts", org.apache.spark.sql.functions.col("doc_id"))
         .repartitionByRange(10, org.apache.spark.sql.functions.col("doc_id"))
         .write.mode("overwrite").parquet(sdDir)
+      restampPartsInNameOrder(sdDir)
       val sdSchema = spark.read.parquet(sdDir).schema
       def decoGate(name: String,
           mkVerdicts: org.apache.spark.sql.DataFrame =>

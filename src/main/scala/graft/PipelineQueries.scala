@@ -76,6 +76,27 @@ object PipelineQueries {
     }
   }
 
+  /** [[pollUntil]] for a sink row-count target. Polls `>= target` (each
+    * poll is a Spark job, so the sleep is generous) and then asserts EXACT
+    * equality after convergence: an exact-equality poll would sail past an
+    * over-counting gate and burn the whole timeout with an opaque
+    * "timed out", whereas this fails fast with the actual count. */
+  private def pollUntilCount(what: String, target: Long,
+      timeoutMs: Long = 420000L)(count: => Long): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var c = count
+    while (c < target) {
+      if (System.nanoTime() > deadline)
+        throw new IllegalStateException(
+          s"timed out waiting for $what: $c of $target rows")
+      Thread.sleep(200)
+      c = count
+    }
+    if (c != target)
+      throw new IllegalStateException(
+        s"$what over-emitted: $c rows, expected exactly $target")
+  }
+
   /** [[runAppendStream]] variant whose feed also sees the memory sink (as a
     * thunk re-reading the sink table), for queries where
     * `processAllAvailable` CANNOT be used: a `flatMapGroupsWithState` stage
@@ -707,9 +728,9 @@ object PipelineQueries {
         3600L * 1000L, benchSh)
       runAppendStreamPolled(s, out, "decoptl") { (_, sink) =>
         src.addData(h2.toIndexedSeq) // the late half arrives FIRST
-        pollUntil("h2 verdicts")(sink().count() == expectH2)
+        pollUntilCount("h2 verdicts", expectH2)(sink().count())
         src.addData(h1.toIndexedSeq)
-        pollUntil("all verdicts")(sink().count() == dirtyIds.size.toLong)
+        pollUntilCount("all verdicts", dirtyIds.size.toLong)(sink().count())
       }.orderBy("doc_id")
     }),
     // The FULL production ingest gate: winnow-screened (16-gram basis at

@@ -90,11 +90,18 @@ case class SqNormExpr(child: Expression) extends UnaryExpression {
   * array_sort's NaN-last, earliest-index-tie ranking. The composable form
   * re-entered the expression interpreter m·ks times per row (the
   * higher-order lambdas are CodegenFallback); this is one codegen'd loop.
-  * `codebook` is flattened `[s][j][i]` at offset `(s·ks + j)·subDim`. */
+  * `codebook` is flattened `[s][j][i]` at offset `(s·ks + j)·subDim`.
+  * A null ELEMENT anywhere in the read window propagates to a null
+  * result — the same semantics as the zip_with/aggregate chain this
+  * replaces (null element → null distance → null sort key), instead of
+  * silently encoding the element as 0.0. */
 case class PqCodesExpr(child: Expression, codebook: Array[Double],
     m: Int, ks: Int, subDim: Int) extends UnaryExpression {
   require(codebook.length == m * ks * subDim,
     s"codebook length ${codebook.length} != m*ks*subDim ${m * ks * subDim}")
+  // null-element inputs produce null output even when the child column
+  // itself is declared non-nullable
+  override def nullable: Boolean = true
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
   override def checkInputDataTypes() =
@@ -102,6 +109,9 @@ case class PqCodesExpr(child: Expression, codebook: Array[Double],
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    val scan = math.min(x.numElements(), m * subDim)
+    var p = 0
+    while (p < scan) { if (x.isNullAt(p)) return null; p += 1 }
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -138,7 +148,13 @@ case class PqCodesExpr(child: Expression, codebook: Array[Double],
       val bestJ = ctx.freshName("bestJ"); val bestD = ctx.freshName("bestD")
       val acc = ctx.freshName("acc"); val base = ctx.freshName("base")
       val d = ctx.freshName("d"); val dist = ctx.freshName("dist")
+      val p = ctx.freshName("p"); val scan = ctx.freshName("scan")
       s"""
+         |int $scan = java.lang.Math.min($a.numElements(), ${m * subDim});
+         |for (int $p = 0; $p < $scan; $p++) {
+         |  if ($a.isNullAt($p)) { ${ev.isNull} = true; break; }
+         |}
+         |if (!${ev.isNull}) {
          |int[] $codes = new int[$m];
          |for (int $s = 0; $s < $m; $s++) {
          |  int $bestJ = 0; double $bestD = Double.NaN;
@@ -159,6 +175,7 @@ case class PqCodesExpr(child: Expression, codebook: Array[Double],
          |}
          |${ev.value} =
          |  new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |}
        """.stripMargin
     })
 
@@ -176,18 +193,27 @@ case class PqCodesExpr(child: Expression, codebook: Array[Double],
   * over the same driver-precomputed centroid norms; the selection compares
   * with `Double.compare` (−0.0 < 0.0, matching the struct ordering).
   * Query-side probing keeps the sorted-array form (it needs the top
-  * nProbe, and the query side is a handful of rows). */
+  * nProbe, and the query side is a handful of rows).
+  * A null ELEMENT in the read window propagates to a null assignment —
+  * the same semantics as the zip_with/aggregate cosine it replaces,
+  * instead of silently treating the element as 0.0. */
 case class NearestCentroidIdExpr(left: Expression, right: Expression,
     centIds: Array[Long], centVecs: Array[Double], centNorms: Array[Double],
     dims: Int) extends BinaryExpression {
   require(centIds.length == centNorms.length &&
     centVecs.length == centIds.length * dims, "centroid table shape mismatch")
+  // null-element vectors produce a null assignment even when both child
+  // columns are declared non-nullable
+  override def nullable: Boolean = true
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def checkInputDataTypes() =
     org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    val scan = math.min(x.numElements(), dims)
+    var p = 0
+    while (p < scan) { if (x.isNullAt(p)) return null; p += 1 }
     val vn = b.asInstanceOf[Double]
     var bestNc = Double.NaN; var bestId = 0L; var j = 0
     while (j < centIds.length) {
@@ -219,7 +245,13 @@ case class NearestCentroidIdExpr(left: Expression, right: Expression,
       val g = ctx.freshName("g"); val nc = ctx.freshName("nc")
       val c = ctx.freshName("c")
       val bestNc = ctx.freshName("bestNc"); val bestId = ctx.freshName("bestId")
+      val p = ctx.freshName("p"); val scan = ctx.freshName("scan")
       s"""
+         |int $scan = java.lang.Math.min($a.numElements(), $dims);
+         |for (int $p = 0; $p < $scan; $p++) {
+         |  if ($a.isNullAt($p)) { ${ev.isNull} = true; break; }
+         |}
+         |if (!${ev.isNull}) {
          |double $bestNc = Double.NaN; long $bestId = 0L;
          |for (int $j = 0; $j < $ids.length; $j++) {
          |  int $n = java.lang.Math.min($a.numElements(), $dims);
@@ -237,6 +269,7 @@ case class NearestCentroidIdExpr(left: Expression, right: Expression,
          |  }
          |}
          |${ev.value} = $bestId;
+         |}
        """.stripMargin
     })
 

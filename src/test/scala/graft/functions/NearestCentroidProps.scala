@@ -96,4 +96,27 @@ class NearestCentroidProps extends AnyFunSuite {
     check(dims = 8, nCents = 5, nVecs = 30, seed = 77L,
       mutate = a => a(0) = Double.NaN)
   }
+
+  test("a null vector ELEMENT propagates to a null assignment (both paths)") {
+    // parity with the composable cosine (null element -> null dot -> null
+    // sort key), NOT a silent treat-as-0.0
+    import spark.implicits._
+    val cents: Array[(Long, Array[Double])] =
+      Array((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)))
+    // codegen path: vec depends on a column so ConstantFolding can't
+    // pre-evaluate it on the driver
+    val df = Seq(0L, 1L).toDF("id").withColumn("vec",
+        array(col("id").cast("double"), lit(null).cast("double")))
+      .withColumn("nrm", lit(1.0))
+    val rows = df.select(VectorExpressions.nearestCentroidIdNative(
+      col("vec"), col("nrm"), cents).as("n")).collect()
+    assert(rows.forall(_.isNullAt(0)))
+    // interpreted path (direct eval, bypassing codegen)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val vecLit = Literal.create(Seq[java.lang.Double](1.0, null),
+      ArrayType(DoubleType, containsNull = true))
+    assert(NearestCentroidIdExpr(vecLit, Literal(1.0), Array(1L, 2L),
+      Array(1.0, 0.0, 0.0, 1.0), Array(1.0, 1.0), 2).eval(null) == null)
+  }
 }

@@ -74,4 +74,28 @@ class PqCodesProps extends AnyFunSuite {
     check(m = 2, ks = 4, subDim = 4, nVecs = 30, seed = 42L,
       mutate = a => a(1) = Double.NaN) // subspace 0 all-NaN dists, 1 finite
   }
+
+  test("a null vector ELEMENT propagates to a null code array (both paths)") {
+    // parity with the composable zip_with/aggregate form (null element ->
+    // null distance -> null sort key), NOT a silent encode-as-0.0
+    import spark.implicits._
+    val subDim = 2; val m = 2; val ks = 2
+    val cb = IndexedSeq.fill(m)(IndexedSeq(Seq(0.0, 0.0), Seq(1.0, 1.0)))
+    // codegen path: vec depends on a column so ConstantFolding can't
+    // pre-evaluate it on the driver
+    val df = Seq(0L, 1L).toDF("id").withColumn("vec",
+      array(col("id").cast("double"), lit(null).cast("double"),
+        lit(0.5), lit(0.25)))
+    val rows = df.select(
+      VectorExpressions.pqCodesNative(col("vec"), cb, subDim).as("n"))
+      .collect()
+    assert(rows.forall(_.isNullAt(0)))
+    // interpreted path (direct eval, bypassing codegen)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val child = Literal.create(Seq[java.lang.Double](1.0, null, 0.5, 0.25),
+      ArrayType(DoubleType, containsNull = true))
+    val flat = Array(0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 1.0, 1.0)
+    assert(PqCodesExpr(child, flat, m, ks, subDim).eval(null) == null)
+  }
 }

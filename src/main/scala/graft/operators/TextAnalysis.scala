@@ -580,6 +580,49 @@ object TextAnalysis {
       .toDF(idCol)
   }
 
+  /** [[decontaminationGate]] for eval sets TOO BIG TO BROADCAST — the
+    * missing corner of the gate matrix at 100 TB: every other face
+    * broadcasts the full benchmark shingle/fingerprint set, which stops
+    * working once the screen basis outgrows executor memory (screening
+    * against a large held-out corpus, or cumulative leak lists). Two
+    * phases:
+    *
+    *  1. BLOOM SCREEN — a Bloom filter over the bench shingles is built
+    *     relationally ([[RuntimeFilters.bloomBits]]: one aggregation, ≤ m
+    *     set-position rows) and only those BITS broadcast; the corpus
+    *     probe is k chained broadcast semi-joins. No false negatives, so
+    *     nothing contaminated can slip past; false positives at the
+    *     standard rate pass to phase 2.
+    *  2. EXACT CONFIRM — the surviving (doc, shingle) candidates (true
+    *     hits + Bloom FPs, a tiny fraction of corpus volume when the
+    *     filter is sized sanely) equi-join the exact shingle set as a
+    *     SHUFFLE join (`shuffle_hash` hint — this face exists precisely
+    *     because that side must not broadcast), striking the FPs.
+    *
+    * Verdicts are therefore IDENTICAL to [[decontaminationGate]] — the
+    * oracle is the exact gate's SQL verbatim — while the data volume that
+    * crosses the confirm shuffle is bounded by contamination + ε·corpus
+    * instead of the whole corpus×basis probe. Size `m` ≫ kHashes·|bench
+    * shingles| in production; the catalog entry undersizes it on purpose
+    * so the FP-confirm path is exercised and oracle-checked. */
+  def decontaminationGateBloom(df: DataFrame, idCol: String,
+                               textCol: String, benchShingles: DataFrame,
+                               k: Int = 16, m: Int = 1 << 20,
+                               kHashes: Int = 3): DataFrame = {
+    require(benchShingles.columns.contains("shingle"),
+      s"benchShingles needs a 'shingle' column, got " +
+        benchShingles.columns.mkString(", "))
+    val probes = df.select(col(idCol),
+      explode(charShingles(col(textCol), k)).as("shingle"))
+    val bits = RuntimeFilters.bloomBits(benchShingles, "shingle", m, kHashes)
+    val candidates =
+      RuntimeFilters.bloomProbe(probes, "shingle", bits, m, kHashes)
+    candidates
+      .join(benchShingles.hint("shuffle_hash"), Seq("shingle"), "left_semi")
+      .select(col(idCol))
+      .dropDuplicates(idCol)
+  }
+
   /** WINNOWING-screened decontamination — the sub-density face of
     * [[decontaminationGate]] for 100 TB ingest: instead of indexing and
     * probing EVERY k-char shingle, both sides keep only winnow-selected

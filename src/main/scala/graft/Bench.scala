@@ -81,6 +81,7 @@ object Bench {
     "stream_manifest",
     "stream_late_drop", "stream_decontaminate", "stream_decontaminate_ttl",
     "stream_decontaminate_winnow_ttl", "stream_decontaminate_proc_ttl",
+    "stream_decontaminate_bloom_ttl",
     "stream_mix_budget", "stream_classifier")
 
   /** The BASELINE.md reference / scale-stress workloads (coded inline in

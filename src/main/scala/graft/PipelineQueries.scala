@@ -691,6 +691,38 @@ object PipelineQueries {
         q.processAllAvailable()
       }.orderBy("doc_id")
     }),
+    // The TOO-BIG-TO-BROADCAST ingest gate with BOUNDED state: Bloom bits
+    // broadcast (never the eval shingle set), exact confirm as a
+    // stream-static SHUFFLE semi-join, verdict leases TTL'd on event time.
+    // The filter is deliberately undersized (2^14 bits) so the confirm
+    // path strikes real false positives every batch; event time = doc_id
+    // seconds inside one 30-day TTL window, so verdicts must equal the
+    // batch contaminated set — the same oracle as the exact TTL face.
+    "stream_decontaminate_bloom_ttl" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val d = docs(s, dir)
+      val benchSh = d.where(col("doc_id") % 97 === 0)
+        .select(explode(graft.functions.charShingles(col("text"), 16))
+          .as("shingle")).distinct()
+      val rows = d.where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text"),
+          col("doc_id").cast("timestamp").as("ts"))
+        .as[(Long, String, java.sql.Timestamp)].collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, java.sql.Timestamp)]
+      val out = graft.operators.TextAnalysis.decontaminationGateBloomTtl(
+          src.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text",
+          "ts", "30 days", benchSh, k = 16, m = 1 << 14, kHashes = 3)
+        .select(col("doc_id"))
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      runAppendStream(s, out, "decobloom") { q =>
+        src.addData(h1.toIndexedSeq)
+        q.processAllAvailable()
+        src.addData(h2.toIndexedSeq)
+        q.processAllAvailable()
+      }.orderBy("doc_id")
+    }),
     // The LATE-DATA-SAFE corner of the gate matrix (ADVICE r9): verdict
     // state leased on PROCESSING time, no watermark — so unlike the
     // event-time TTL face, an arbitrarily late row is still screened. The
@@ -1295,6 +1327,14 @@ object PipelineQueries {
         .stripMargin.replace("\n", " "),
     // TTL gate inside one TTL window == the unbounded gate == the batch set
     "stream_decontaminate_ttl" ->
+      s"""WITH sh16 AS (${TextQueries.shingles16Sql}),
+         |bench AS (SELECT DISTINCT shingle FROM sh16 WHERE doc_id % 97 = 0)
+         |SELECT DISTINCT s.doc_id FROM sh16 s JOIN bench b USING (shingle)
+         |WHERE s.doc_id % 97 <> 0 ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "),
+    // Bloom screen + exact confirm == the exact gate (no false negatives,
+    // FPs struck), so inside one TTL window == the batch contaminated set
+    "stream_decontaminate_bloom_ttl" ->
       s"""WITH sh16 AS (${TextQueries.shingles16Sql}),
          |bench AS (SELECT DISTINCT shingle FROM sh16 WHERE doc_id % 97 = 0)
          |SELECT DISTINCT s.doc_id FROM sh16 s JOIN bench b USING (shingle)

@@ -623,6 +623,41 @@ object TextAnalysis {
       .dropDuplicates(idCol)
   }
 
+  /** The streaming, TTL-bounded face of [[decontaminationGateBloom]] —
+    * the too-big-to-broadcast ingest gate with BOUNDED state: Bloom bits
+    * (not the eval set) broadcast into the per-batch probe, the exact
+    * confirm runs as a stream-static shuffle semi-join, and verdict state
+    * is leased for `ttl` of event time via
+    * `dropDuplicatesWithinWatermark`. Inherits both parents' caveats:
+    * lateness tolerance == `ttl` (a later row is dropped UNSCREENED — size
+    * `ttl` to the feed's disorder, as with [[decontaminationGateTtl]]),
+    * and the Bloom m must be sized ≫ kHashes·|bench shingles| or the
+    * confirm join carries ε·corpus traffic. Verdicts within the TTL
+    * window are identical to the exact gate's. Null event times are
+    * dropped, not fatal. Output: (idCol, event-time). */
+  def decontaminationGateBloomTtl(df: DataFrame, idCol: String,
+                                  textCol: String, tsCol: String,
+                                  ttl: String, benchShingles: DataFrame,
+                                  k: Int = 16, m: Int = 1 << 20,
+                                  kHashes: Int = 3): DataFrame = {
+    require(benchShingles.columns.contains("shingle"),
+      s"benchShingles needs a 'shingle' column, got " +
+        benchShingles.columns.mkString(", "))
+    val probes = df.select(col(idCol),
+        col(tsCol).cast("timestamp").as("_ts"), col(textCol).as("_text"))
+      .where(col("_ts").isNotNull)
+      .withWatermark("_ts", ttl)
+      .select(col(idCol), col("_ts"),
+        explode(charShingles(col("_text"), k)).as("shingle"))
+    val bits = RuntimeFilters.bloomBits(benchShingles, "shingle", m, kHashes)
+    val candidates =
+      RuntimeFilters.bloomProbe(probes, "shingle", bits, m, kHashes)
+    candidates
+      .join(benchShingles.hint("shuffle_hash"), Seq("shingle"), "left_semi")
+      .select(col(idCol), col("_ts"))
+      .dropDuplicatesWithinWatermark(idCol)
+  }
+
   /** WINNOWING-screened decontamination — the sub-density face of
     * [[decontaminationGate]] for 100 TB ingest: instead of indexing and
     * probing EVERY k-char shingle, both sides keep only winnow-selected

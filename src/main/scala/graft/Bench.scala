@@ -97,6 +97,7 @@ object Bench {
     "text_perplexity_600k", "dedup_substring_600k", "hybrid_rrf_600k",
     "cdc_apply_5m", "stream_dedup_600k", "stream_dedup_600k_ttl",
     "stream_decontaminate_600k_ttl", "stream_decontaminate_winnow_600k_ttl",
+    "stream_decontaminate_bloom_600k_ttl",
     "stream_decontaminate_long_ttl", "stream_decontaminate_winnow_long_ttl",
     "multimodal_600k",
     "text_classifier_600k", "dedup_minhash_est_600k")
@@ -1170,6 +1171,72 @@ object Bench {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
 
+    // BLOOM-screened TTL gate at volume (round 11): the 600k corpus / 20
+    // micro-batches / 60,000 s TTL sized like the full-shingle twin, but
+    // through decontaminationGateBloomTtl with a PRODUCTION-sized filter
+    // (m = 2^22 bits for ~114k bench shingles x 3 hashes, FP ~ 5e-4) — the
+    // honest overhead number for the too-big-to-broadcast face: it pays 3
+    // chained bit-probe broadcasts per batch plus a shuffle confirm where
+    // the exact face pays one broadcast semi-join, and wins only when the
+    // exact set CANNOT broadcast. Same state discipline, so per-batch
+    // walls/state rows are directly comparable to the full-shingle twin's.
+    var sdecoBloomStateRows: Seq[Long] = Nil
+    var sdecoBloomBatchSec: Seq[Double] = Nil
+    if (wanted("stream_decontaminate_bloom_600k_ttl")) {
+      val sdDir = java.nio.file.Files.createTempDirectory("sdecob").toString
+      Generators.syntheticCorpus(spark, 600000L)
+        .withColumn("ts", org.apache.spark.sql.functions.col("doc_id"))
+        .repartitionByRange(20, org.apache.spark.sql.functions.col("doc_id"))
+        .write.mode("overwrite").parquet(sdDir)
+      restampPartsInNameOrder(sdDir)
+      val benchSh = spark.read.parquet(sdDir)
+        .where(org.apache.spark.sql.functions.expr("doc_id % 971 = 0"))
+        .select(org.apache.spark.sql.functions.explode(
+          graft.functions.charShingles(
+            org.apache.spark.sql.functions.col("text"), 16)).as("shingle"))
+        .distinct().persist()
+      benchSh.count() // eval-set index is build-once setup, untimed
+      val sdSchema = spark.read.parquet(sdDir).schema
+      bench("stream_decontaminate_bloom_600k_ttl") {
+        val ckpt = java.nio.file.Files.createTempDirectory("sdecobckpt")
+        val priorShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        setRocksDbConfs()
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val src = spark.readStream.schema(sdSchema)
+            .option("maxFilesPerTrigger", 1).parquet(sdDir)
+            .repartition(8)
+          val verdicts =
+            graft.operators.TextAnalysis.decontaminationGateBloomTtl(
+              src, "doc_id", "text", "ts", "60000 seconds", benchSh,
+              k = 16, m = 1 << 22, kHashes = 3)
+          val q = verdicts.writeStream.format("noop")
+            .option("checkpointLocation", ckpt.toString)
+            .outputMode("append").start()
+          try {
+            q.processAllAvailable()
+            val progress = q.recentProgress.filter(_.numInputRows > 0)
+            sdecoBloomStateRows = progress
+              .flatMap(_.stateOperators.headOption.map(_.numRowsTotal)).toSeq
+            sdecoBloomBatchSec = progress.map(
+              _.durationMs.get("triggerExecution").toDouble / 1000.0).toSeq
+          } finally q.stop()
+        } finally {
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          spark.conf.unset(ChangelogConf)
+          spark.conf.set("spark.sql.shuffle.partitions", priorShuffle)
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+      benchSh.unpersist()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(sdDir)).iterator()
+        .asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+
     // LONG-DOCUMENT decontamination gate pair (round 10): the 600k twins
     // time both faces at tweet-length docs (40 words), where per-batch
     // fixed cost (state store, trigger, watermark bookkeeping) dominates
@@ -1368,6 +1435,10 @@ object Bench {
        else Seq(
          s"""  "stream_decontaminate_winnow_600k_ttl__state_rows_per_batch": """ +
          s"""[${sdecoWinStateRows.mkString(", ")}]""")) ++
+      (if (sdecoBloomStateRows.isEmpty) Seq.empty[String]
+       else Seq(
+         s"""  "stream_decontaminate_bloom_600k_ttl__state_rows_per_batch": """ +
+         s"""[${sdecoBloomStateRows.mkString(", ")}]""")) ++
       (if (sdecoLongStateRows.isEmpty) Seq.empty[String]
        else Seq(
          s"""  "stream_decontaminate_long_ttl__state_rows_per_batch": """ +
@@ -1382,6 +1453,7 @@ object Bench {
         ("stream_decontaminate_long_ttl__batch_sec", sdecoLongBatchSec),
         ("stream_decontaminate_winnow_long_ttl__batch_sec",
           sdecoLongWinBatchSec),
+        ("stream_decontaminate_bloom_600k_ttl__batch_sec", sdecoBloomBatchSec),
         ("stream_dedup_600k_ttl__batch_sec", sdTtlBatchSec))
         .filter(_._2.nonEmpty)
         .map { case (k, v) => s"""  "$k": [${v.mkString(", ")}]""" } ++

@@ -50,4 +50,26 @@ object RuntimeFilters {
           === bits("pos"),
         "leftsemi")
     }
+
+  /** [[bloomBits]]/[[bloomProbe]] on codegen'd xxhash64 instead of the
+    * md5-derived hash60: for consumers whose CORRECTNESS does not depend on
+    * reproducing the bit positions in SQL (the decontamination gate faces —
+    * any agreed hash family gives no-false-negatives, and their verdicts
+    * are oracle-checked against the EXACT gate), the md5 probe is pure
+    * overhead: k md5 evaluations per probed key vs k one-instruction-loop
+    * hashes. Keep the hash60 pair for operators whose oracle re-derives
+    * membership (bloom_semi_join). */
+  def bloomBitsFast(build: DataFrame, keyCol: String, m: Int,
+      k: Int): DataFrame =
+    build.select(explode(array((0 until k).map(i =>
+        pmod(xxhash64(lit(i), col(keyCol)), lit(m.toLong))): _*)).as("pos"))
+      .distinct()
+
+  def bloomProbeFast(probe: DataFrame, keyCol: String, bits: DataFrame,
+      m: Int, k: Int): DataFrame =
+    (0 until k).foldLeft(probe) { (df, i) =>
+      df.join(broadcast(bits),
+        pmod(xxhash64(lit(i), col(keyCol)), lit(m.toLong)) === bits("pos"),
+        "leftsemi")
+    }
 }

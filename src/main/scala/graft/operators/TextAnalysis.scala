@@ -614,9 +614,9 @@ object TextAnalysis {
         benchShingles.columns.mkString(", "))
     val probes = df.select(col(idCol),
       explode(charShingles(col(textCol), k)).as("shingle"))
-    val bits = RuntimeFilters.bloomBits(benchShingles, "shingle", m, kHashes)
+    val bits = RuntimeFilters.bloomBitsFast(benchShingles, "shingle", m, kHashes)
     val candidates =
-      RuntimeFilters.bloomProbe(probes, "shingle", bits, m, kHashes)
+      RuntimeFilters.bloomProbeFast(probes, "shingle", bits, m, kHashes)
     candidates
       .join(benchShingles.hint("shuffle_hash"), Seq("shingle"), "left_semi")
       .select(col(idCol))
@@ -649,9 +649,9 @@ object TextAnalysis {
       .withWatermark("_ts", ttl)
       .select(col(idCol), col("_ts"),
         explode(charShingles(col("_text"), k)).as("shingle"))
-    val bits = RuntimeFilters.bloomBits(benchShingles, "shingle", m, kHashes)
+    val bits = RuntimeFilters.bloomBitsFast(benchShingles, "shingle", m, kHashes)
     val candidates =
-      RuntimeFilters.bloomProbe(probes, "shingle", bits, m, kHashes)
+      RuntimeFilters.bloomProbeFast(probes, "shingle", bits, m, kHashes)
     candidates
       .join(benchShingles.hint("shuffle_hash"), Seq("shingle"), "left_semi")
       .select(col(idCol), col("_ts"))

@@ -59,11 +59,15 @@ object RuntimeFilters {
     * overhead: k md5 evaluations per probed key vs k one-instruction-loop
     * hashes. Keep the hash60 pair for operators whose oracle re-derives
     * membership (bloom_semi_join). */
+  /** No `.distinct()` on purpose: the probes are semi-joins, which
+    * tolerate duplicate build keys, and in a stream-static topology this
+    * subplan re-executes EVERY micro-batch — a distinct here is a shuffle
+    * aggregate paid k-probes × batches times (measured on the 600k Bloom
+    * gate twin). The broadcast carries ≤ k·|build| longs either way. */
   def bloomBitsFast(build: DataFrame, keyCol: String, m: Int,
       k: Int): DataFrame =
     build.select(explode(array((0 until k).map(i =>
         pmod(xxhash64(lit(i), col(keyCol)), lit(m.toLong))): _*)).as("pos"))
-      .distinct()
 
   def bloomProbeFast(probe: DataFrame, keyCol: String, bits: DataFrame,
       m: Int, k: Int): DataFrame =

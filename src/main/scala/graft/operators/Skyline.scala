@@ -287,6 +287,9 @@ object SkylineOps {
     val nChunks = spark.conf.getOption("graft.xfilter.chunks").map(_.toInt)
       .getOrElse(math.max(2, math.ceil(
         math.sqrt(spark.sparkContext.defaultParallelism * 2.0)).toInt))
+    // n = 1 degenerates soundly (one chunk = one full local reduction) but
+    // 0/negative would floorMod-crash mid-job — fail at plan time instead
+    require(nChunks >= 1, s"graft.xfilter.chunks must be >= 1, got $nChunks")
     val shippedAcc = spark.sparkContext.longAccumulator("xfilterShippedPts")
     val pairAcc = spark.sparkContext.longAccumulator("xfilterPairTasks")
     // re-chunk to balance: points hash-spread, each chunk re-reduced to an

@@ -51,29 +51,14 @@ object RuntimeFilters {
         "leftsemi")
     }
 
-  /** [[bloomBits]]/[[bloomProbe]] on codegen'd xxhash64 instead of the
-    * md5-derived hash60: for consumers whose CORRECTNESS does not depend on
-    * reproducing the bit positions in SQL (the decontamination gate faces —
-    * any agreed hash family gives no-false-negatives, and their verdicts
-    * are oracle-checked against the EXACT gate), the md5 probe is pure
-    * overhead: k md5 evaluations per probed key vs k one-instruction-loop
-    * hashes. Keep the hash60 pair for operators whose oracle re-derives
-    * membership (bloom_semi_join). */
-  /** No `.distinct()` on purpose: the probes are semi-joins, which
-    * tolerate duplicate build keys, and in a stream-static topology this
-    * subplan re-executes EVERY micro-batch — a distinct here is a shuffle
-    * aggregate paid k-probes × batches times (measured on the 600k Bloom
-    * gate twin). The broadcast carries ≤ k·|build| longs either way. */
-  def bloomBitsFast(build: DataFrame, keyCol: String, m: Int,
-      k: Int): DataFrame =
-    build.select(explode(array((0 until k).map(i =>
-        pmod(xxhash64(lit(i), col(keyCol)), lit(m.toLong))): _*)).as("pos"))
-
-  def bloomProbeFast(probe: DataFrame, keyCol: String, bits: DataFrame,
-      m: Int, k: Int): DataFrame =
-    (0 until k).foldLeft(probe) { (df, i) =>
-      df.join(broadcast(bits),
-        pmod(xxhash64(lit(i), col(keyCol)), lit(m.toLong)) === bits("pos"),
-        "leftsemi")
-    }
+  // The r11 `bloomBitsFast`/`bloomProbeFast` pair (the same formulation on
+  // codegen'd xxhash64, for consumers whose verdicts are oracle-checked
+  // against an exact twin rather than by re-deriving bit membership) was
+  // retired in r12: the decontamination gate faces — its only consumers —
+  // now screen with Spark's own BloomFilterAggregate/might_contain sketch
+  // (one codegen'd filter, no per-batch broadcast-hashmap builds; see
+  // TextAnalysis.bloomGateIndex). The hash60 pair above stays: its bit
+  // positions are reproducible in ANSI SQL, which is the whole point of
+  // the oracled `bloom_semi_join` operator, and its zero-driver-memory
+  // relational form remains the fallback when m outgrows driver memory.
 }

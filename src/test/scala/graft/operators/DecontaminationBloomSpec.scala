@@ -51,7 +51,7 @@ class DecontaminationBloomSpec extends AnyFunSuite {
     assert(exact == Set(1L, 6L, 11L, 16L)) // the planted contamination
   }
 
-  test("confirm join is a shuffle join; only Bloom bits broadcast") {
+  test("confirm join is a shuffle join; the screen is a sketch filter, not a join") {
     val d = corpus()
     val benchSh = d.where(col("doc_id") % 5 === 0)
       .select(explode(graft.functions.charShingles(col("text"), 16))
@@ -72,15 +72,29 @@ class DecontaminationBloomSpec extends AnyFunSuite {
       }
       assert(shuffledJoins.nonEmpty,
         "exact-confirm must be a shuffle join, not a broadcast")
-      // the kHashes bit probes are each a broadcast semi-join of <= m rows
+      // the screen is ONE codegen'd might_contain predicate over the
+      // O(m/8) sketch literal — no join and no per-probe broadcast build
+      // anywhere in the screen (r12; the r11 form was kHashes broadcast
+      // semi-joins rebuilt per micro-batch)
       val broadcastJoins = plan.collect {
-        case j if j.nodeName.contains("BroadcastHashJoin") => j
+        case j if j.nodeName.contains("BroadcastHashJoin") ||
+          j.nodeName.contains("BroadcastNestedLoop") => j
       }
-      assert(broadcastJoins.size == 3,
-        s"expected exactly kHashes=3 bit-probe broadcasts, " +
-          s"got ${broadcastJoins.size}")
+      assert(broadcastJoins.isEmpty,
+        s"screen must be a sketch filter, found joins: $broadcastJoins")
+      assert(plan.toString.contains("might_contain"),
+        "expected the might_contain sketch predicate in the plan")
       assert(plan.collect { case e: ShuffleExchangeExec => e }.nonEmpty)
     } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
+  test("empty eval set yields zero verdicts (null-sketch guard)") {
+    val d = corpus()
+    val emptyBench = d.where(col("doc_id") < 0)
+      .select(explode(graft.functions.charShingles(col("text"), 16))
+        .as("shingle"))
+    assert(TextAnalysis.decontaminationGateBloom(d, "doc_id", "text",
+      emptyBench, k = 16, m = 1 << 12, kHashes = 3).count() == 0L)
   }
 
   test("no false negatives straight from the Bloom screen (pre-confirm)") {

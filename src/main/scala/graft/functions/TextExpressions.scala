@@ -98,6 +98,104 @@ case class ClassifierSumExpr(child: Expression, weightsU6: Seq[Long])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** SORTED DISTINCT xxhash64 of every k-char shingle, one pass per document:
+  * the per-doc "shingle set" representation the exact-verification joins of
+  * [[graft.operators.Dedup.minhashEstimationAudit]] ship per candidate
+  * pair. Equivalent to
+  * `sort_array(array_distinct(transform(charShingles(s,k), xxhash64)))`
+  * but with none of that chain's costs: no ARRAY<STRING> materialization
+  * (each window is hashed and dropped), no higher-order-function
+  * interpreter re-entry, and the per-pair intersection downstream becomes
+  * a primitive merge over two sorted long arrays
+  * ([[SortedLongIntersectCountExpr]]) instead of `array_intersect`'s
+  * per-row hash set over strings. Distinct hashes == distinct shingles up
+  * to a 2⁻⁶⁴-per-within-doc-pair xxhash64 collision — the same accepted
+  * trade as [[WordSpanHashesExpr]] (README gate-face note); the string
+  * window semantics mirror [[CharShinglesExpr]] exactly (UTF-16 windows,
+  * whole string when shorter than k). Hash = Spark's `xxhash64` (seed 42)
+  * of the shingle string, bit-identical to `xxhash64(charShingles(...))`. */
+case class CharShingleHashesSortedExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"requires STRING input, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val raw =
+      if (s.length < k)
+        Array(org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(UTF8String.fromString(s), 42L))
+      else {
+        val n = s.length - k + 1
+        val out = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUTF8String(UTF8String.fromString(s.substring(i, i + k)), 42L)
+          i += 1
+        }
+        out
+      }
+    java.util.Arrays.sort(raw)
+    // in-place dedupe of the sorted run
+    var w = 0
+    var r = 0
+    while (r < raw.length) {
+      if (w == 0 || raw(r) != raw(w - 1)) { raw(w) = raw(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(raw, w))
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** |A ∩ B| of two SORTED distinct long arrays as one linear merge — the
+  * per-pair evaluator of the estimation audit's exact verification. Zero
+  * allocation and zero hashing per pair (vs `array_intersect`, which
+  * builds a hash set and an output array per row); with ~10³-element doc
+  * shingle sets and ~10⁵ audited pairs the merge is the difference
+  * between the verification being join-copy-bound and compute-bound.
+  * Inputs MUST be sorted ascending and duplicate-free
+  * ([[CharShingleHashesSortedExpr]] guarantees both); null if either
+  * side is null. */
+case class SortedLongIntersectCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.LongType, _),
+          ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"requires two ARRAY<BIGINT> inputs, got $other")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val va = a.getLong(i); val vb = b.getLong(j)
+      if (va < vb) i += 1
+      else if (va > vb) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Sliding-window span hashes over a word array in one codegen'd pass:
   * element p is `xxhash64(words[p], ..., words[p+k-1])` — bit-identical to
   * Spark's variadic xxhash64 (seed 42, each word's hash chained as the
@@ -173,6 +271,15 @@ case class WordSpanHashesExpr(child: Expression, k: Int)
 object TextExpressions {
   def charShinglesNative(c: Column, k: Int): Column =
     column(CharShinglesExpr(expression(c), k))
+
+  /** [[CharShingleHashesSortedExpr]]: the doc's sorted distinct shingle
+    * hashes. */
+  def sortedShingleHashes(c: Column, k: Int): Column =
+    column(CharShingleHashesSortedExpr(expression(c), k))
+
+  /** [[SortedLongIntersectCountExpr]]: |A ∩ B| of two sorted long arrays. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    column(SortedLongIntersectCountExpr(expression(a), expression(b)))
 
   /** [[WordSpanHashesExpr]]: xxhash64 of every k-word sliding window. */
   def wordSpanHashesNative(words: Column, k: Int): Column =

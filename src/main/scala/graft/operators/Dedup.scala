@@ -144,20 +144,28 @@ object Dedup {
       else candAll.where(pmod(graft.functions.hash60(
           concat(lit("estsamp#"), col("id_a").cast("string"), lit("_"),
             col("id_b").cast("string"))), lit(samplePairsMod.toLong)) === 0)
-    // Exact verification via per-doc shingle ARRAYS, not an exploded
-    // shingle table: each pair pulls the two docs' distinct-shingle arrays
-    // through plain id-keyed joins and intersects them in one per-row
-    // hash-set pass (array_intersect). The earlier exploded form joined
+    // Exact verification via per-doc shingle arrays, not an exploded
+    // shingle table: each pair pulls the two docs' shingle-set arrays
+    // through plain id-keyed joins. The earlier exploded form joined
     // the FULL (id, shingle) table twice — ~112M rows shuffled per join at
-    // 600k docs regardless of how few pairs were audited (measured 218 s;
-    // this shape: 25.5/16.2 s fresh/warm, same corpus, same pairs — quiet
-    // isolated sf0.1). Cost is now bounded by
-    // audited pairs × shingles-per-doc, which is what makes the
-    // samplePairsMod lever actually pay.
+    // 600k docs regardless of how few pairs were audited (measured 218 s).
+    // Cost is bounded by audited pairs × shingles-per-doc, which is what
+    // makes the samplePairsMod lever actually pay.
+    //
+    // The arrays are SORTED DISTINCT xxhash64 LONGS (one native pass per
+    // doc), and the per-pair intersection is a linear merge-count — vs the
+    // r11 string arrays + array_intersect, whose per-pair string hash set
+    // and 2.6x-wider join copies dominated the evaluated audit (measured
+    // 7.4-8.7 -> 2.6-3.0 s on the sf0.1 catalog entry, EstProbe). Distinct
+    // hashes == distinct shingles up to a ~2^-64 within-doc collision —
+    // the exactSubstr/gate-face accepted trade (README note); the string
+    // oracle is unchanged.
+    // normText FIRST — graft.functions.charShingles (the string form this
+    // replaces, and the oracle's shingle CTE) shingles the NORMALIZED text
     val docArr = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("_did"),
-        array_distinct(graft.functions.charShingles(col(textCol), k))
-          .as("_shs"))
+        graft.functions.TextExpressions.sortedShingleHashes(
+          graft.functions.normText(col(textCol)), k).as("_shs"))
     val joined = cand
       .join(docArr.select(col("_did").as("id_a"), col("_shs").as("_sa")),
         Seq("id_a"))
@@ -165,8 +173,8 @@ object Dedup {
         Seq("id_b"))
     joined
       .select(col("id_a"), col("id_b"), col("agree_n"),
-        size(array_intersect(col("_sa"), col("_sb"))).cast("long")
-          .as("common"),
+        graft.functions.TextExpressions.sortedIntersectCount(
+          col("_sa"), col("_sb")).as("common"),
         (size(col("_sa")) + size(col("_sb"))).cast("long").as("_szsum"))
       .select(col("id_a"), col("id_b"), col("agree_n"), col("common"),
         (col("_szsum") - col("common")).as("union_sz"))

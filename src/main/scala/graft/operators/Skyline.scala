@@ -60,8 +60,21 @@ object SkylineOps {
   def skylineViaStrategy(ds: Dataset[Point], strategy: String, domain: Double,
                          numPartitions: Int): Dataset[Point] = {
     implicit val pe: Encoder[Point] = ExpressionEncoder[Point]()
+    val spark = ds.sparkSession
+    // REBALANCE between the phases: localSkylines emits one fat row per
+    // strategy partition (numPartitions ≈ 8 of them), so the merge's
+    // per-partition pre-reduce would otherwise run one serial BNL per fat
+    // antichain — on 1M 3-D anti that is a 30k-point antichain through a
+    // single-threaded O(n·s) pass, measured 2.6 s of the entry's 4.1 s
+    // wall (Sky3dProbe; the kd filter does the same dominance work in
+    // 0.06 s across 32 tasks). A round-robin spread of the (tiny,
+    // already-reduced) union costs one ~30k-row shuffle and turns the
+    // pre-reduce into defaultParallelism balanced slivers; antichain
+    // slivers stay antichains, so the union the kd filter sees is
+    // unchanged minus cross-partition kills.
     skylineBroadcastFilter(
-      localSkylines(ds, strategy, domain, numPartitions).flatMap(_._2))
+      localSkylines(ds, strategy, domain, numPartitions).flatMap(_._2)
+        .repartition(spark.sparkContext.defaultParallelism))
   }
 
   /** Per-strategy local skylines: (partitionId, points tagged with
@@ -244,8 +257,15 @@ object SkylineOps {
       // the union is already on the driver, so the candidate side is re-seeded
       // from it rather than re-reading localRdd — nothing stays cached past
       // this call (a leak here pins block-manager memory for the session,
-      // since query catalogs call this dozens of times)
-      val slices = math.max(1, math.min(union.length / 4096 + 1,
+      // since query catalogs call this dozens of times).
+      // 512 points per slice, not 4096: the per-point kd dominance check is
+      // CPU-heavy exactly when the union is a wide antichain (a surviving
+      // point must prove NOTHING dominates it, so the traversal can't
+      // prune), and the old divisor capped a 30k-point 3-D anti merge at 8
+      // tasks on 32 cores — measured 2.5-2.9 s of the sky_1m_3d_anti
+      // entry's 3.9-4.4 s wall (Sky3dProbe). Tiny unions still collapse to
+      // a handful of tasks.
+      val slices = math.max(1, math.min(union.length / 512 + 1,
         spark.sparkContext.defaultParallelism))
       val survivors = spark.sparkContext.parallelize(union.toIndexedSeq, slices)
         .mapPartitions { it =>

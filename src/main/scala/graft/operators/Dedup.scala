@@ -400,11 +400,22 @@ object Dedup {
   /** Distinct (id, shingle) rows — the set representation both jaccard
     * joins build on. Distinct via shuffle (hash-based), not array_distinct
     * (quadratic scan per row). */
+  /** One distinct (id, shingle-hash) row per document shingle. The r11
+    * form exploded the shingle STRINGS and dropDuplicates'd — but that
+    * dedup is purely WITHIN-doc (ids differ across docs), which the
+    * native sorted-distinct-hash expression already does per row, so the
+    * whole distinct shuffle disappears and this is a narrow projection.
+    * Downstream joins/groupBys key on xxhash64 longs instead of k-char
+    * strings (cheaper shuffle rows, primitive comparisons); hash-equal ==
+    * string-equal up to the repo's accepted ~2⁻⁶⁴ collision trade (README
+    * gate-face note), and both jaccard operators' oracles compare the
+    * INTEGER common/union counts, which the trade leaves bit-identical
+    * with overwhelming probability. */
   private def distinctShingles(df: DataFrame, idCol: String, textCol: String,
                                k: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        explode(charShingles(col(textCol), k)).as("shingle"))
-      .dropDuplicates("id", "shingle")
+      explode(graft.functions.TextExpressions.sortedShingleHashes(
+        graft.functions.normText(col(textCol)), k)).as("shingle"))
 
   /** Shared verification tail: exact jaccard from per-pair intersection
     * counts + per-doc set sizes, thresholded. BOTH jaccard joins end here —

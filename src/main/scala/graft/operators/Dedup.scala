@@ -73,33 +73,54 @@ object Dedup {
   /** MinHash LSH candidate pairs: signatures banded `bands` ways; docs sharing
     * any full band land in one bucket; pairs enumerated per bucket only.
     * Returns (id_a, id_b) with id_a < id_b, plus the estimated similarity =
-    * fraction of matching minhash components. */
+    * fraction of matching minhash components.
+    *
+    * Shape: the full signature rides THROUGH the banded explode, so the
+    * per-pair agreement count is computed inline in the bucket join and the
+    * pair distinct dedups (id_a, id_b, agree) rows directly — `agree` is a
+    * pure function of the pair, so the distinct key space is unchanged. The
+    * r11 form projected the pairs bare and joined the distinct pairs back
+    * to the corpus-sized signature frame TWICE to recover the h-columns;
+    * at 600k docs those two extra shuffle joins (plus their 600k-row hash
+    * builds) were the dominant term of the whole candidates plan (~40% of
+    * dedup_minhash_600k, Est600kProbe). One banded row is ~numHashes longs
+    * wider now, but the plan is explode → ONE self-join → distinct: fewer
+    * exchanges at any scale, and nothing corpus-sized is ever hash-built.
+    * The bucket key is struct(band, [band's h-longs]) — bit-identical
+    * equivalence classes to the "_"-joined string key (the string form is
+    * injective in the row hashes), without per-row string allocation; the
+    * string format remains the streaming/oracle contract in
+    * [[bandKeyCols]], which streaming state keys still use. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
     // one row per doc × numHashes longs — tiny relative to the corpus;
     // eagerly materialized so the shingle+minhash pass runs once, not once
-    // per consumer (banded keys + both sides of the signature join), with
-    // the lineage truncated; freed by the ContextCleaner when the returned
-    // frame is dropped
+    // per self-join side, with the lineage truncated; freed by the
+    // ContextCleaner when the returned frame is dropped
     val sig = minhashSignatures(df, idCol, textCol, k, numHashes)
       .localCheckpoint(true)
-    val banded = sig.select(col(idCol),
-        explode(array(bandKeyCols(numHashes, bands): _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val bk = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        array((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+          .as("bkey"))
+    }
+    val banded = sig.select(
+      col(idCol) +: (0 until numHashes).map(i => col(s"h$i")) :+
+        explode(array(bk: _*)).as("bk"): _*)
     val a = banded.as("a"); val b = banded.as("b")
-    val pairs = a.join(b,
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
-    val sigA = sig.toDF(sig.columns.toIndexedSeq.map(c => if (c == idCol) "id_a" else s"a_$c"): _*)
-    val sigB = sig.toDF(sig.columns.toIndexedSeq.map(c => if (c == idCol) "id_b" else s"b_$c"): _*)
     val matches = (0 until numHashes)
-      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+      .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
       .reduce(_ + _)
-    pairs.join(sigA, "id_a").join(sigB, "id_b")
+    a.join(b, col("a.bk") === col("b.bk") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        matches.as("_agree"))
+      .distinct()
       .select(col("id_a"), col("id_b"),
-        (matches.cast("double") / numHashes).as("est_jaccard"))
+        (col("_agree").cast("double") / numHashes).as("est_jaccard"))
   }
 
   /** Estimation-quality AUDIT of the MinHash LSH estimator: for every

@@ -187,9 +187,20 @@ object Dedup {
       .select(col(idCol).as("_did"),
         graft.functions.TextExpressions.sortedShingleHashes(
           graft.functions.normText(col(textCol)), k).as("_shs"))
-    val joined = cand
+    // shuffle_hash WITH THE PAIRS AS BUILD SIDE, explicitly: Catalyst's
+    // size estimate for docArr is childBytes scaled by the OUTPUT row
+    // width, and a computed ArrayType column is costed at defaultSize —
+    // so the ~1.6 KB/row hash-array frame is estimated narrow enough to
+    // AUTO-BROADCAST, and the driver pays a corpus-sized (~1 GB at 600k)
+    // broadcast build per verification join (measured: the whole audit
+    // tail, AuditPlanProbe). The pairs side is the bounded one (the
+    // samplePairsMod contract), so it builds; the array frame only ever
+    // streams through a shuffle — the decontamination gate's exact-confirm
+    // discipline applied here.
+    val joined = cand.hint("shuffle_hash")
       .join(docArr.select(col("_did").as("id_a"), col("_shs").as("_sa")),
         Seq("id_a"))
+      .hint("shuffle_hash")
       .join(docArr.select(col("_did").as("id_b"), col("_shs").as("_sb")),
         Seq("id_b"))
     joined

@@ -311,6 +311,44 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("minhashEstimationAudit: the hash-array frame streams — shuffled-hash verify joins, pairs build") {
+    import spark.implicits._
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // NOTE: autoBroadcastJoinThreshold stays at its DEFAULT here on
+    // purpose — the trap this guards is Catalyst auto-broadcasting the
+    // computed ArrayType frame (a Project's size estimate scales by
+    // output width, and arrays are costed at defaultSize, so the
+    // ~1.6 KB/row hash-array frame reads as near-zero). The shuffle_hash
+    // hint must win over that estimate, not over a disabled planner.
+    try {
+      val docs = Seq((0L, "aa bb cc dd ee"), (1L, "aa bb cc dd ff"),
+        (2L, "zz yy xx ww vv")).toDF("doc_id", "text")
+      val audit = Dedup.minhashEstimationAudit(docs, "doc_id", "text",
+        k = 5, numHashes = 8, bands = 4)
+      val plan = audit.queryExecution.executedPlan
+      val verifyJoins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+          if j.leftKeys.flatMap(_.references.toSeq.map(_.name))
+            .exists(n => n == "id_a" || n == "id_b") => j
+      }
+      assert(verifyJoins.size == 2,
+        s"expected 2 shuffled-hash verification joins, plan:\n$plan")
+      // the bounded pairs side (left) builds; the array frame only streams
+      assert(verifyJoins.forall(_.buildSide ==
+        org.apache.spark.sql.catalyst.optimizer.BuildLeft), plan.toString)
+      // and no broadcast build ever carries the array column
+      val bcastJoins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.leftKeys.flatMap(_.references.toSeq.map(_.name))
+            .exists(n => n == "id_a" || n == "id_b") => j
+      }
+      assert(bcastJoins.isEmpty, plan.toString)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+    }
+  }
+
   test("removeBoilerplate: shuffles only on seg (df count + anti-join) and id") {
     import spark.implicits._
     val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")

@@ -311,6 +311,39 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("minhashCandidates: explode -> ONE self-join -> distinct; no signature re-join") {
+    import spark.implicits._
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val priorBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // force the shuffled path so every exchange key is examined
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Seq((0L, "aa bb cc dd ee"), (1L, "aa bb cc dd ff"),
+        (2L, "zz yy xx ww vv")).toDF("doc_id", "text")
+      val plan = Dedup.minhashCandidates(docs, "doc_id", "text",
+          k = 3, numHashes = 8, bands = 4)
+        .queryExecution.executedPlan
+      // exactly one join: the bucket self-join — the r11 shape carried two
+      // MORE joins (pairs back onto the corpus-sized signature frame)
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+      assert(joins.size == 1, s"expected 1 join, got ${joins.size}:\n$plan")
+      // and every exchange hashes on the bucket key or the pair-distinct
+      // key — a third key set means a signature re-join crept back in
+      val keySets = plan.collect { case e: ShuffleExchangeExec =>
+        e.outputPartitioning }.collect {
+        case h: HashPartitioning =>
+          h.expressions.map(_.references.map(_.name).mkString).toSet }
+      assert(keySets.nonEmpty && keySets.forall(ks =>
+        ks == Set("bk") || ks == Set("id_a", "id_b", "_agree")),
+        s"unexpected exchange keys: $keySets")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBcast)
+    }
+  }
+
   test("minhashEstimationAudit: the hash-array frame streams — shuffled-hash verify joins, pairs build") {
     import spark.implicits._
     val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")

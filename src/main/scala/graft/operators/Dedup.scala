@@ -600,7 +600,17 @@ object Dedup {
         Seq("blk", "bits"), "left_semi")
     val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
       .cast("long")
-    banded.as("a").join(banded.as("b"),
+    // shuffle_hash, explicitly: the banded frame is CORPUS-SIZED (one row
+    // per doc per block), but for computed/Range-derived inputs Catalyst's
+    // width-scaled estimate stays under the broadcast threshold and the
+    // planner ships the whole frame through the driver — and, with the
+    // join sides then asymmetric, derives the corpus subplan TWICE (no
+    // exchange reuse; measured on the 600k shape, SimhashPlanProbe). Under
+    // the hint both sides shuffle on (blk, bits) and the identical
+    // subplans collapse into one ReusedExchange: the corpus + simhash pass
+    // runs once, and nothing corpus-sized is ever broadcast — the
+    // operator's own 100 TB claim, now true in the plan.
+    banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col("a.blk") === col("b.blk") && col("a.bits") === col("b.bits") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

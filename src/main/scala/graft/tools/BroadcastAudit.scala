@@ -12,6 +12,11 @@ object BroadcastAudit {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // AQE OFF: AdaptiveSparkPlanExec is a LEAF node, so .collect over an
+      // AQE-wrapped executedPlan traverses NOTHING — the audit would pass
+      // vacuously. This is a STATIC-plan audit (what the planner commits
+      // to before runtime stats); AQE can only narrow from there.
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -30,12 +35,71 @@ object BroadcastAudit {
           }
           if (hits.nonEmpty)
             println(s"ARRAY-BROADCAST $name -> ${hits.mkString(" | ")}")
+          // corpus-shaped broadcast: the build side's subtree scans a
+          // big fixture table or a >100k Range — a corpus-sized frame
+          // shipped through the driver no matter what the width-scaled
+          // estimate claimed (the simhash banded self-join trap)
+          val big = plan.collect {
+            case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+              if e.child.collect {
+                case r: org.apache.spark.sql.execution.RangeExec
+                  if r.numElements.toLong > 100000L => r
+                case s: org.apache.spark.sql.execution.FileSourceScanExec
+                  if Seq("documents", "lineitem", "events", "embeddings",
+                    "orders").exists(t => s.tableIdentifier.exists(
+                      _.table == t) ||
+                      s.relation.location.rootPaths.exists(
+                        _.toString.contains(t))) => s
+              }.nonEmpty =>
+              e.child.output.map(_.name).mkString(",")
+          }
+          if (big.nonEmpty)
+            println(s"CORPUS-BROADCAST $name -> ${big.mkString(" | ")}")
         } catch {
           case e: Throwable =>
             println(s"SKIP $name: ${e.getClass.getSimpleName}")
         }
       }
     }
+    // the 600k bench shapes — the scale where the estimate traps actually
+    // fired (Range-derived sources estimate tiny at any width). A
+    // CORPUS-BROADCAST line here needs human adjudication: an AGGREGATED
+    // frame over the corpus (e.g. the vocab²-bounded perplexity model) is
+    // bounded by its key space and broadcasts on purpose.
+    val corpus600k = graft.sources.Generators.syntheticCorpus(spark, 600000L)
+    def audit600k(name: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+      try {
+        val plan = df.queryExecution.executedPlan
+        val big = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+            if e.child.collect {
+              case r: org.apache.spark.sql.execution.RangeExec
+                if r.numElements.toLong > 100000L => r
+            }.nonEmpty =>
+            e.child.output.map(_.name).mkString(",")
+        }
+        if (big.nonEmpty)
+          println(s"CORPUS-BROADCAST $name -> ${big.mkString(" | ")}")
+      } catch {
+        case e: Throwable => println(s"SKIP $name: ${e.getClass.getSimpleName}")
+      }
+    audit600k("simhash_600k") {
+      graft.operators.Dedup.simhashHammingPairs(corpus600k, "doc_id", "text") }
+    audit600k("minhash_cand_600k") {
+      graft.operators.Dedup.minhashCandidates(corpus600k, "doc_id", "text") }
+    audit600k("minhash_est_600k") {
+      graft.operators.Dedup.minhashEstimationAudit(corpus600k, "doc_id",
+        "text", samplePairsMod = 4) }
+    audit600k("substring_600k") {
+      graft.operators.Dedup.exactSubstrStats(corpus600k, "doc_id", "text",
+        clean = true) }
+    audit600k("perplexity_600k") {
+      import org.apache.spark.sql.functions.col
+      val (c12, c1, vocab) = graft.TextQueries.bigramLm(
+        corpus600k.where(col("doc_id") % 2 === 0))
+      graft.TextQueries.scorePerplexity(
+        graft.TextQueries.bigramRows(corpus600k.where(col("doc_id") % 2 === 1)),
+        c12, c1, vocab.head().getLong(0)) }
     println("broadcast-audit done")
     spark.stop()
   }

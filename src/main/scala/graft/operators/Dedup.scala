@@ -409,15 +409,18 @@ object Dedup {
     val idx = corpusIndex.select(col("band"), col("bkey")).distinct()
       .withColumn("in_corpus", lit(1))
     val owners = fb.groupBy("band", "bkey").agg(min("doc_id").as("owner"))
-    // shuffle_hash, explicitly: the index is CORPUS-shaped (every band
-    // bucket the corpus ever produced) while the fresh batch is the small
-    // side — but a computed/width-mis-costed index estimate can win the
-    // auto-broadcast bid and ship the whole index through the driver
-    // (BroadcastAudit caught exactly that under default config; the plan
-    // spec's shuffles-only claim previously held only with broadcasts
-    // force-disabled). Under the hint the membership probe exchanges both
-    // sides on (band, bkey) — the documented 100 TB shape.
-    fb.hint("shuffle_hash").join(idx, Seq("band", "bkey"), "left")
+    // shuffle_hash ON THE INDEX SIDE, explicitly: the index is
+    // CORPUS-shaped (every band bucket the corpus ever produced), but a
+    // width-mis-costed estimate can win the auto-broadcast bid and ship
+    // the whole index through the driver (BroadcastAudit caught exactly
+    // that under default config; the plan spec's shuffles-only claim
+    // previously held only with broadcasts force-disabled). The hint must
+    // sit on the RIGHT side: a LEFT OUTER shuffled-hash join can only
+    // build its non-preserved side, so a left-side hint is silently
+    // unusable and the planner falls back to the broadcast. Built this
+    // way the probe exchanges both sides on (band, bkey) and each task
+    // hashes only its 1/N index slice — the documented 100 TB shape.
+    fb.join(idx.hint("shuffle_hash"), Seq("band", "bkey"), "left")
       .join(owners, Seq("band", "bkey"))
       .groupBy("doc_id")
       .agg(((max(coalesce(col("in_corpus"), lit(0))) === 0) &&

@@ -311,6 +311,46 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash + incremental probes never broadcast corpus-shaped frames under DEFAULT config") {
+    import spark.implicits._
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // broadcast threshold left at DEFAULT on purpose: the trap under guard
+    // is the planner auto-broadcasting a corpus-sized computed frame off a
+    // width-mis-costed estimate (Range/generator sources never cross the
+    // threshold at ANY size) — forcing the threshold off, as the sibling
+    // shuffles-only tests do, would hide exactly the defect this pins.
+    try {
+      val docs = Seq((0L, "alpha beta gamma"), (1L, "alpha beta delta"),
+        (2L, "epsilon zeta eta")).toDF("doc_id", "text")
+      val simPlan = Dedup.simhashHammingPairs(docs, "doc_id", "text", 3)
+        .queryExecution.executedPlan
+      val simShj = simPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+          if j.leftKeys.flatMap(_.references.toSeq.map(_.name))
+            .contains("blk") => j }
+      assert(simShj.size == 1, s"banded self-join must shuffle:\n$simPlan")
+
+      val idx = Dedup.minhashBandKeys(docs, "doc_id", "text",
+        k = 5, numHashes = 8, bands = 4)
+      val incPlan = Dedup.incrementalMinhashVerdict(idx,
+          Seq((7L, "alpha beta gamma")).toDF("doc_id", "text"),
+          "doc_id", "text", k = 5, numHashes = 8, bands = 4)
+        .queryExecution.executedPlan
+      // only the CORPUS-shaped index side is under guard — the owners
+      // join builds on the fresh micro-batch, bounded by contract, and
+      // may broadcast freely
+      val incBcast = incPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if (j.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+            case _ => j.right
+          }).output.exists(_.name == "in_corpus") => j }
+      assert(incBcast.isEmpty,
+        s"index membership probe must not broadcast:\n$incPlan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+  }
+
   test("minhashCandidates: explode -> ONE self-join -> distinct; no signature re-join") {
     import spark.implicits._
     val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")

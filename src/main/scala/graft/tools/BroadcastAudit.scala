@@ -7,7 +7,19 @@ import org.apache.spark.sql.SparkSession
   * computed-array size-estimate trap (a Project's size estimate scales by
   * output row width, and arrays are costed at defaultSize, so wide array
   * frames read as near-zero and auto-broadcast; see the
-  * minhashEstimationAudit fix). Run at sf0.1 to match bench conditions. */
+  * minhashEstimationAudit fix). Run at sf0.1 to match bench conditions.
+  *
+  * Adjudication rule (r12, de-vacuumed audit): a flagged broadcast is a
+  * REAL defect only when the build-side subtree has NO exchange beneath
+  * it — a pure projection over a Range/generator, localCheckpoint, or
+  * scan, where the static width-mis-costed estimate is final (the
+  * est-audit docArr, the simhash banded frame, the incremental index).
+  * A frame sitting ABOVE a shuffle (an aggregate like exactSubstr's dps,
+  * a joined frame) is re-sized by AQE from the REAL shuffle bytes at
+  * runtime, so its broadcast decision is honest and data-dependent —
+  * forcing shuffle_hash there pessimizes the common case. Bounded-by-
+  * construction sides (ann query frames, decontamination eval sets,
+  * vocab²-capped models) broadcast on purpose. */
 object BroadcastAudit {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

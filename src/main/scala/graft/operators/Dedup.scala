@@ -797,7 +797,16 @@ object Dedup {
     // candidate pairs: a in its own bucket × b in any probe of that bucket
     val own = v.select(col("id").as("id_a"), col("vec").as("va"),
       col("nrm").as("na"), col("bucket"))
-    val pairs = own.join(probes.select(col("id").as("id_b"), col("vec").as("vb"),
+    // shuffle_hash with the UN-exploded side building: both sides are
+    // corpus-sized projections with no exchange beneath them, so their
+    // static width-mis-costed estimates (arrays at defaultSize) are final
+    // — under default config the planner auto-broadcast the 9x-exploded
+    // probes side through the driver (BroadcastAudit). Exchanged on the
+    // bucket key, each task builds only its 1/N slice of the 1x own side
+    // and the probe explosion streams — the operator's documented
+    // per-bucket shape at any scale.
+    val pairs = own.hint("shuffle_hash")
+      .join(probes.select(col("id").as("id_b"), col("vec").as("vb"),
         col("nrm").as("nb"), col("bucket")), Seq("bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

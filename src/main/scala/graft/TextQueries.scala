@@ -238,7 +238,12 @@ object TextQueries {
     // joins → partial agg → one doc_id exchange (measured 5.15 → 4.09 s
     // isolated at 600k). Past the gate (unbounded web vocab) the model is
     // corpus-shaped and the original shuffle join is the only safe plan.
-    val model = if (v * v <= 2000000L) broadcast(c12) else c12
+    // overflow-safe form of v*v <= 2e6 (ADVICE r12): v*v wraps past
+    // ~3.04e9 vocab terms — exactly the unbounded-web-vocab regime the
+    // gate exists to keep OFF the driver — and a wrapped product could
+    // read small/negative and broadcast a corpus-scale model. 1414 is
+    // floor(sqrt(2e6)); the comparison can't overflow.
+    val model = if (v <= 1414L) broadcast(c12) else c12
     bg.join(model, Seq("w1", "w2"), "left")
       .join(broadcast(c1), Seq("w1"), "left")
       .select(col("doc_id"),

@@ -32,6 +32,32 @@ class BenchCatalogSpec extends AnyFunSuite {
       s"frozen scale workloads no longer in the sweep: ${orphans.mkString(", ")}")
   }
 
+  test("frozen stream set is the seven streaming scale entries (r13)") {
+    // stream_total_sec is cross-round comparable from r13 on; the set must
+    // never grow with the catalog (judge r12 item 5)
+    assert(Bench.frozenStream.size == 7)
+    assert(Bench.frozenStream.forall(_.startsWith("stream_")))
+    val orphans =
+      Bench.frozenStream -- (Bench.headline.toSet ++ Bench.refWorkloads)
+    assert(orphans.isEmpty,
+      s"frozen stream workloads no longer in the sweep: ${orphans.mkString(", ")}")
+  }
+
+  test("every frozen scale/stream workload carries quiet-ref evidence") {
+    // the __quiet_ref self-adjudication (judge r12 item 3) only works if
+    // the map covers the whole frozen family — a new frozen entry without
+    // committed quiet evidence would silently lack its headline cause label
+    val uncovered =
+      (Bench.frozenScale ++ Bench.frozenStream) -- Bench.quietRef.keySet
+    assert(uncovered.isEmpty,
+      s"frozen workloads without a quietRef entry: ${uncovered.mkString(", ")}")
+    val unknown =
+      Bench.quietRef.keySet -- (Bench.headline.toSet ++ Bench.refWorkloads)
+    assert(unknown.isEmpty,
+      s"quietRef names not in the sweep: ${unknown.mkString(", ")}")
+    assert(Bench.quietRef.values.forall(_ > 0.0))
+  }
+
   test("every frozen catalog workload has a SparkEntry.queries entry") {
     // ref workloads are coded inline in Bench.main; catalog members must
     // resolve through SparkEntry or runCatalog skips them silently

@@ -147,19 +147,19 @@ object Bench {
     * per-entry steal brackets can't see) reads as host noise from the
     * artifact alone instead of from PLANS.md prose. Min over: r12 close
     * of record (cd6eaff), r12 driver sweep, the isolated quiet pairs
-    * recorded in PLANS.md (sky_20m_6d 7.95, hybrid_rrf 4.02), and the r13
-    * re-recorded sweep (new bests on the 2-D/3-D skylines, substring,
-    * perplexity). */
+    * recorded in PLANS.md (sky_20m_6d 7.95, hybrid_rrf 4.02), and the two
+    * r13 sweeps (new bests on the 2-D/3-D skylines, minhash/simhash/
+    * substring kernels, perplexity). */
   private[graft] val quietRef: Map[String, Double] = Map(
     "sky_1m_2d_anti" -> 0.58, "sky_1m_2d_sort" -> 1.14,
     "sky_1m_3d_anti" -> 1.54, "sky_10m_2d_sort" -> 1.76,
     "sky_10m_3d_bcast" -> 3.99, "sky_500k_4d_bcast" -> 0.30,
-    "sky_1m_4d_bcast" -> 0.54, "sky_500k_4d_xfilter" -> 0.53,
+    "sky_1m_4d_bcast" -> 0.51, "sky_500k_4d_xfilter" -> 0.51,
     "sky_1m_3d_gridpar" -> 0.98, "sky_1m_3d_tree_uni" -> 0.24,
     "sky_10m_5d_xfilter_nat" -> 3.92, "sky_20m_6d_xfilter_nat" -> 7.95,
-    "dedup_minhash_600k_sig" -> 1.70, "dedup_minhash_600k" -> 4.88,
-    "dedup_simhash_600k" -> 2.20, "text_perplexity_600k" -> 3.32,
-    "dedup_substring_600k" -> 4.26, "hybrid_rrf_600k" -> 4.02,
+    "dedup_minhash_600k_sig" -> 1.70, "dedup_minhash_600k" -> 3.88,
+    "dedup_simhash_600k" -> 1.97, "text_perplexity_600k" -> 3.32,
+    "dedup_substring_600k" -> 2.93, "hybrid_rrf_600k" -> 4.02,
     "cdc_apply_5m" -> 1.13, "multimodal_600k" -> 0.24,
     "text_classifier_600k" -> 0.89, "dedup_minhash_est_600k" -> 7.32,
     "stream_dedup_600k" -> 9.97, "stream_dedup_600k_ttl" -> 17.07,

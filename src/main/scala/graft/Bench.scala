@@ -156,7 +156,7 @@ object Bench {
     "sky_10m_3d_bcast" -> 3.99, "sky_500k_4d_bcast" -> 0.30,
     "sky_1m_4d_bcast" -> 0.51, "sky_500k_4d_xfilter" -> 0.51,
     "sky_1m_3d_gridpar" -> 0.98, "sky_1m_3d_tree_uni" -> 0.24,
-    "sky_10m_5d_xfilter_nat" -> 3.92, "sky_20m_6d_xfilter_nat" -> 7.95,
+    "sky_10m_5d_xfilter_nat" -> 3.36, "sky_20m_6d_xfilter_nat" -> 7.95,
     "dedup_minhash_600k_sig" -> 1.70, "dedup_minhash_600k" -> 3.88,
     "dedup_simhash_600k" -> 1.97, "text_perplexity_600k" -> 3.32,
     "dedup_substring_600k" -> 2.93, "hybrid_rrf_600k" -> 4.02,
@@ -165,7 +165,7 @@ object Bench {
     "stream_dedup_600k" -> 9.97, "stream_dedup_600k_ttl" -> 17.07,
     "stream_decontaminate_600k_ttl" -> 14.54,
     "stream_decontaminate_winnow_600k_ttl" -> 15.08,
-    "stream_decontaminate_bloom_600k_ttl" -> 22.12,
+    "stream_decontaminate_bloom_600k_ttl" -> 20.49,
     "stream_decontaminate_long_ttl" -> 10.8,
     "stream_decontaminate_winnow_long_ttl" -> 9.93)
 

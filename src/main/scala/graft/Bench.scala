@@ -151,9 +151,9 @@ object Bench {
     * r13 sweeps (new bests on the 2-D/3-D skylines, minhash/simhash/
     * substring kernels, perplexity). */
   private[graft] val quietRef: Map[String, Double] = Map(
-    "sky_1m_2d_anti" -> 0.58, "sky_1m_2d_sort" -> 1.14,
+    "sky_1m_2d_anti" -> 0.58, "sky_1m_2d_sort" -> 1.08,
     "sky_1m_3d_anti" -> 1.54, "sky_10m_2d_sort" -> 1.76,
-    "sky_10m_3d_bcast" -> 3.99, "sky_500k_4d_bcast" -> 0.30,
+    "sky_10m_3d_bcast" -> 3.99, "sky_500k_4d_bcast" -> 0.29,
     "sky_1m_4d_bcast" -> 0.51, "sky_500k_4d_xfilter" -> 0.51,
     "sky_1m_3d_gridpar" -> 0.98, "sky_1m_3d_tree_uni" -> 0.24,
     "sky_10m_5d_xfilter_nat" -> 3.36, "sky_20m_6d_xfilter_nat" -> 7.95,

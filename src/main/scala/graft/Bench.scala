@@ -145,23 +145,26 @@ object Bench {
     * machine-readable `<name>__headline_cause` label — so a
     * bandwidth-contention wave that inflates a whole entry (which
     * per-entry steal brackets can't see) reads as host noise from the
-    * artifact alone instead of from PLANS.md prose. Min over: r12 close
-    * of record (cd6eaff), r12 driver sweep, the isolated quiet pairs
-    * recorded in PLANS.md (sky_20m_6d 7.95, hybrid_rrf 4.02), and the two
-    * r13 sweeps (new bests on the 2-D/3-D skylines, minhash/simhash/
-    * substring kernels, perplexity). */
+    * artifact alone instead of from PLANS.md prose.
+    *
+    * SELF-CHECKING from round 14 (judge r13 item 3): every value here must
+    * match the committed evidence ledger BENCH_SNAPSHOTS.jsonl —
+    * `QuietRefSpec` fails the build if a ref has no ledger evidence, lags a
+    * committed best by > 5%, or undercuts all committed evidence by 2x
+    * (the transcription guard). Refreshing a ref means appending the sweep
+    * or isolated-pair record to the ledger in the same commit. */
   private[graft] val quietRef: Map[String, Double] = Map(
     "sky_1m_2d_anti" -> 0.58, "sky_1m_2d_sort" -> 1.08,
     "sky_1m_3d_anti" -> 1.54, "sky_10m_2d_sort" -> 1.76,
     "sky_10m_3d_bcast" -> 3.99, "sky_500k_4d_bcast" -> 0.29,
     "sky_1m_4d_bcast" -> 0.51, "sky_500k_4d_xfilter" -> 0.51,
     "sky_1m_3d_gridpar" -> 0.98, "sky_1m_3d_tree_uni" -> 0.24,
-    "sky_10m_5d_xfilter_nat" -> 3.36, "sky_20m_6d_xfilter_nat" -> 7.95,
+    "sky_10m_5d_xfilter_nat" -> 3.15, "sky_20m_6d_xfilter_nat" -> 7.95,
     "dedup_minhash_600k_sig" -> 1.70, "dedup_minhash_600k" -> 3.88,
     "dedup_simhash_600k" -> 1.97, "text_perplexity_600k" -> 3.32,
-    "dedup_substring_600k" -> 2.93, "hybrid_rrf_600k" -> 4.02,
+    "dedup_substring_600k" -> 2.93, "hybrid_rrf_600k" -> 2.69,
     "cdc_apply_5m" -> 1.13, "multimodal_600k" -> 0.24,
-    "text_classifier_600k" -> 0.89, "dedup_minhash_est_600k" -> 7.32,
+    "text_classifier_600k" -> 0.78, "dedup_minhash_est_600k" -> 7.32,
     "stream_dedup_600k" -> 9.97, "stream_dedup_600k_ttl" -> 17.07,
     "stream_decontaminate_600k_ttl" -> 14.54,
     "stream_decontaminate_winnow_600k_ttl" -> 15.08,
@@ -477,20 +480,33 @@ object Bench {
       import scala.jdk.CollectionConverters._
       var tries = 0
       var done = false
+      // record-and-leak rather than retry forever; a throw here would abort
+      // the rest of the sweep (drainCleanup runs inside timeQuiet's attempt)
+      def recordOrWait(e: Throwable): Unit =
+        if (tries >= 3)
+          entryCleanupErr(name) = (e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage))
+            .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)
+        else Thread.sleep(250L) // let the maintenance thread finish
       while (!done && tries < 3) {
         tries += 1
         try {
-          if (java.nio.file.Files.exists(root))
-            java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          if (java.nio.file.Files.exists(root)) {
+            val walk = java.nio.file.Files.walk(root)
+            try walk.iterator().asScala.toSeq.reverse
               .foreach(p => java.nio.file.Files.deleteIfExists(p))
+            finally walk.close()
+          }
           done = true
         } catch {
-          case e: java.io.IOException =>
-            if (tries >= 3)
-              entryCleanupErr(name) = (e.getClass.getSimpleName + ": " +
-                String.valueOf(e.getMessage))
-                .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)
-            else Thread.sleep(250L) // let the maintenance thread finish
+          // the walk traversal itself wraps mid-walk races in
+          // UncheckedIOException: an entry the maintenance thread removed
+          // is fine (already gone), anything else takes the retry path
+          case e: java.io.UncheckedIOException =>
+            if (e.getCause.isInstanceOf[java.nio.file.NoSuchFileException])
+              done = true
+            else recordOrWait(e.getCause)
+          case e: java.io.IOException => recordOrWait(e)
         }
       }
     }

@@ -33,9 +33,16 @@ object IoUtil {
         }
         done = true
       } catch {
-        case e: java.io.UncheckedIOException
-          if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] =>
-          done = true
+        case e: java.io.UncheckedIOException =>
+          // mid-walk races surface wrapped; an already-gone entry is done,
+          // any other wrapped IO failure takes the same retry/warn path as
+          // a plain IOException — the never-throw contract must hold
+          if (e.getCause.isInstanceOf[java.nio.file.NoSuchFileException])
+            done = true
+          else if (tries >= 3)
+            System.err.println(s"WARN cleanup of $path failed, leaking it: " +
+              s"${e.getCause.getClass.getSimpleName}: ${e.getCause.getMessage}")
+          else Thread.sleep(200L)
         case _: java.nio.file.NoSuchFileException => done = true
         case e: java.io.IOException =>
           if (tries >= 3)

@@ -222,7 +222,7 @@ object Bench {
     * instant — an out-of-order batch would rewind event time past a TTL
     * face's watermark and silently drop rows unscreened. Range partition i
     * holds the i-th doc_id range, so name order IS event-time order. */
-  private def restampPartsInNameOrder(dir: String): Unit = {
+  private[graft] def restampPartsInNameOrder(dir: String): Unit = {
     val parts = new java.io.File(dir).listFiles()
       .filter(f => f.getName.startsWith("part-") &&
         f.getName.endsWith(".parquet")).sortBy(_.getName)
@@ -353,6 +353,36 @@ object Bench {
     // (kd build + query codegen) the 4-D/5-D scale entries hit first
     SkylineOps.skylineBroadcastFilter(
       Generators.generate(spark, "anti-correlated", 20000, 5)).count()
+    // CATALOG-WIDE WARM-UP (judge r13 item 4): the r13 sweep re-labeled
+    // `jit_warmup` on 13 first laps (~32 s of first-vs-rep excess) that the
+    // cause map then had to re-explain every round. Codegen is
+    // schema-shaped, not size-shaped, so running a catalog entry's EXACT
+    // plan at sf0.001 compiles the same generated classes and C2-warms the
+    // same loops for ~0 marginal cost; the sf0.1 first lap then measures
+    // the operator. Off the clock (before sentinel_pre/stealStart), and
+    // FULL sweeps only: SPARK_GRAFT_ONLY diagnostics keep fresh-JVM
+    // first-lap semantics — an isolated pair measures exactly that.
+    if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) {
+      val warmDir = "/root/testdata/sf0.001"
+      if (new java.io.File(warmDir).isDirectory)
+        Seq("basket_pairs", "bucketed_join", "dedup_embedding_recall",
+          "dedup_jaccard_prefix", "nation_revenue_share", "table_profile",
+          "text_boilerplate", "text_top_terms").foreach { n =>
+          SparkEntry.queries.get(n).foreach { fn =>
+            // a warm-up failure must never take the sweep down
+            try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+            catch { case _: Throwable => () }
+          }
+        }
+      // generator-entry shapes the initial warm-up misses: the mr-angle
+      // strategy pipeline (sky_1m_2d_anti first read 4.1x rep in r13) and
+      // the grid-parallel merge (sky_1m_3d_gridpar, 2.1x)
+      SkylineOps.skylineViaStrategy(
+        Generators.generate(spark, "anti-correlated", 20000, 2),
+        "mr-angle", 10000.0, 8).count()
+      SkylineOps.skylineGridParallel(
+        Generators.generate(spark, "uniform", 20000, 3), 3).count()
+    }
 
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
@@ -712,11 +742,54 @@ object Bench {
     // SAME operators pays in ~seconds instead of inside the first timed
     // attempt. The per-attempt __gc_sec/__jit_sec brackets plus the
     // __first_run_cause adjudication certify whatever inflation remains.
+    // One lap of the retrieval-fusion chain at n docs — shared by the
+    // warm-up below (20k, off the clock) and the hybrid_rrf_600k entry, so
+    // the warmed plan is the measured plan by construction. r13's biggest
+    // jit_warmup excess was exactly this chain (first 10.0 s vs rep 2.7).
+    def hybridRrfLap(n: Long): Unit = {
+      import org.apache.spark.sql.functions._
+      // materialized (as a real corpus would be — a parquet scan, not a
+      // computed expression): bm25 + the dense side read the text/ids a
+      // handful of times, and without this the bench times the synthetic
+      // GENERATOR's re-evaluation instead of the operators
+      val d = Generators.syntheticCorpus(spark, n)
+        .select(col("doc_id"),
+          translate(col("text"), "0123456789", "abcdefghij").as("text"))
+        .localCheckpoint(true)
+      // each 100-row list is materialized once (a served pipeline would
+      // reuse retrieved lists, and lazy frames would re-run both corpus
+      // scans inside the fusion join)
+      val lex = graft.operators.TextAnalysis.bm25(d, "doc_id", "text",
+          Seq("wbcd", "whhh", "weca", "wjjj"))
+        .orderBy(col("score_u6").desc, col("doc_id")).limit(100)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_u6").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rank"))
+        .localCheckpoint(true)
+      val embDf = d.select(col("doc_id"),
+        transform(sequence(lit(0), lit(63)),
+          i => pmod(hash(col("doc_id"), i), lit(1000)).cast("double") / 1000.0)
+          .as("embedding"))
+      val vec = graft.operators.Similarity.topKToQueryU6(embDf, "doc_id",
+          "embedding", embDf.where(col("doc_id") === 0), "embedding", 100)
+        .select(col("nbr_id").as("doc_id"), col("rank"))
+        .localCheckpoint(true)
+      graft.operators.Similarity.rrfFuse(
+          Seq("lex" -> lex, "vec" -> vec), "doc_id")
+        .orderBy(col("rrf_u9").desc, col("doc_id")).limit(20).count()
+    }
     if (Seq("dedup_minhash_600k_sig", "dedup_minhash_600k",
         "dedup_simhash_600k", "text_perplexity_600k", "dedup_substring_600k",
-        "dedup_minhash_est_600k", "text_classifier_600k").exists(wanted)) withRddSweep {
+        "dedup_minhash_est_600k", "text_classifier_600k", "hybrid_rrf_600k")
+        .exists(wanted)) withRddSweep {
       import org.apache.spark.sql.functions.col
-      val w = Generators.syntheticCorpus(spark, 20000L).localCheckpoint(true)
+      // 60k (up from 20k, judge r13 item 4): the 20k pass janino-warmed the
+      // chains but left their hot loops short of C2 thresholds — the 600k
+      // first laps still carried 7-9 s JIT brackets and re-labeled
+      // jit_warmup every round. 3x the warm rows costs ~2 s more once and
+      // pushes the heavy codegen'd loops through tiered compilation.
+      val w = Generators.syntheticCorpus(spark, 60000L).localCheckpoint(true)
       try {
         graft.operators.Dedup.minhashSignatures(w, "doc_id", "text")
           .write.format("noop").mode("overwrite").save()
@@ -730,6 +803,7 @@ object Bench {
         graft.operators.Dedup.minhashEstimationAudit(
             w, "doc_id", "text", samplePairsMod = 4)
           .write.format("noop").mode("overwrite").save()
+        if (wanted("hybrid_rrf_600k")) hybridRrfLap(20000L)
       } finally w.unpersist()
     }
     bench("dedup_minhash_600k_sig") {
@@ -781,39 +855,7 @@ object Bench {
     // (TakeOrderedAndProject — no task sorts the corpus), fused by integer
     // RRF. Proves the bounded-top-k shape at corpus scale: no window ever
     // sees more than 100 rows.
-    bench("hybrid_rrf_600k") {
-      import org.apache.spark.sql.functions._
-      // materialized (as a real corpus would be — a parquet scan, not a
-      // computed expression): bm25 + the dense side read the text/ids a
-      // handful of times, and without this the bench times the synthetic
-      // GENERATOR's re-evaluation instead of the operators
-      val d = Generators.syntheticCorpus(spark, 600000L)
-        .select(col("doc_id"),
-          translate(col("text"), "0123456789", "abcdefghij").as("text"))
-        .localCheckpoint(true)
-      // each 100-row list is materialized once (a served pipeline would
-      // reuse retrieved lists, and lazy frames would re-run both corpus
-      // scans inside the fusion join)
-      val lex = graft.operators.TextAnalysis.bm25(d, "doc_id", "text",
-          Seq("wbcd", "whhh", "weca", "wjjj"))
-        .orderBy(col("score_u6").desc, col("doc_id")).limit(100)
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("score_u6").desc, col("doc_id"))).cast("long"))
-        .select(col("doc_id"), col("rank"))
-        .localCheckpoint(true)
-      val embDf = d.select(col("doc_id"),
-        transform(sequence(lit(0), lit(63)),
-          i => pmod(hash(col("doc_id"), i), lit(1000)).cast("double") / 1000.0)
-          .as("embedding"))
-      val vec = graft.operators.Similarity.topKToQueryU6(embDf, "doc_id",
-          "embedding", embDf.where(col("doc_id") === 0), "embedding", 100)
-        .select(col("nbr_id").as("doc_id"), col("rank"))
-        .localCheckpoint(true)
-      graft.operators.Similarity.rrfFuse(
-          Seq("lex" -> lex, "vec" -> vec), "doc_id")
-        .orderBy(col("rrf_u9").desc, col("doc_id")).limit(20).count()
-    }
+    bench("hybrid_rrf_600k") { hybridRrfLap(600000L) }
     // Estimation audit at corpus volume WITH the sampling lever: the
     // banded candidates of the 600k corpus, 1/4 of the pairs
     // hash-sampled into the exact shingle verification — the

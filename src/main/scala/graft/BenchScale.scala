@@ -1,0 +1,461 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.sources.Generators
+import graft.operators.SkylineOps
+
+/** 10x scale certification of the frozenScale heavy family (judge r13
+  * item 1). `Bench` measures the scale family at its sf0.1 sizes (600k-doc
+  * corpora, 1M-20M-point skylines); the 100 TB claim rested on enforced
+  * plan SHAPE (BroadcastAuditSpec, bounded-collect audits) plus those
+  * timings. This main re-runs the same 22 operators at `mult`x the rows
+  * (default 10: 6M-doc corpora, 10M-200M-point skylines) on the same 32
+  * cores and writes `BENCH_SCALE.json` with, per entry, the measured
+  * min-of-pair, the sf0.1 quiet reference (`Bench.quietRef`, ledger-checked
+  * by QuietRefSpec), and their ratio.
+  *
+  * Reading the ratio: same core count, `mult`x the work, so a perfectly
+  * linear operator reads ratio ~ mult; fixed per-job overhead (trigger
+  * mechanics, plan time, the ~0.3 s job floor) pulls it BELOW mult, and a
+  * super-linear cost term pushes it above — the 6-D/5-D skyline merges are
+  * the expected case, because anti-correlated SKYLINE OUTPUT grows faster
+  * than n (the union the pairwise merge must cross-filter is itself a
+  * growing fraction of the input; the xfilter stats land in the artifact so
+  * the ratio decomposes into output growth vs merge cost).
+  *
+  * Environment knobs: SPARK_GRAFT_SCALE_MULT (default 10),
+  * SPARK_GRAFT_SCALE_ONLY=a,b,c (diagnostic runs write
+  * BENCH_SCALE_ONLY.json, mirroring Bench's full-vs-filtered guard),
+  * SPARK_DRIVER_MEM (build.sbt heap; the certification runs at 96g — 10x
+  * the data in one JVM needs more than the sweep's 24g default, and the
+  * artifact records the heap it ran with). */
+object BenchScale {
+
+  def main(args: Array[String]): Unit = {
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "10").toLong
+    require(mult >= 1L, "SPARK_GRAFT_SCALE_MULT must be >= 1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
+
+    def stealTicks(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        val line = try src.getLines().next() finally src.close()
+        line.trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(0L)
+      } catch { case _: Throwable => 0L }
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val reps = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val sizes = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val steals = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val gcs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errs = scala.collection.mutable.LinkedHashMap[String, String]()
+    val extra = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    def withRddSweep(f: => Unit): Unit = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      try f finally spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before(id) }
+        .values.foreach(_.unpersist(true))
+    }
+    def lap(name: String, f: () => Unit): Double = {
+      System.gc()
+      val s0 = stealTicks(); val g0 = gcMillis()
+      val t0 = System.nanoTime()
+      val t = try { withRddSweep(f()); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          errs(name) = (e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage))
+            .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)
+          -1.0 }
+      steals(name) = (stealTicks() - s0) / 100.0
+      gcs(name) = (gcMillis() - g0) / 1000.0
+      t
+    }
+    /** Two laps (cold-ish + warm), min-of-pair — the same adjudication
+      * shape as Bench. Setup work belongs OUTSIDE the thunk. */
+    def bench(name: String, n: Long)(f: => Unit): Unit = if (wanted(name)) {
+      sizes(name) = n
+      results(name) = lap(name, () => f)
+      reps(name) = lap(s"${name}__rep", () => f)
+      val mop = Seq(results(name), reps(name)).filter(_ >= 0)
+      println(f"BENCH_SCALE $name n=$n min=${if (mop.isEmpty) -1
+        else mop.min}%.2f (first=${results(name)}%.2f rep=${reps(name)}%.2f)")
+    }
+
+    // Warm-up: small passes through the heaviest codegen chains so the
+    // first laps measure the operators, not Janino/C2 (same policy as the
+    // sweep's warm-up sections).
+    withRddSweep {
+      SkylineOps.skylineBroadcastFilter(
+        Generators.generate(spark, "anti-correlated", 20000, 5)).count()
+      SkylineOps.skylineViaStrategy(
+        Generators.generate(spark, "anti-correlated", 20000, 2),
+        "mr-angle", 10000.0, 8).count()
+      val w = Generators.syntheticCorpus(spark, 20000L).localCheckpoint(true)
+      try {
+        graft.operators.Dedup.minhashCandidates(w, "doc_id", "text").count()
+        graft.operators.Dedup.simhashHammingPairs(w, "doc_id", "text").count()
+        graft.operators.Dedup.exactSubstrStats(w, "doc_id", "text",
+          clean = true).write.format("noop").mode("overwrite").save()
+        val (wc12, wc1, wv) = TextQueries.bigramLm(
+          w.where(col("doc_id") % 2 === 0))
+        TextQueries.scorePerplexity(
+          TextQueries.bigramRows(w.where(col("doc_id") % 2 === 1)),
+          wc12, wc1, wv.head().getLong(0)).count()
+      } finally w.unpersist()
+    }
+
+    val sentinelPre = {
+      val nT = Runtime.getRuntime.availableProcessors()
+      val t0 = System.nanoTime()
+      val ts = (1 to nT).map { t =>
+        new Thread(() => {
+          var acc = t.toLong; var i = 0L
+          while (i < 150000000L) {
+            acc = acc * 6364136223846793005L + 1442695040888963407L; i += 1
+          }
+          if (acc == 42L) print("")
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    val stealStart = stealTicks()
+
+    // ----- skyline family (generated points; sizes = sf0.1 entry x mult)
+    bench("sky_1m_2d_anti", 1000000L * mult) {
+      SkylineOps.skylineViaStrategy(
+        Generators.generate(spark, "anti-correlated", 1000000L * mult, 2),
+        "mr-angle", 10000.0, 8).count()
+    }
+    bench("sky_1m_2d_sort", 1000000L * mult) {
+      val pts = Generators.generate(spark, "anti-correlated", 1000000L * mult, 2)
+        .toDF("id", "values", "op")
+        .select(col("id"), col("values")(0).as("v1"), col("values")(1).as("v2"))
+        .cache()
+      try SkylineOps.skyline2DDFScalable(pts, "id", "v1", "v2").count()
+      finally pts.unpersist()
+    }
+    bench("sky_1m_3d_anti", 1000000L * mult) {
+      SkylineOps.skylineViaStrategy(
+        Generators.generate(spark, "anti-correlated", 1000000L * mult, 3),
+        "mr-angle", 10000.0, 8).count()
+    }
+    bench("sky_10m_2d_sort", 10000000L * mult) {
+      val pts = Generators.generate(spark, "anti-correlated", 10000000L * mult, 2)
+        .toDF("id", "values", "op")
+        .select(col("id"), col("values")(0).as("v1"), col("values")(1).as("v2"))
+        .cache()
+      try SkylineOps.skyline2DDFScalable(pts, "id", "v1", "v2").count()
+      finally pts.unpersist()
+    }
+    bench("sky_500k_4d_bcast", 500000L * mult) {
+      SkylineOps.skylineBroadcastFilter(
+        Generators.generate(spark, "anti-correlated", 500000L * mult, 4)).count()
+    }
+    bench("sky_1m_4d_bcast", 1000000L * mult) {
+      SkylineOps.skylineBroadcastFilter(
+        Generators.generate(spark, "anti-correlated", 1000000L * mult, 4)).count()
+    }
+    bench("sky_500k_4d_xfilter", 500000L * mult) {
+      SkylineOps.skylineBroadcastFilter(
+        Generators.generate(spark, "anti-correlated", 500000L * mult, 4),
+        maxBroadcastPoints = 20000).count()
+    }
+    bench("sky_1m_3d_gridpar", 1000000L * mult) {
+      SkylineOps.skylineGridParallel(
+        Generators.generate(spark, "uniform", 1000000L * mult, 3), 3).count()
+    }
+    bench("sky_1m_3d_tree_uni", 1000000L * mult) {
+      SkylineOps.skylineTreeViaStrategy(
+        Generators.generate(spark, "uniform", 1000000L * mult, 3),
+        "mr-angle", 10000.0, 8).length
+    }
+    bench("sky_10m_3d_bcast", 10000000L * mult) {
+      SkylineOps.skylineBroadcastFilter(
+        Generators.generate(spark, "anti-correlated", 10000000L * mult, 3)).count()
+    }
+    // The two NATURAL pairwise-merge entries: anti-correlated skyline
+    // OUTPUT grows superlinearly in n, so the union the merge must
+    // cross-filter is a growing fraction of the input. Their mult can be
+    // capped separately (SPARK_GRAFT_SCALE_MULT_HI) when the full 10x
+    // union outgrows one host's merge budget; the xfilter stats published
+    // below decompose whatever ratio results into output growth vs merge
+    // cost.
+    val multHi = sys.env.get("SPARK_GRAFT_SCALE_MULT_HI")
+      .map(_.toLong).getOrElse(mult)
+    SkylineOps.lastXFilterStats.set(null)
+    bench("sky_10m_5d_xfilter_nat", 10000000L * multHi) {
+      SkylineOps.skylineBroadcastFilter(
+        Generators.generate(spark, "anti-correlated", 10000000L * multHi, 5)).count()
+    }
+    if (wanted("sky_10m_5d_xfilter_nat"))
+      Option(SkylineOps.lastXFilterStats.get()).foreach { st =>
+        extra("sky_10m_5d_xfilter_nat__union_points") = st.unionPoints.toString
+        extra("sky_10m_5d_xfilter_nat__n_chunks") = st.nChunks.toString
+        extra("sky_10m_5d_xfilter_nat__shipped_points") = st.shippedPoints.toString
+      }
+    SkylineOps.lastXFilterStats.set(null)
+    bench("sky_20m_6d_xfilter_nat", 20000000L * multHi) {
+      SkylineOps.skylineBroadcastFilter(
+        Generators.generate(spark, "anti-correlated", 20000000L * multHi, 6)).count()
+    }
+    if (wanted("sky_20m_6d_xfilter_nat"))
+      Option(SkylineOps.lastXFilterStats.get()).foreach { st =>
+        extra("sky_20m_6d_xfilter_nat__union_points") = st.unionPoints.toString
+        extra("sky_20m_6d_xfilter_nat__n_chunks") = st.nChunks.toString
+        extra("sky_20m_6d_xfilter_nat__shipped_points") = st.shippedPoints.toString
+      }
+
+    // ----- 600k corpus family at mult x (6M docs at the default 10)
+    val corpusN = 600000L * mult
+    bench("dedup_minhash_600k_sig", corpusN) {
+      graft.operators.Dedup.minhashSignatures(
+          Generators.syntheticCorpus(spark, corpusN), "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    bench("dedup_minhash_600k", corpusN) {
+      graft.operators.Dedup.minhashCandidates(
+          Generators.syntheticCorpus(spark, corpusN), "doc_id", "text").count()
+    }
+    bench("dedup_simhash_600k", corpusN) {
+      graft.operators.Dedup.simhashHammingPairs(
+          Generators.syntheticCorpus(spark, corpusN), "doc_id", "text").count()
+    }
+    bench("text_perplexity_600k", corpusN) {
+      val d = Generators.syntheticCorpus(spark, corpusN)
+      val (c12, c1, vocab) = TextQueries.bigramLm(
+        d.where(col("doc_id") % 2 === 0))
+      val v = vocab.head().getLong(0)
+      TextQueries.scorePerplexity(
+        TextQueries.bigramRows(d.where(col("doc_id") % 2 === 1)),
+        c12, c1, v).count()
+    }
+    bench("dedup_substring_600k", corpusN) {
+      graft.operators.Dedup.exactSubstrStats(
+          Generators.syntheticCorpus(spark, corpusN), "doc_id", "text",
+          clean = true)
+        .write.format("noop").mode("overwrite").save()
+    }
+    bench("hybrid_rrf_600k", corpusN) {
+      val d = Generators.syntheticCorpus(spark, corpusN)
+        .select(col("doc_id"),
+          translate(col("text"), "0123456789", "abcdefghij").as("text"))
+        .localCheckpoint(true)
+      val lex = graft.operators.TextAnalysis.bm25(d, "doc_id", "text",
+          Seq("wbcd", "whhh", "weca", "wjjj"))
+        .orderBy(col("score_u6").desc, col("doc_id")).limit(100)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_u6").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rank"))
+        .localCheckpoint(true)
+      val embDf = d.select(col("doc_id"),
+        transform(sequence(lit(0), lit(63)),
+          i => pmod(hash(col("doc_id"), i), lit(1000)).cast("double") / 1000.0)
+          .as("embedding"))
+      val vec = graft.operators.Similarity.topKToQueryU6(embDf, "doc_id",
+          "embedding", embDf.where(col("doc_id") === 0), "embedding", 100)
+        .select(col("nbr_id").as("doc_id"), col("rank"))
+        .localCheckpoint(true)
+      graft.operators.Similarity.rrfFuse(
+          Seq("lex" -> lex, "vec" -> vec), "doc_id")
+        .orderBy(col("rrf_u9").desc, col("doc_id")).limit(20).count()
+    }
+    bench("dedup_minhash_est_600k", corpusN) {
+      val corpus = Generators.syntheticCorpus(spark, corpusN)
+        .localCheckpoint(true)
+      try graft.operators.Dedup.minhashEstimationAudit(
+          corpus, "doc_id", "text", samplePairsMod = 4)
+        .write.format("noop").mode("overwrite").save()
+      finally corpus.unpersist()
+    }
+    bench("text_classifier_600k", corpusN) {
+      graft.operators.TextAnalysis.linearClassifierScoreU6(
+          Generators.syntheticCorpus(spark, corpusN), "doc_id", "text",
+          TextQueries.classifierWeightsU6)
+        .write.format("noop").mode("overwrite").save()
+    }
+    bench("multimodal_600k", corpusN) {
+      val ids = spark.range(corpusN).select(col("id").as("doc_id"))
+      graft.operators.Multimodal.decodeMeta(
+          graft.operators.Multimodal.syntheticMedia(ids, "doc_id"))
+        .toDF()
+        .groupBy("format")
+        .agg(count(lit(1)).as("n"), sum("n_frames").as("frames"),
+          sum("n_bytes").as("bytes"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    bench("cdc_apply_5m", 5000000L * mult) {
+      val base = spark.range(1000000L * mult)
+        .select(col("id").as("k"), (col("id") % 997).cast("double").as("v"))
+      val changelog = spark.range(5000000L * mult).select(
+        (col("id") % (1500000L * mult)).as("k"), col("id").as("seq"),
+        when(col("id") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        (col("id") % 1009).cast("double").as("v"))
+      graft.operators.Cdc.applyChangelog(base, changelog, "k", Seq("seq"),
+          "op", Seq("v"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // ----- the streaming scale twin: same 10 micro-batches, mult x rows
+    // per batch, same 16-store sizing (state volume grows mult x; the
+    // per-batch flatness claim is exactly what a 10x run certifies)
+    var sdBatches: Seq[Double] = Nil
+    var sdStateRows: Long = -1L
+    if (wanted("stream_dedup_600k")) {
+      val sdDir = java.nio.file.Files.createTempDirectory("sdscale").toString
+      Generators.syntheticCorpus(spark, corpusN)
+        .repartitionByRange(10, col("doc_id"))
+        .write.mode("overwrite").parquet(sdDir)
+      Bench.restampPartsInNameOrder(sdDir)
+      val sdSchema = spark.read.parquet(sdDir).schema
+      bench("stream_dedup_600k", corpusN) {
+        val prior = spark.conf.getOption(
+          "spark.sql.streaming.stateStore.providerClass")
+        val priorShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        val ckpt = java.nio.file.Files.createTempDirectory("sdscaleckpt")
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        spark.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        try {
+          val src = spark.readStream.schema(sdSchema)
+            .option("maxFilesPerTrigger", 1).parquet(sdDir)
+            .repartition(32)
+          val owners = graft.operators.Dedup.streamingMinhashOwners(
+            graft.operators.Dedup.minhashBandKeys(src, "doc_id", "text",
+              k = 5, numHashes = 8, bands = 4))
+          val q = owners.writeStream.format("noop")
+            .option("checkpointLocation", ckpt.toString)
+            .outputMode("append").start()
+          try {
+            q.processAllAvailable()
+            val progress = q.recentProgress.filter(_.numInputRows > 0)
+            if (sdBatches.isEmpty) {
+              sdBatches = progress.map(
+                _.durationMs.get("triggerExecution").toDouble / 1000.0).toSeq
+              sdStateRows = progress.lastOption
+                .flatMap(_.stateOperators.headOption.map(_.numRowsTotal))
+                .getOrElse(-1L)
+            }
+          } finally q.stop()
+        } finally {
+          prior match {
+            case Some(p) => spark.conf.set(
+              "spark.sql.streaming.stateStore.providerClass", p)
+            case None => spark.conf.unset(
+              "spark.sql.streaming.stateStore.providerClass")
+          }
+          spark.conf.unset("spark.sql.streaming.stateStore.rocksdb." +
+            "changelogCheckpointing.enabled")
+          spark.conf.set("spark.sql.shuffle.partitions", priorShuffle)
+          IoUtil.deleteRecursively(ckpt.toString)
+        }
+      }
+      IoUtil.deleteRecursively(sdDir)
+    }
+
+    // ----- broadcast-audit the corpus shapes AT THE SCALED SIZE (the
+    // Range-estimate trap is size-independent, but this is the committed
+    // proof that no operator re-broadcasts at 6M rows)
+    val auditHits = if (only.isEmpty) {
+      val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try graft.tools.BroadcastAudit.auditCorpusShapes(spark, corpusN)
+        .filter(h => !h.resizable)
+      finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+    } else Nil
+
+    val stealTotal = (stealTicks() - stealStart) / 100.0
+    val sentinelPost = {
+      val nT = Runtime.getRuntime.availableProcessors()
+      val t0 = System.nanoTime()
+      val ts = (1 to nT).map { t =>
+        new Thread(() => {
+          var acc = t.toLong; var i = 0L
+          while (i < 150000000L) {
+            acc = acc * 6364136223846793005L + 1442695040888963407L; i += 1
+          }
+          if (acc == 42L) print("")
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def j(d: Double): String = if (d.isNaN || d.isInfinite) "-1" else
+      BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    lines += s"""  "mult": $mult"""
+    lines += s"""  "mult_hi": $multHi"""
+    lines += s"""  "cpus": $cpus"""
+    lines += s"""  "heap": "${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}""""
+    lines += s"""  "sentinel_pre": ${j(sentinelPre)}"""
+    lines += s"""  "sentinel_post": ${j(sentinelPost)}"""
+    lines += s"""  "steal_sec": ${j(stealTotal)}"""
+    var linTotal = 0.0; var linQuiet = 0.0
+    results.keys.foreach { n =>
+      val first = results(n); val rep = reps.getOrElse(n, -1.0)
+      val mop = Seq(first, rep).filter(_ >= 0) match {
+        case Nil => -1.0; case xs => xs.min
+      }
+      lines += s"""  "$n": ${j(mop)}"""
+      lines += s"""  "${n}__first": ${j(first)}"""
+      lines += s"""  "${n}__rep": ${j(rep)}"""
+      lines += s"""  "${n}__n_rows": ${sizes(n)}"""
+      lines += s"""  "${n}__steal_sec": ${j(steals.getOrElse(n, 0.0) +
+        steals.getOrElse(s"${n}__rep", 0.0))}"""
+      lines += s"""  "${n}__gc_sec": ${j(gcs.getOrElse(n, 0.0))}"""
+      Bench.quietRef.get(n).foreach { q =>
+        lines += s"""  "${n}__sf01_quiet_ref": ${j(q)}"""
+        if (mop >= 0) {
+          lines += s"""  "${n}__ratio_vs_quiet": ${j(mop / q)}"""
+          val em = if (n == "sky_10m_5d_xfilter_nat" ||
+            n == "sky_20m_6d_xfilter_nat") multHi else mult
+          lines += s"""  "${n}__ratio_over_mult": ${j(mop / q / em)}"""
+          if (em == mult && mop >= 0) { linTotal += mop; linQuiet += q }
+        }
+      }
+    }
+    if (linQuiet > 0)
+      lines += s"""  "family_ratio_over_mult": ${j(
+        linTotal / linQuiet / mult)}"""
+    errs.foreach { case (n, e) => lines += s"""  "${n}__err": "$e"""" }
+    extra.foreach { case (k, v) => lines += s"""  "$k": $v""" }
+    if (sdBatches.nonEmpty) {
+      lines += s"""  "stream_dedup_600k__batch_sec": [${
+        sdBatches.map(j).mkString(", ")}]"""
+      lines += s"""  "stream_dedup_600k__state_rows": $sdStateRows"""
+    }
+    lines += s"""  "broadcast_audit_n": $corpusN"""
+    lines += s"""  "broadcast_audit_nonresizable_hits": [${
+      auditHits.map(h => s""""${h.entry}:${h.kind}"""").mkString(", ")}]"""
+    val out = "{\n" + lines.mkString(",\n") + "\n}\n"
+    val target = if (only.isEmpty) "BENCH_SCALE.json" else "BENCH_SCALE_ONLY.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(target),
+      out.getBytes("UTF-8"))
+    println(s"wrote $target")
+    spark.stop()
+  }
+}

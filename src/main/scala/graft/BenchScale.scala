@@ -64,6 +64,8 @@ object BenchScale {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val reps = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val bests = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val extraLaps = scala.collection.mutable.LinkedHashMap[String, Int]()
     val sizes = scala.collection.mutable.LinkedHashMap[String, Long]()
     val steals = scala.collection.mutable.LinkedHashMap[String, Double]()
     val gcs = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -76,7 +78,8 @@ object BenchScale {
         .filterNot { case (id, _) => before(id) }
         .values.foreach(_.unpersist(true))
     }
-    def lap(name: String, f: () => Unit): Double = {
+    case class Lap(t: Double, steal: Double, gc: Double)
+    def lap(name: String, f: () => Unit): Lap = {
       System.gc()
       val s0 = stealTicks(); val g0 = gcMillis()
       val t0 = System.nanoTime()
@@ -86,19 +89,36 @@ object BenchScale {
             String.valueOf(e.getMessage))
             .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)
           -1.0 }
-      steals(name) = (stealTicks() - s0) / 100.0
-      gcs(name) = (gcMillis() - g0) / 1000.0
-      t
+      Lap(t, (stealTicks() - s0) / 100.0, (gcMillis() - g0) / 1000.0)
     }
-    /** Two laps (cold-ish + warm), min-of-pair — the same adjudication
-      * shape as Bench. Setup work belongs OUTSIDE the thunk. */
+    /** Two laps (cold-ish + warm) + steal-gated storm re-laps, min over
+      * all laps — Bench's timeQuiet adjudication adapted to multi-minute
+      * laps: the gate is RELATIVE (5% of the lap, floored at Bench's 2 s
+      * absolute) because at 10x a lap is minutes long and an absolute 2 s
+      * would re-lap forever on this host's periodic steal storms. The
+      * published headline is the best lap; its own steal/GC land as the
+      * entry's brackets so the artifact self-adjudicates. Setup work
+      * belongs OUTSIDE the thunk. */
     def bench(name: String, n: Long)(f: => Unit): Unit = if (wanted(name)) {
       sizes(name) = n
-      results(name) = lap(name, () => f)
-      reps(name) = lap(s"${name}__rep", () => f)
-      val mop = Seq(results(name), reps(name)).filter(_ >= 0)
-      println(f"BENCH_SCALE $name n=$n min=${if (mop.isEmpty) -1
-        else mop.min}%.2f (first=${results(name)}%.2f rep=${reps(name)}%.2f)")
+      def stormed(l: Lap): Boolean = l.steal > math.max(2.0, l.t * 0.05)
+      var laps = List(lap(name, () => f), lap(s"${name}__rep", () => f))
+      def best: Option[Lap] = laps.filter(_.t >= 0).sortBy(_.t).headOption
+      var tries = 0
+      while (best.exists(stormed) && tries < 2) {
+        tries += 1
+        laps = laps :+ lap(s"${name}__storm$tries", () => f)
+      }
+      results(name) = laps.head.t
+      reps(name) = laps(1).t
+      extraLaps(name) = tries
+      bests(name) = best.map(_.t).getOrElse(-1.0)
+      steals(name) = best.map(_.steal).getOrElse(laps.map(_.steal).sum)
+      gcs(name) = best.map(_.gc).getOrElse(0.0)
+      if (best.nonEmpty) errs.remove(name) // some lap succeeded
+      println(f"BENCH_SCALE $name n=$n min=${bests(name)}%.2f " +
+        f"(first=${laps.head.t}%.2f rep=${laps(1).t}%.2f extra=$tries " +
+        f"best_steal=${steals(name)}%.1f)")
     }
 
     // Warm-up: small passes through the heaviest codegen chains so the
@@ -417,15 +437,13 @@ object BenchScale {
     var linTotal = 0.0; var linQuiet = 0.0
     results.keys.foreach { n =>
       val first = results(n); val rep = reps.getOrElse(n, -1.0)
-      val mop = Seq(first, rep).filter(_ >= 0) match {
-        case Nil => -1.0; case xs => xs.min
-      }
+      val mop = bests.getOrElse(n, -1.0)
       lines += s"""  "$n": ${j(mop)}"""
       lines += s"""  "${n}__first": ${j(first)}"""
       lines += s"""  "${n}__rep": ${j(rep)}"""
+      lines += s"""  "${n}__storm_relaps": ${extraLaps.getOrElse(n, 0)}"""
       lines += s"""  "${n}__n_rows": ${sizes(n)}"""
-      lines += s"""  "${n}__steal_sec": ${j(steals.getOrElse(n, 0.0) +
-        steals.getOrElse(s"${n}__rep", 0.0))}"""
+      lines += s"""  "${n}__steal_sec": ${j(steals.getOrElse(n, 0.0))}"""
       lines += s"""  "${n}__gc_sec": ${j(gcs.getOrElse(n, 0.0))}"""
       Bench.quietRef.get(n).foreach { q =>
         lines += s"""  "${n}__sf01_quiet_ref": ${j(q)}"""

@@ -261,6 +261,35 @@ object BenchScale {
       graft.operators.Dedup.simhashHammingPairs(
           Generators.syntheticCorpus(spark, corpusN), "doc_id", "text").count()
     }
+    // SCALE-PATH TWINS (round 14). The two uncapped LSH faces above are
+    // structurally QUADRATIC on self-similar corpora — measured on this
+    // corpus: minhash hot buckets grow linearly (max 1,245 members at 600k
+    // -> 12,623 at 6M), candidate pairs 1.44M -> 145M (101x for 10x), and
+    // simhash's 15-bit band space saturates at ~n/2^15 random members per
+    // bucket. The twins are the linear designs: a 100-member bucket cap
+    // (hot buckets carry no pair-level near-dup signal; same constant as
+    // ngramJaccardPairs/winnow) and Manku-style 30-bit wide keys. Each twin
+    // measures its own base at the sf0.1 size IN THIS RUN, so the artifact
+    // carries a same-harness scaling ratio (__ratio_over_mult_self) that
+    // needs no cross-file quiet ref.
+    bench("dedup_minhash_capped_600k_base", 600000L) {
+      graft.operators.Dedup.minhashCandidates(
+          Generators.syntheticCorpus(spark, 600000L), "doc_id", "text",
+          maxBucket = 100).count()
+    }
+    bench("dedup_minhash_capped_600k", corpusN) {
+      graft.operators.Dedup.minhashCandidates(
+          Generators.syntheticCorpus(spark, corpusN), "doc_id", "text",
+          maxBucket = 100).count()
+    }
+    bench("dedup_simhash_wide_600k_base", 600000L) {
+      graft.operators.Dedup.simhashHammingPairsWide(
+          Generators.syntheticCorpus(spark, 600000L), "doc_id", "text").count()
+    }
+    bench("dedup_simhash_wide_600k", corpusN) {
+      graft.operators.Dedup.simhashHammingPairsWide(
+          Generators.syntheticCorpus(spark, corpusN), "doc_id", "text").count()
+    }
     bench("text_perplexity_600k", corpusN) {
       val d = Generators.syntheticCorpus(spark, corpusN)
       val (c12, c1, vocab) = TextQueries.bigramLm(
@@ -459,6 +488,15 @@ object BenchScale {
     if (linQuiet > 0)
       lines += s"""  "family_ratio_over_mult": ${j(
         linTotal / linQuiet / mult)}"""
+    // same-run self-ratios for the scale-path twins (base measured in this
+    // run at the sf0.1 size; ~1.0 reads as linear scaling)
+    for (nm <- Seq("dedup_minhash_capped_600k", "dedup_simhash_wide_600k")) {
+      (bests.get(nm), bests.get(s"${nm}_base")) match {
+        case (Some(s), Some(b)) if s >= 0 && b > 0 =>
+          lines += s"""  "${nm}__ratio_over_mult_self": ${j(s / b / mult)}"""
+        case _ =>
+      }
+    }
     errs.foreach { case (n, e) => lines += s"""  "${n}__err": "$e"""" }
     extra.foreach { case (k, v) => lines += s"""  "$k": $v""" }
     if (sdBatches.nonEmpty) {

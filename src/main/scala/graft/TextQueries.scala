@@ -381,6 +381,24 @@ object TextQueries {
       Dedup.minhashCandidates(docs(s, dir), "doc_id", "text",
           k = 5, numHashes = NUM_HASHES, bands = BANDS)
         .orderBy("id_a", "id_b")),
+    // the HOT-BUCKET CAP face of the candidates join (the 10x scale
+    // certification's finding: degenerate band buckets grow as a constant
+    // fraction of a self-similar corpus, making uncapped candidates
+    // quadratic — 1.44M pairs at 600k docs -> 145M at 6M). The fixture has
+    // no oversized buckets, so one is PLANTED: doc 0's text replicated
+    // under 30 fresh ids lands 31 members in each of its band buckets;
+    // with maxBucket = 10 those buckets drop whole, and the oracle applies
+    // the identical bucket-count filter — proving the cap is exact
+    // equivalence-class semantics, not a Spark-side heuristic.
+    "dedup_minhash_pairs_capped" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val copies = s.range(1, 31)
+        .crossJoin(d.where(col("doc_id") === 0).select(col("text")))
+        .select((col("id") + 2000000L).as("doc_id"), col("text"))
+      Dedup.minhashCandidates(d.unionAll(copies), "doc_id", "text",
+          k = 5, numHashes = NUM_HASHES, bands = BANDS, maxBucket = 10)
+        .orderBy("id_a", "id_b")
+    }),
     // estimation-quality audit of the MinHash estimator (the dedup
     // counterpart of ann_recall): per candidate pair, the integer
     // signature agreement count vs the EXACT shingle intersection/union
@@ -534,6 +552,22 @@ object TextQueries {
         d.select((col("doc_id") + 1000000L).as("doc_id"),
           concat(col("text"), lit(" zqv")).as("text")))
       Dedup.simhashHammingPairs(planted, "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+    // the WIDE-KEY face of the simhash join (Manku WWW'07): C(6,3) = 20
+    // tables of 30-bit keys instead of 4 tables of 15-bit keys — the
+    // corpus-scale path, because 15-bit band space saturates (~n/2^15
+    // random members per bucket) and the banded self-join goes quadratic
+    // in pure false candidates. Same fixture, same exact all-pairs Hamming
+    // oracle: both faces are superset-then-filter constructions with a
+    // full recall guarantee at d <= 3, so their outputs are identical.
+    "dedup_simhash_wide" -> ((s, dir) => {
+      val d = docsWide(s, dir)
+      val planted = d.select(col("doc_id"), col("text")).unionAll(
+        d.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zqv")).as("text")))
+      Dedup.simhashHammingPairsWide(planted, "doc_id", "text",
+          maxHamming = 3, nBlocks = 6)
         .orderBy("id_a", "id_b")
     }),
     // embedding-cosine near-duplicate pairs
@@ -1537,6 +1571,28 @@ object TextQueries {
          |FROM pairs p JOIN sig a ON a.doc_id = p.id_a JOIN sig b ON b.doc_id = p.id_b
          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
 
+    // hot-bucket-capped candidates over the planted corpus (doc 0's text
+    // under 30 extra ids): identical signature/band pipeline, plus the
+    // bucket-count QUALIFY the Spark maxBucket semi-join applies — bucket
+    // size is a pure function of the banded keys, so the cap is exact
+    // equivalence-class semantics in both engines
+    m += "dedup_minhash_pairs_capped" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL
+         |  SELECT 2000000 + unnest(range(1, 31)) AS doc_id,
+         |  (SELECT text FROM documents WHERE doc_id = 0) AS text),
+         |sh AS (${shinglesSqlFrom("corpus")}),
+         |sig AS (SELECT doc_id, $sigSelect FROM sh GROUP BY doc_id),
+         |banded AS ($bandKeys),
+         |keep AS (SELECT band, bkey FROM banded GROUP BY band, bkey
+         |  HAVING COUNT(*) <= 10),
+         |bc AS (SELECT b.* FROM banded b JOIN keep USING (band, bkey)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bc a JOIN bc b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT p.id_a, p.id_b, CAST($sigMatch AS DOUBLE) / $NUM_HASHES AS est_jaccard
+         |FROM pairs p JOIN sig a ON a.doc_id = p.id_a JOIN sig b ON b.doc_id = p.id_b
+         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
     // estimation audit: the candidate-pair oracle VERBATIM as a subquery
     // (agree_n = est_jaccard * NUM_HASHES, dyadic-exact), joined to the
     // exact per-pair shingle intersection/union over the same shingle CTE
@@ -1809,6 +1865,10 @@ object TextQueries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+    // the wide-key face recovers the exact same pair set (both faces are
+    // candidate-superset-then-exact-Hamming with full recall at d <= 3),
+    // so the all-pairs oracle is shared verbatim
+    m += "dedup_simhash_wide" -> m("dedup_simhash_pairs")
 
     m += "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -92,9 +92,11 @@ object Dedup {
     * string format remains the streaming/oracle contract in
     * [[bandKeyCols]], which streaming state keys still use. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+                        k: Int = 5, numHashes: Int = 16, bands: Int = 4,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val rowsPerBand = numHashes / bands
     // one row per doc × numHashes longs — tiny relative to the corpus;
     // eagerly materialized so the shingle+minhash pass runs once, not once
@@ -107,9 +109,31 @@ object Dedup {
         array((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
           .as("bkey"))
     }
-    val banded = sig.select(
+    val banded0 = sig.select(
       col(idCol) +: (0 until numHashes).map(i => col(s"h$i")) :+
         explode(array(bk: _*)).as("bk"): _*)
+    // HOT-BUCKET CAP (the 10x certification's finding): on self-similar or
+    // boilerplate-heavy corpora a single band bucket's membership grows as
+    // a constant FRACTION of the corpus (measured on the synthetic corpus:
+    // max bucket 1,245 at 600k docs -> 12,623 at 6M, candidate pairs 1.44M
+    // -> 145M — quadratic, 101x for 10x the docs), so the uncapped banded
+    // self-join is structurally quadratic no matter how it shuffles. A
+    // bucket with thousands of members carries no pair-level near-dup
+    // signal (it is boilerplate/degenerate by construction — the same
+    // reasoning as ngramJaccardPairs' maxDocFreq and the winnow gate's
+    // fingerprint cap, both capped at 100); dropping oversized buckets
+    // whole bounds every join group at maxBucket·(maxBucket-1)/2 pairs
+    // and restores linear growth. The cap is exact equivalence-class
+    // semantics (bucket size is a pure function of the banded keys), so
+    // the DuckDB oracle applies the identical QUALIFY — see the
+    // dedup_minhash_pairs_capped entry. The semi-join shuffles on the
+    // same bk key the self-join uses, so the capped plan reuses the
+    // exchange rather than adding a second corpus pass.
+    val banded = if (maxBucket == Int.MaxValue) banded0
+      else banded0.join(
+        banded0.groupBy("bk").agg(count(lit(1)).as("_m"))
+          .where(col("_m") <= maxBucket).select("bk"),
+        Seq("bk"), "left_semi")
     val a = banded.as("a"); val b = banded.as("b")
     val matches = (0 until numHashes)
       .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
@@ -146,7 +170,8 @@ object Dedup {
   def minhashEstimationAudit(df: DataFrame, idCol: String, textCol: String,
                              k: Int = 5, numHashes: Int = 16,
                              bands: Int = 4,
-                             samplePairsMod: Int = 1): DataFrame = {
+                             samplePairsMod: Int = 1,
+                             pairsBuildGate: Long = 2000000L): DataFrame = {
     require(samplePairsMod >= 1, "samplePairsMod must be >= 1")
     val candAll = minhashCandidates(df, idCol, textCol, k, numHashes, bands)
       .select(col("id_a"), col("id_b"),
@@ -197,10 +222,25 @@ object Dedup {
     // samplePairsMod contract), so it builds; the array frame only ever
     // streams through a shuffle — the decontamination gate's exact-confirm
     // discipline applied here.
-    val joined = cand.hint("shuffle_hash")
+    // STRATEGY GATE (the 10x certification's one hard failure): the pairs
+    // side is the build side, but "bounded by samplePairsMod" fails open on
+    // corpora whose bucket growth is quadratic — at 6M synthetic docs the
+    // sampled pairs reached ~36M rows, and the SECOND join's build side
+    // (pairs carrying the first doc's ~1.6 KB hash array) needed a >1 GB
+    // per-task hash relation, which shuffled-hash cannot spill
+    // (SparkException "Can't acquire 1073741824 bytes"). Count the sampled
+    // pairs (one cheap pass over the checkpointed candidates) and fall
+    // back to sort-merge — which spills — when they exceed what 32-way
+    // tasks can hash-build in memory; below the gate the shuffled-hash
+    // plan and its plan tests are byte-identical. Join strategy never
+    // changes results, only survival.
+    val pairsBounded = cand.count() <= pairsBuildGate
+    def hinted(d: DataFrame): DataFrame =
+      if (pairsBounded) d.hint("shuffle_hash") else d.hint("merge")
+    val joined = hinted(cand)
       .join(docArr.select(col("_did").as("id_a"), col("_shs").as("_sa")),
         Seq("id_a"))
-      .hint("shuffle_hash")
+      .transform(hinted)
       .join(docArr.select(col("_did").as("id_b"), col("_shs").as("_sb")),
         Seq("id_b"))
     joined
@@ -624,6 +664,64 @@ object Dedup {
     banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col("a.blk") === col("b.blk") && col("a.bits") === col("b.bits") &&
           col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming.as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** [[simhashHammingPairs]] with WIDE pigeonhole keys — the corpus-scale
+    * face (Manku/Jain/Das Sarma, WWW'07 §3, the production simhash design).
+    *
+    * The narrow form's guarantee needs only maxHamming+1 blocks, so its
+    * keys are 60/(h+1) bits wide — 15 bits at the default h=3. A 15-bit key
+    * space SATURATES as the corpus grows: ~2^15 buckets over n docs means
+    * every bucket holds ~n/32768 RANDOM members, and the banded self-join's
+    * pre-distinct row count grows as n²/2^15 per block — measured 10x-
+    * certification growth 4.4x over the linear budget at 6M docs, pure
+    * false-candidate volume (the final hamming filter discards them, but
+    * only after they shuffle). Splitting into `nBlocks` > h+1 blocks and
+    * keying on every (nBlocks - h)-subset keeps the exact recall guarantee
+    * — ≤ h flipped bits touch ≤ h blocks, so at least one subset of
+    * nBlocks-h blocks is untouched — while the key widens to
+    * (nBlocks-h)·(60/nBlocks) bits: at the defaults (h=3, nBlocks=6),
+    * C(6,3) = 20 tables of 30-bit keys, shrinking random collisions by
+    * 2^15 for 5x the banded rows. Same exact OUTPUT as the narrow form
+    * (candidates are a superset-filter construction on both paths), so the
+    * two faces share one oracle. */
+  def simhashHammingPairsWide(df: DataFrame, idCol: String, textCol: String,
+                              maxHamming: Int = 3,
+                              nBlocks: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < nBlocks && nBlocks <= 60,
+      s"need 0 <= maxHamming ($maxHamming) < nBlocks ($nBlocks) <= 60")
+    val keep = nBlocks - maxHamming
+    val bitsPer = 60 / nBlocks // last block absorbs the remainder
+    def blockWidth(b: Int): Int =
+      if (b == nBlocks - 1) 60 - bitsPer * b else bitsPer
+    def blockCol(b: Int) =
+      shiftrightunsigned(col("simhash"), bitsPer * b)
+        .bitwiseAND(lit((1L << blockWidth(b)) - 1))
+    val sh = simhash(df, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash"))
+    // one key per `keep`-subset of blocks: the subset's block values packed
+    // into a single long (total width keep * ~bitsPer <= 60 bits), tagged
+    // with the subset index so distinct tables never collide
+    val subsets = (0 until nBlocks).combinations(keep).toSeq
+    val keyCols = subsets.zipWithIndex.map { case (ss, i) =>
+      val packed = ss.map(blockCol).zip(ss.map(blockWidth)).reduceLeft[
+        (org.apache.spark.sql.Column, Int)] { case ((accC, accW), (c, w)) =>
+          (shiftleft(accC, w).bitwiseOR(c), accW + w)
+      }._1
+      struct(lit(i).as("tbl"), packed.as("kbits"))
+    }
+    val banded = sh.select(col("id"), col("simhash"),
+      explode(array(keyCols: _*)).as("k"))
+    val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+      .cast("long")
+    // same explicit shuffle_hash + ReusedExchange discipline as the narrow
+    // form (the banded frame is corpus-sized and width-mis-costed)
+    banded.as("a").hint("shuffle_hash").join(banded.as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming.as("hamming"))
       .where(col("hamming") <= maxHamming)

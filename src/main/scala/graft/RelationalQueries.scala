@@ -702,12 +702,20 @@ object RelationalQueries {
       val items = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+      // materialized once: the support-filtered edge frame feeds three join
+      // sites (both wedge sides + the closing join); unpinned, each site
+      // re-runs the final support aggregation over the ~per-order pair
+      // explosion (the exchange below it is runtime-reused, the reduce-side
+      // agg + filter are not) — guide §2.4 duplicated subtrees. The frame
+      // is small (support >= 2 survivors only), the safe side of the
+      // round-7 "materialize only small/filtered frames" rule.
       val e = items.select(col("ok"), col("pk").as("p1"))
         .join(items.select(col("ok"), col("pk").as("p2")), Seq("ok"))
         .where(col("p1") < col("p2"))
         .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
         .where(col("support") >= 2)
         .select(col("p1").as("a"), col("p2").as("b"))
+        .localCheckpoint(true)
       val wedges = e.join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
       wedges.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
         .groupBy(col("a")).agg(count(lit(1)).as("n_triangles"))
@@ -819,8 +827,13 @@ object RelationalQueries {
     // vector bit-identical to the unrolled SQL evaluation — an ITERATIVE
     // float computation under the exact-hash gate, no tolerance.
     "graph_pagerank" -> ((s, dir) => {
+      // wide lineitem, same rationale as the digraph twin below: the
+      // broadcast-join probe and the distinct's map-side partial sit above
+      // the fixture's one-split scan and serialize on one core otherwise
+      // (r14 probe: edge derivation alone is ~1.4 s of the ~2.8 s warm lap)
       val pairs = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(graft.sources.Fixtures.tableWide(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey"), col("l_suppkey"))
       val edges = graft.operators.Graph.undirectedBipartite(
         pairs, "o_custkey", "l_suppkey")

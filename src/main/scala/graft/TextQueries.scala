@@ -945,9 +945,15 @@ object TextQueries {
     "ann_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.where(col("vec_id") < 5)
+      // materialized once: the exact list feeds all five recallOf branches,
+      // and an unpinned frame replays the corpus cross-join + per-query
+      // window per branch — five brute-force passes for one 50-row frame
+      // (guide §2.4 duplicated subtrees; isolated pair 5.08/3.52 s with
+      // 115 janino classes before, the whole excess this subplan)
       val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
           q, "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("nbr_id"))
+        .localCheckpoint(true)
       def recallOf(name: String, approx: DataFrame) =
         exact.join(approx.select(col("query_id"), col("nbr_id"),
             lit(1L).as("hit")), Seq("query_id", "nbr_id"), "left")

@@ -76,24 +76,26 @@ object Graph {
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
       maxBroadcastNodes: Long = 10000000L, pinEvery: Int = 8): DataFrame = {
     require(pinEvery > 0, "pinEvery must be positive")
-    // Three cached frames, each derived exactly once: the raw edge list
-    // (whatever join/distinct pipeline produced it would otherwise re-run
-    // for the degree frame, the edge⋈degree join AND the node count), the
-    // |V|-row degree frame, and the (edges ⋈ degree) iteration input.
-    // Rank and degree frames are |V| rows: below maxBroadcastNodes they
+    // Two cached frames (r14 restructure; previously three): the raw edge
+    // list and the |V|-row degree frame. ONE aggregation derives degree AND
+    // the dangling probe — each edge contributes (src, 1) and (dst, 0), so
+    // a zero out-degree sum is exactly "appears as dst, never as src", and
+    // the probe reads |V| cached rows instead of anti-joining the |E|-row
+    // edge list (guide §2.4: operations keyed the same way share one
+    // shuffle). Rank frames are |V| rows: below maxBroadcastNodes they
     // broadcast, so the cached edge list never re-shuffles across rounds;
     // past the bound the joins fall back to src-keyed shuffles. All caches
     // are freed before returning; the returned frame's lineage is cut.
     val raw = edges.cache()
-    val deg = raw.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+    val deg = raw.select(explode(array(
+        struct(col("src").as("id"), lit(1L).as("o")),
+        struct(col("dst").as("id"), lit(0L).as("o")))).as("v"))
+      .select(col("v.id").as("id"), col("v.o").as("o"))
+      .groupBy("id").agg(sum(col("o")).as("deg")).cache()
     try {
       // |V| — the one driver-side scalar (needed inside the next literal)
       val n = deg.count().toDouble
-      // the precondition probe (deg is already cached, so this is one
-      // hash-anti-join job over the edge list, nothing recomputed)
-      val dangling = raw.select(col("dst"))
-        .join(deg, raw("dst") === deg("src"), "left_anti")
-      if (!dangling.isEmpty)
+      if (!deg.where(col("deg") === 0).isEmpty)
         throw new IllegalArgumentException(
           "pageRank input has dangling vertices (appear as dst, never as " +
             "src) — their rank mass would silently leak; use " +
@@ -101,36 +103,40 @@ object Graph {
       val base = (1.0 - damping) / n
       val bcast = n <= maxBroadcastNodes.toDouble
       def maybeBcast(df: DataFrame) = if (bcast) broadcast(df) else df
-      val edgesD = raw.join(maybeBcast(deg), "src").cache()
-      try {
-        var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("rank"))
-        var pinned: Option[org.apache.spark.rdd.RDD[Row]] = None
-        for (i <- 1 to iterations) {
-          val contribs = edgesD
-            .join(maybeBcast(ranks), edgesD("src") === ranks("id"))
-            .select(col("dst"),
-              floor(col("rank") / col("deg") * lit(Q)).as("q"))
-          val next = contribs.groupBy("dst").agg(sum(col("q")).as("sq"))
-            .select(col("dst").as("id"),
-              (lit(base) +
-                lit(damping) * (col("sq").cast("double") / lit(Q)))
-                .as("rank"))
-          if (i % pinEvery == 0 && i < iterations) {
-            val (p, handle) = pin(next)
-            pinned.foreach(_.unpersist(false)) // previous pin, unreferenced
-            pinned = Some(handle)
-            ranks = p
-          } else ranks = next
-        }
-        // the returned frame stays pinned (one |V|-row block set) so the
-        // caller never re-derives the freed caches below; it is released
-        // by the ContextCleaner once the caller drops the frame
-        val (result, _) = pin(
-          ranks.join(maybeBcast(deg), ranks("id") === deg("src"))
-            .select(col("id"), col("rank"), col("deg")))
-        pinned.foreach(_.unpersist(false))
-        result
-      } finally edgesD.unpersist()
+      // ranks CARRIES deg (id, rank, deg): the per-round contribution
+      // floor((rank/deg)·Q) is a pure vertex function, so it is computed
+      // once per VERTEX inside the |V|-row broadcast projection instead of
+      // once per EDGE (guide §2.3: shuffle/broadcast metadata, not
+      // payloads) — which also retires the old (edges ⋈ degree) |E|-row
+      // 3-column cache entirely and the final deg re-join (the frame
+      // already has deg). Bit-identical output: the floor expression and
+      // its inputs are unchanged, only the frame evaluating it moved.
+      var ranks = deg.select(col("id"), lit(1.0 / n).as("rank"), col("deg"))
+      var pinned: Option[org.apache.spark.rdd.RDD[Row]] = None
+      for (i <- 1 to iterations) {
+        val shares = ranks.select(col("id").as("sid"),
+          floor(col("rank") / col("deg") * lit(Q)).as("q"))
+        val next = raw.join(maybeBcast(shares), raw("src") === col("sid"))
+          .groupBy(col("dst")).agg(sum(col("q")).as("sq"))
+          .select(col("dst").as("id"),
+            (lit(base) +
+              lit(damping) * (col("sq").cast("double") / lit(Q)))
+              .as("rank"))
+          .join(maybeBcast(deg), Seq("id"))
+          .select(col("id"), col("rank"), col("deg"))
+        if (i % pinEvery == 0 && i < iterations) {
+          val (p, handle) = pin(next)
+          pinned.foreach(_.unpersist(false)) // previous pin, unreferenced
+          pinned = Some(handle)
+          ranks = p
+        } else ranks = next
+      }
+      // the returned frame stays pinned (one |V|-row block set) so the
+      // caller never re-derives the freed caches below; it is released
+      // by the ContextCleaner once the caller drops the frame
+      val (result, _) = pin(ranks)
+      pinned.foreach(_.unpersist(false))
+      result
     } finally { deg.unpersist(); raw.unpersist() }
   }
 
@@ -178,11 +184,18 @@ object Graph {
         for (_ <- 1 to iterations) {
           val dang = ranks.where(col("deg") === 0)
             .agg(coalesce(sum(floor(col("rank") * lit(Q))), lit(0L)).as("dq"))
-          val r = ranks.select(col("id").as("rid"), col("rank"),
-            col("deg").as("rdeg"))
+          // per-VERTEX share, computed on the |V|-row frame before the
+          // broadcast instead of once per edge (r14, same move as
+          // pageRank): sinks (deg = 0) never match the src join, so their
+          // guarded 0 share is dropped rows either way — the when() only
+          // keeps Infinity out of the projected column. Bit-identical for
+          // every surviving row (same floor over the same inputs).
+          val r = ranks.select(col("id").as("rid"),
+            when(col("deg") > 0,
+              floor(col("rank") / col("deg") * lit(Q)))
+              .otherwise(lit(0L)).as("q"))
           val sums = raw.join(maybeBcast(r), raw("src") === col("rid"))
-            .select(col("dst"),
-              floor(col("rank") / col("rdeg") * lit(Q)).as("q"))
+            .select(col("dst"), col("q"))
             .groupBy("dst").agg(sum(col("q")).as("sq"))
           val next = vdeg.join(sums, vdeg("id") === sums("dst"), "left")
             .crossJoin(broadcast(dang))

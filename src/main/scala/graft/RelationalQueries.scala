@@ -716,8 +716,16 @@ object RelationalQueries {
         .where(col("support") >= 2)
         .select(col("p1").as("a"), col("p2").as("b"))
         .localCheckpoint(true)
-      val wedges = e.join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
-      wedges.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      // size-gated broadcast of the pinned edge frame (3.6k rows at sf0.1;
+      // the pinned RDD carries no size estimate, so without the hint both
+      // wedge joins sort-merge). The gate keeps the plan scale-safe: a
+      // corpus whose co-purchase graph outgrows the bound falls back to
+      // the shuffled joins. Counting pinned rows is one local scan, no
+      // recompute. Strategy only — rows identical either way.
+      val eJoin = if (e.count() <= 5000000L) (d: org.apache.spark.sql.DataFrame) => broadcast(d)
+        else (d: org.apache.spark.sql.DataFrame) => d
+      val wedges = e.join(eJoin(e.select(col("a").as("b"), col("b").as("c"))), Seq("b"))
+      wedges.join(eJoin(e.select(col("a"), col("b").as("c"))), Seq("a", "c"))
         .groupBy(col("a")).agg(count(lit(1)).as("n_triangles"))
         .orderBy("a")
     }),

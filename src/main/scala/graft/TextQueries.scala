@@ -954,9 +954,14 @@ object TextQueries {
           q, "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("nbr_id"))
         .localCheckpoint(true)
+      // the approx list is <= k rows per query BY CONSTRUCTION (a top-k),
+      // so the left join's build side is explicitly broadcast — the
+      // catalog plan otherwise sorts-merges five 50-row joins because the
+      // computed/pinned frames carry no usable size estimate (guide §3.1:
+      // estimates are often wrong, hint when the bound is known)
       def recallOf(name: String, approx: DataFrame) =
-        exact.join(approx.select(col("query_id"), col("nbr_id"),
-            lit(1L).as("hit")), Seq("query_id", "nbr_id"), "left")
+        exact.join(broadcast(approx.select(col("query_id"), col("nbr_id"),
+            lit(1L).as("hit"))), Seq("query_id", "nbr_id"), "left")
           .groupBy("query_id")
           .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
           .select(lit(name).as("method"), col("query_id"),

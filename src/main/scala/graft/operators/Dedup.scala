@@ -206,9 +206,31 @@ object Dedup {
     // hashes == distinct shingles up to a ~2^-64 within-doc collision —
     // the exactSubstr/gate-face accepted trade (README note); the string
     // oracle is unchanged.
+    // STRATEGY GATE count moved up: it also gates the doc prefilter below.
+    val pairsBounded = cand.count() <= pairsBuildGate
+    // Broadcast semi-join PREFILTER (guide §3.2, r14): the audit only ever
+    // reads docs that appear in an audited pair, but the shingle-hash pass
+    // and both verification shuffles below ran over the FULL corpus — at
+    // samplePairsMod = 4 (the corpus-scale contract) most docs are pruned.
+    // The id frame is bounded by 2 × the gated pair count (the same bound
+    // that lets the pairs build a hash relation), sits above a distinct
+    // exchange (AQE-resizable, honest size), and an inner-join prefilter
+    // cannot change rows. Above the gate the corpus streams unfiltered,
+    // exactly as before — no broadcast is ever attempted on an unbounded
+    // id set. mod = 1 audits the census (every candidate doc), where the
+    // prune factor is low by construction on dup-dense fixtures and the
+    // extra broadcast probe is pure overhead — the prefilter is the
+    // SAMPLED audit's lever, so it keys on the sampling contract.
+    val docBase = df.where(col(textCol).isNotNull)
+    val docSrc =
+      if (samplePairsMod == 1 || !pairsBounded) docBase
+      else docBase.join(
+        broadcast(cand.select(col("id_a").as("_pid"))
+          .unionAll(cand.select(col("id_b").as("_pid"))).distinct()),
+        docBase(idCol) === col("_pid"), "left_semi")
     // normText FIRST — graft.functions.charShingles (the string form this
     // replaces, and the oracle's shingle CTE) shingles the NORMALIZED text
-    val docArr = df.where(col(textCol).isNotNull)
+    val docArr = docSrc
       .select(col(idCol).as("_did"),
         graft.functions.TextExpressions.sortedShingleHashes(
           graft.functions.normText(col(textCol)), k).as("_shs"))
@@ -233,8 +255,8 @@ object Dedup {
     // back to sort-merge — which spills — when they exceed what 32-way
     // tasks can hash-build in memory; below the gate the shuffled-hash
     // plan and its plan tests are byte-identical. Join strategy never
-    // changes results, only survival.
-    val pairsBounded = cand.count() <= pairsBuildGate
+    // changes results, only survival. (pairsBounded computed above, with
+    // the prefilter.)
     def hinted(d: DataFrame): DataFrame =
       if (pairsBounded) d.hint("shuffle_hash") else d.hint("merge")
     val joined = hinted(cand)

@@ -154,21 +154,21 @@ object Bench {
     * (the transcription guard). Refreshing a ref means appending the sweep
     * or isolated-pair record to the ledger in the same commit. */
   private[graft] val quietRef: Map[String, Double] = Map(
-    "sky_1m_2d_anti" -> 0.58, "sky_1m_2d_sort" -> 1.01,
+    "sky_1m_2d_anti" -> 0.58, "sky_1m_2d_sort" -> 0.87,
     "sky_1m_3d_anti" -> 1.54, "sky_10m_2d_sort" -> 1.76,
-    "sky_10m_3d_bcast" -> 3.65, "sky_500k_4d_bcast" -> 0.29,
+    "sky_10m_3d_bcast" -> 3.65, "sky_500k_4d_bcast" -> 0.26,
     "sky_1m_4d_bcast" -> 0.51, "sky_500k_4d_xfilter" -> 0.51,
-    "sky_1m_3d_gridpar" -> 0.98, "sky_1m_3d_tree_uni" -> 0.24,
+    "sky_1m_3d_gridpar" -> 0.84, "sky_1m_3d_tree_uni" -> 0.17,
     "sky_10m_5d_xfilter_nat" -> 3.15, "sky_20m_6d_xfilter_nat" -> 7.08,
     "dedup_minhash_600k_sig" -> 1.64, "dedup_minhash_600k" -> 3.63,
-    "dedup_simhash_600k" -> 1.97, "text_perplexity_600k" -> 3.29,
+    "dedup_simhash_600k" -> 1.97, "text_perplexity_600k" -> 2.82,
     "dedup_substring_600k" -> 2.93, "hybrid_rrf_600k" -> 2.66,
-    "cdc_apply_5m" -> 1.13, "multimodal_600k" -> 0.24,
-    "text_classifier_600k" -> 0.78, "dedup_minhash_est_600k" -> 6.25,
-    "stream_dedup_600k" -> 9.97, "stream_dedup_600k_ttl" -> 17.07,
+    "cdc_apply_5m" -> 1.03, "multimodal_600k" -> 0.24,
+    "text_classifier_600k" -> 0.78, "dedup_minhash_est_600k" -> 6.15,
+    "stream_dedup_600k" -> 8.87, "stream_dedup_600k_ttl" -> 14.88,
     "stream_decontaminate_600k_ttl" -> 14.54,
     "stream_decontaminate_winnow_600k_ttl" -> 14.08,
-    "stream_decontaminate_bloom_600k_ttl" -> 20.22,
+    "stream_decontaminate_bloom_600k_ttl" -> 17.98,
     "stream_decontaminate_long_ttl" -> 10.54,
     "stream_decontaminate_winnow_long_ttl" -> 9.93)
 
@@ -365,8 +365,12 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) {
       val warmDir = "/root/testdata/sf0.001"
       if (new java.io.File(warmDir).isDirectory)
-        Seq("basket_pairs", "bucketed_join", "dedup_embedding_recall",
-          "dedup_jaccard_prefix", "nation_revenue_share", "table_profile",
+        // r14 additions: ann_recall (the stable set's biggest JIT bracket,
+        // 74-115 janino classes, never rep'd so never jit_warmup-labeled)
+        // and graph_triangles (isolated first/rep gap ~0.7 s, same cause)
+        Seq("ann_recall", "basket_pairs", "bucketed_join",
+          "dedup_embedding_recall", "dedup_jaccard_prefix",
+          "graph_triangles", "nation_revenue_share", "table_profile",
           "text_boilerplate", "text_top_terms").foreach { n =>
           SparkEntry.queries.get(n).foreach { fn =>
             // a warm-up failure must never take the sweep down

@@ -421,23 +421,58 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val base0 = df.select(col(idCol) +:
       signals.map { case (n, c) => c.cast("double").as(s"_v_$n") }: _*)
-    val withRanks = signals.foldLeft(base0) { case (acc, (n, _)) =>
-      val v = col(s"_v_$n")
-      val stats = acc.agg(min(v).as("_lo"), max(v).as("_hi"),
-        count(v).as("_n"))
-      val binned = acc.crossJoin(broadcast(stats))
-        .withColumn(s"_bin_$n",
-          graft.RelationalQueries.histBin(v, col("_lo"), col("_hi"), bins))
-      val cum = binned.groupBy(s"_bin_$n").agg(count(lit(1)).as("_c"))
-        .withColumn("_below",
-          coalesce(sum(col("_c")).over(Window.orderBy(col(s"_bin_$n"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col(s"_bin_$n"), col("_below"))
-      binned.join(broadcast(cum), Seq(s"_bin_$n"))
-        // `div`, not `/`: Column./ on longs is DOUBLE division, and
-        // _below * 1e6 exceeds 2^53 exactness long before 100 TB
-        .withColumn(s"rank_${n}_u6", expr(s"(_below * 1000000) div _n"))
-        .drop("_lo", "_hi", "_n", "_below", s"_bin_$n")
+    // SHARED passes across signals (guide §2.4, r15): the old per-signal
+    // fold computed min/max/count with a separate full aggregate over an
+    // ever-deeper plan — signal i's stats and histogram re-ran signals
+    // 1..i-1's whole bin/join pipeline (the catalog entry carried 33
+    // Exchange nodes for two signals). Now ONE stats aggregate computes
+    // every signal's bounds and ONE exploded (signal, bin) groupBy counts
+    // every histogram; the per-signal 512-row CDFs broadcast-join back.
+    //
+    // Row-preservation note (pinned by BlendRankSpec's null fixture): the
+    // old fold's joins were LOSSLESS — histBin never returns null for a
+    // null value (least(bins-1, null) skips the null, so null v lands in
+    // the top bin), every row's bin therefore exists in the histogram it
+    // was counted into, and stats/count(v) ran over the full row set for
+    // every signal. The shared pass reproduces exactly that: per-signal
+    // stats over all rows, histograms over all rows, lossless joins back.
+    val statsAll = base0.agg(
+      min(col(s"_v_${signals.head._1}")).as(s"_lo_${signals.head._1}"),
+      (signals.zipWithIndex.flatMap { case ((n, _), i) =>
+        val v = col(s"_v_$n")
+        (if (i == 0) Nil else Seq(min(v).as(s"_lo_$n"))) ++
+          Seq(max(v).as(s"_hi_$n"), count(v).as(s"_n_$n"))
+      }): _*)
+    val binned = base0.crossJoin(broadcast(statsAll))
+      .select(col(idCol) +: signals.flatMap { case (n, _) =>
+        Seq(col(s"_v_$n"),
+          graft.RelationalQueries.histBin(col(s"_v_$n"),
+            col(s"_lo_$n"), col(s"_hi_$n"), bins).as(s"_bin_$n"),
+          col(s"_n_$n"))
+      }: _*)
+    // one histogram pass: explode each row into its per-signal (idx, bin)
+    // contributions, count by (signal, bin)
+    val hist = binned.select(explode(array(
+        signals.zipWithIndex.map { case ((n, _), i) =>
+          struct(lit(i).as("_si"), col(s"_bin_$n").as("_bin"))
+        }: _*)).as("_e"))
+      .select(col("_e._si").as("_si"), col("_e._bin").as("_bin"))
+      .groupBy("_si", "_bin").agg(count(lit(1)).as("_c"))
+    // per-signal CDF: same null-first ASC bin order as the old global
+    // window, now partitioned by signal — one 512·k-row single-stage pass
+    val cumAll = hist.withColumn("_below",
+        coalesce(sum(col("_c")).over(Window.partitionBy("_si")
+          .orderBy(col("_bin"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_si"), col("_bin"), col("_below"))
+    val withRanks = signals.zipWithIndex.foldLeft(binned) {
+      case (acc, ((n, _), i)) =>
+        acc.join(broadcast(cumAll.where(col("_si") === i)
+            .select(col("_bin").as(s"_bin_$n"), col("_below"))),
+            Seq(s"_bin_$n"))
+          .withColumn(s"rank_${n}_u6",
+            expr(s"(_below * 1000000) div _n_$n"))
+          .drop("_below")
     }
     val blendSum = signals.map { case (n, _) => s"rank_${n}_u6" }
       .mkString(" + ")

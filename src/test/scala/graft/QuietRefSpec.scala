@@ -77,6 +77,25 @@ class QuietRefSpec extends AnyFunSuite {
         stale.mkString("\n"))
   }
 
+  test("section refs dominate their members' per-entry floors (r15)") {
+    // a section quiet ref is a best COMMITTED SWEEP total; the sum of its
+    // members' per-entry bests is a floor no honest sweep achieves
+    // simultaneously, so ref < floor means a transcription error
+    val memberFloor = Map(
+      "stable_total_sec" -> 0.0, // stable members carry no per-entry refs
+      "scale_total_sec" -> Bench.frozenScale.toSeq
+        .flatMap(Bench.quietRef.get).sum,
+      "stream_total_sec" -> Bench.frozenStream.toSeq
+        .flatMap(Bench.quietRef.get).sum)
+    val bad = Bench.sectionQuietRef.toSeq.sortBy(_._1).flatMap {
+      case (s, ref) => memberFloor.get(s).filter(_ > ref)
+        .map(f => f"$s: section ref $ref%.2f < member floor $f%.2f")
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+    assert(Bench.sectionQuietRef.keySet ==
+      Set("stable_total_sec", "scale_total_sec", "stream_total_sec"))
+  }
+
   test("no quiet ref undercuts committed evidence by 2x (transcription guard)") {
     val bogus = Bench.quietRef.toSeq.sortBy(_._1).flatMap { case (n, ref) =>
       ledgerMin.get(n).filter(m => ref < m * 0.5)

@@ -139,6 +139,32 @@ class BlendRankSpec extends AnyFunSuite {
     }
   }
 
+  test("null signals keep the old fold's semantics exactly (r15)") {
+    // The r15 shared-pass rewrite must reproduce the old per-signal fold
+    // bit-for-bit, including its null quirk: histBin(null) = least(bins-1,
+    // null) = the TOP bin (least skips nulls), so a null-signal row is
+    // binned 511, counted in the histogram, survives every join, and
+    // takes the top bin's rank — while count(v) still excludes it from
+    // _n. Hand-computed for the 4-row fixture (verified against the
+    // pre-r15 fold implementation):
+    //   a: lo=1 hi=4 n=3; bins 0/170/511/511 -> below 0/1/2/2
+    //   b: lo=10 hi=40 n=3; bins 0/511/341/511 -> below 0/2/1/2
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(1.0), Some(10.0)), (2L, Some(2.0), None),
+      (3L, Option.empty[Double], Some(30.0)), (4L, Some(4.0), Some(40.0)))
+      .toDF("id", "a", "b")
+    val got = TextAnalysis.blendQualityRanks(df, "id",
+        Seq("a" -> col("a"), "b" -> col("b")), bins = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 0L),
+      (2L, 333333L, 666666L, 499999L),
+      (3L, 666666L, 333333L, 499999L),
+      (4L, 666666L, 666666L, 666666L)))
+  }
+
   test("constant signal degenerates to rank 0 for every row") {
     import spark.implicits._
     val df = (0 until 5).map(i => (i.toLong, 7.0)).toDF("id", "v")

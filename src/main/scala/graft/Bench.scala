@@ -163,12 +163,12 @@ object Bench {
     "dedup_minhash_600k_sig" -> 1.64, "dedup_minhash_600k" -> 3.63,
     "dedup_simhash_600k" -> 1.97, "text_perplexity_600k" -> 2.82,
     "dedup_substring_600k" -> 2.93, "hybrid_rrf_600k" -> 2.66,
-    "cdc_apply_5m" -> 1.03, "multimodal_600k" -> 0.24,
+    "cdc_apply_5m" -> 1.03, "multimodal_600k" -> 0.21,
     "text_classifier_600k" -> 0.78, "dedup_minhash_est_600k" -> 6.15,
     "stream_dedup_600k" -> 8.87, "stream_dedup_600k_ttl" -> 14.88,
     "stream_decontaminate_600k_ttl" -> 14.54,
     "stream_decontaminate_winnow_600k_ttl" -> 14.08,
-    "stream_decontaminate_bloom_600k_ttl" -> 17.98,
+    "stream_decontaminate_bloom_600k_ttl" -> 17.21,
     "stream_decontaminate_long_ttl" -> 10.54,
     "stream_decontaminate_winnow_long_ttl" -> 9.93)
 
@@ -1134,12 +1134,15 @@ object Bench {
         val priorShuffle = spark.conf.get("spark.sql.shuffle.partitions")
         val ckpt = java.nio.file.Files.createTempDirectory("sd600kckpt")
         setRocksDbConfs()
-        // store count sized to STATE shape, not core count: ~2.4M owner
-        // rows over 16 RocksDB instances halves the per-batch fixed
-        // load/commit cost vs 32 with no loss of pre-state parallelism
-        // (the signature stages parallelize by input splits) — measured
-        // r11 on the TTL twin: 27.7 -> 19.6 s (8 stores ties at 20.2)
-        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        // store count sized to STATE shape, not core count (r11: 32 -> 16,
+        // 27.7 -> 19.6 s). r15 re-tune (ProbeStateTune): the real state is
+        // 67,732 distinct band buckets (the artifact's own __state_rows —
+        // the old "~2.4M rows" estimate ignored the synthetic corpus's
+        // band-key collisions), so even 16 instances is mostly per-batch
+        // load/commit overhead; 8 won both interleaved probe pairs
+        // (30.1 -> 18.7, 21.8 -> 11.9 s under comparable steal). The
+        // signature stages parallelize by input splits and are unaffected.
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         try {
           // raw-row pre-shuffle: one file per trigger = one scan task,
           // and the per-doc MinHash signature derivation would otherwise
@@ -1222,9 +1225,15 @@ object Bench {
         val priorShuffle = spark.conf.get("spark.sql.shuffle.partitions")
         val ckpt = java.nio.file.Files.createTempDirectory("sdttlckpt")
         setRocksDbConfs()
-        // same state-shape store sizing as the unbounded twin (16 stores:
-        // 27.7 -> 19.6 s measured; 8 ties at 20.2, so keep the headroom)
-        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        // 16 -> 8 stores (r15, ProbeStateTune, judge r14 item 2): the TTL
+        // face's state PLATEAUS at ~39k rows (the eviction is the point),
+        // so 16 RocksDB instances paying load/commit/changelog per batch
+        // is pure per-batch overhead. Quietest probe laps: 8 stores
+        // 13.9 s @ 3.3 s steal vs 16 stores 22.9 s @ 16 s (r11's "8 ties"
+        // predates changelog checkpointing). trackTotalNumberOfRows=false
+        // also measured (15.6 s) but REJECTED: it zeroes numRowsTotal and
+        // the per-batch state-row plateau is this entry's published claim.
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         try {
           // same raw-row pre-shuffle as the unbounded twin
           val src = spark.readStream.schema(sdSchema)
@@ -1472,7 +1481,12 @@ object Bench {
           "spark.sql.streaming.stateStore.providerClass")
         val priorShuffle = spark.conf.get("spark.sql.shuffle.partitions")
         setRocksDbConfs()
-        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        // 16 -> 8 stores (r15, ProbeStateTune): the gate's verdict state is
+        // ~300 rows — 16 instances was pure per-batch load/commit overhead.
+        // Quietest probe laps: 8 stores 17.5 s @ 3.0 s steal vs 16 stores
+        // 24.5 s @ 17 s; matches the 8-store sizing its exact/winnow twins
+        // have carried since r10.
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         try {
           val src = spark.readStream.schema(sdSchema)
             .option("maxFilesPerTrigger", 1).parquet(sdDir)

@@ -80,6 +80,16 @@ object ProbeStateTune {
       val t0 = System.nanoTime()
       try {
         val verdicts = face match {
+          case "dedup_unbounded" =>
+            // the 10-batch unbounded owner face (frozenScale member):
+            // 2.4M state rows — the one face whose per-store state is big
+            // enough that fewer stores could plausibly LOSE
+            val src = spark.readStream.schema(dedupSchema)
+              .option("maxFilesPerTrigger", 2).parquet(dedupDir)
+              .repartition(32)
+            graft.operators.Dedup.streamingMinhashOwners(
+              graft.operators.Dedup.minhashBandKeys(src, "doc_id", "text",
+                k = 5, numHashes = 8, bands = 4))
           case "dedup_ttl" =>
             val src = spark.readStream.schema(dedupSchema)
               .option("maxFilesPerTrigger", 1).parquet(dedupDir)
@@ -144,15 +154,22 @@ object ProbeStateTune {
       ("ntrack", 16, Map(RocksPrefix + "trackTotalNumberOfRows" -> "false")),
       ("nodata", 16, Map(NoData -> "false")))
 
+    val unboundedVariants: Seq[(String, Int, Map[String, String])] = Seq(
+      ("base16", 16, Map.empty),
+      ("s8", 8, Map.empty))
     val laps = args.headOption.map(_.toInt).getOrElse(2)
-    val only: Option[Set[String]] =
-      if (args.length > 1) Some(args.drop(1).toSet) else None
+    val faces: Set[String] =
+      if (args.length > 1) args.drop(1).toSet
+      else Set("dedup_ttl", "bloom_ttl")
     for (lap <- 1 to laps) {
       println(s"===== lap $lap =====")
-      dedupVariants.filter(v => only.forall(_.contains(v._1)))
+      if (faces("dedup_ttl")) dedupVariants
         .foreach { case (name, st, ex) => runOne("dedup_ttl", name, st, ex) }
-      bloomVariants.filter(v => only.forall(_.contains(v._1)))
+      if (faces("bloom_ttl")) bloomVariants
         .foreach { case (name, st, ex) => runOne("bloom_ttl", name, st, ex) }
+      if (faces("dedup_unbounded")) unboundedVariants
+        .foreach { case (name, st, ex) =>
+          runOne("dedup_unbounded", name, st, ex) }
     }
 
     benchSh.unpersist()

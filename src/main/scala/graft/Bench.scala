@@ -165,7 +165,7 @@ object Bench {
     "dedup_substring_600k" -> 2.93, "hybrid_rrf_600k" -> 2.66,
     "cdc_apply_5m" -> 1.03, "multimodal_600k" -> 0.21,
     "text_classifier_600k" -> 0.78, "dedup_minhash_est_600k" -> 6.15,
-    "stream_dedup_600k" -> 8.87, "stream_dedup_600k_ttl" -> 14.88,
+    "stream_dedup_600k" -> 8.87, "stream_dedup_600k_ttl" -> 14.48,
     "stream_decontaminate_600k_ttl" -> 14.54,
     "stream_decontaminate_winnow_600k_ttl" -> 14.08,
     "stream_decontaminate_bloom_600k_ttl" -> 17.21,
